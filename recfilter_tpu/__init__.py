@@ -1,0 +1,65 @@
+"""recfilter_tpu — TPU-native n-D recursive (IIR) filter engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of mit-gfx/recfilter
+(the Halide overlapped-tiling DSL of Nehab et al. 2011): causal/anticausal
+recursive scans of arbitrary order over n-D arrays, tiled into per-tile MXU
+matmuls plus a closed-form cross-tile carry solve, with Pallas fused kernels
+on the hot path and mesh sharding (data + sequence parallel) across chips.
+
+Public surface mirrors the reference's ergonomics (``lib/recfilter.h``):
+
+    import recfilter_tpu as rf
+
+    x = rf.Dim("x", 4096); y = rf.Dim("y", 4096)
+    F = rf.RecFilter("SAT")
+    F[x, y] = image                      # F(x,y) = image(x,y)
+    F.add_filter(+x, [1.0, 1.0])
+    F.add_filter(+y, [1.0, 1.0])
+    F.split(x, 32, y, 32)
+    out = F.realize()
+"""
+
+from .spec import BorderMode, Dim, DimAndCausality, FilterSpec, Scan
+from .iir import (
+    gaussian_weights,
+    integral_image_coeff,
+    overlap_feedback_coeff,
+    gaussian_box_filter,
+    gaussian,
+    gauss_derivative,
+    gauss_integral,
+    reference_gaussian,
+)
+from .api import RecFilter
+from .utils.args import Arguments
+from .utils.testing import (
+    CheckResult,
+    CheckResultVerbose,
+    generate_random_image,
+)
+
+RecFilterDim = Dim  # reference name alias (lib/recfilter.h:68)
+
+__all__ = [
+    "RecFilter",
+    "RecFilterDim",
+    "Dim",
+    "DimAndCausality",
+    "FilterSpec",
+    "Scan",
+    "BorderMode",
+    "gaussian_weights",
+    "integral_image_coeff",
+    "overlap_feedback_coeff",
+    "gaussian_box_filter",
+    "gaussian",
+    "gauss_derivative",
+    "gauss_integral",
+    "reference_gaussian",
+    "Arguments",
+    "CheckResult",
+    "CheckResultVerbose",
+    "generate_random_image",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,526 @@
+"""Public API: the RecFilter builder.
+
+TPU-native rebuild of the reference's user-facing surface
+(``lib/recfilter.h:146-510``): declare dimensions, set a pure initialization,
+append causal/anticausal scans, tile, (optionally) cascade or overlap, then
+realize/profile. Construction mutates a FilterSpec; execution dispatches to a
+jitted executor chosen by the Plan (see :mod:`recfilter_tpu.planner`).
+
+Reference → TPU mapping of the main entry points:
+
+    F(x,y) = image(x,y)         →  F[x, y] = image
+    F.add_filter(+x, coeff)     →  F.add_filter(+x, coeff)     (:264-392)
+    F.split(x, 32, y, 32)       →  F.split(x, 32, y, 32)       (split.cpp:1850)
+    F.realize() / F.profile(n)  →  F.realize() / F.profile(n)  (:984-1016)
+    F.as_func()                 →  F.as_func() → jitted callable (:886)
+    F.cascade* / overlap        →  same names (reorder.cpp)
+    F.intra/inter_schedule()    →  tag-addressed Plan handles (schedule.cpp)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graph, iir, planner, scan_core, tiling
+from .spec import BorderMode, Dim, DimAndCausality, FilterSpec, Scan, make_scan
+from .utils import timing
+
+_max_threads_per_warp = 128  # parity knob (lib/recfilter.cpp:36-46)
+_vectorization_width = 8  # parity knob (lib/recfilter.cpp:48-57)
+
+
+class RecFilter:
+    """An n-D recursive filter under construction / ready to run."""
+
+    def __init__(self, name: str = "RecFilter"):
+        self._name = name
+        self._spec: Optional[FilterSpec] = None
+        self._image: Optional[np.ndarray] = None
+        self._init_fn: Optional[Callable] = None
+        self._plan = planner.Plan()
+        self._schedule_log: List[str] = []
+        self._clamped_border = False
+        self._dtype = "float32"
+        self._cached_fn = None
+
+    # ------------------------------------------------------------------ name
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def spec(self) -> FilterSpec:
+        if self._spec is None:
+            raise RuntimeError(
+                f"Recursive filter {self._name} has no definition yet; "
+                "set one with F[x, y] = image"
+            )
+        return self._spec
+
+    # ---------------------------------------------------------------- define
+    def __setitem__(self, dims, value):
+        """``F[x, y] = image`` — the pure initialization
+        (``RecFilterRefVar::operator=``, ``lib/recfilter.cpp:64-66`` →
+        ``RecFilter::define``, ``:192-248``).
+
+        ``dims`` are Dim objects in array-axis order; ``value`` is an array
+        whose shape matches the dim extents, or a callable taking index grids
+        (one per dim) and returning the initial array.
+        """
+        if not isinstance(dims, tuple):
+            dims = (dims,)
+        self.define(dims, value)
+
+    def define(self, dims: Sequence[Dim], value):
+        if self._spec is not None and self._spec.scans:
+            raise RuntimeError(
+                f"Recursive filter {self._name} already defined"
+            )
+        dims = tuple(dims)
+        if callable(value) and not hasattr(value, "shape"):
+            grids = np.meshgrid(
+                *[np.arange(d.extent) for d in dims], indexing="ij"
+            )
+            value = value(*grids)
+        value = np.asarray(value) if not isinstance(value, jax.Array) else value
+        expect = tuple(d.extent for d in dims)
+        if tuple(value.shape[: len(dims)]) != expect:
+            raise ValueError(
+                f"Initialization shape {value.shape} does not match dim "
+                f"extents {expect} for filter {self._name}"
+            )
+        self._dtype = str(value.dtype)
+        self._image = value
+        self._spec = FilterSpec(
+            name=self._name,
+            dims=dims,
+            scans=(),
+            border=BorderMode.CLAMP if self._clamped_border else BorderMode.ZERO,
+            dtype=self._dtype,
+            tile_widths=(0,) * len(dims),
+        )
+        self._cached_fn = None
+        return self
+
+    def set_clamped_image_border(self):
+        """Clamp out-of-range taps to the image edge
+        (``lib/recfilter.cpp:252-258``). Must precede scan definitions."""
+        if self._spec is not None and self._spec.scans:
+            raise RuntimeError(
+                f"Recursive filter {self._name} already defined"
+            )
+        self._clamped_border = True
+        if self._spec is not None:
+            self._spec = dataclasses.replace(self._spec, border=BorderMode.CLAMP)
+        self._cached_fn = None
+
+    # ----------------------------------------------------------------- scans
+    def add_filter(self, x: Union[Dim, DimAndCausality], coeff):
+        """Append a scan ``v[x] = b0 v[x] + Σ a_j v[x∓(j+1)]``
+        (``lib/recfilter.cpp:264-392``). ``x`` may be ``+dim``/``-dim`` or a
+        bare Dim (causal, ``lib/recfilter.cpp:260-262``)."""
+        if isinstance(x, Dim):
+            x = DimAndCausality(x, True)
+        self._spec = self.spec.with_scan(make_scan(self.spec, x, coeff))
+        self._cached_fn = None
+        return self
+
+    # ---------------------------------------------------------------- tiling
+    def split(self, *args, **kwargs):
+        """Tile dimensions: ``split(x, 32, y, 32)`` or ``split({x: 32})``
+        (``RecFilter::split``, ``lib/split.cpp:1850-2080``).
+
+        Unlike the reference, tile widths need not divide extents (inputs are
+        zero-padded, which is exact for these scans) and splitting is
+        metadata-only — the blocked algebra is applied at trace time.
+        """
+        spec = self.spec
+        tiles = list(spec.tile_widths or (0,) * spec.ndim)
+        if len(args) == 1 and isinstance(args[0], dict):
+            for d, t in args[0].items():
+                tiles[spec.axis_of(d)] = int(t)
+        else:
+            if len(args) % 2:
+                raise ValueError("split expects (dim, width) pairs")
+            for d, t in zip(args[::2], args[1::2]):
+                tiles[spec.axis_of(d)] = int(t)
+        self._spec = spec.with_tiles(tuple(tiles))
+        self._cached_fn = None
+        return self
+
+    def split_all_dimensions(self, tile_width: int):
+        """Tile every scanned dimension with one width
+        (``lib/split.cpp:2082``)."""
+        spec = self.spec
+        scanned = {s.axis for s in spec.scans}
+        tiles = [
+            tile_width if i in scanned else t
+            for i, t in enumerate(spec.tile_widths or (0,) * spec.ndim)
+        ]
+        self._spec = spec.with_tiles(tuple(tiles))
+        self._cached_fn = None
+        return self
+
+    # ------------------------------------------------------------- execution
+    def as_func(self) -> Callable:
+        """Jittable function array→array running the filter
+        (``RecFilter::as_func``, ``lib/recfilter.cpp:886``)."""
+        spec = self.spec
+        plan = self._plan
+        backend = planner.resolve_backend(
+            spec, plan, jax.default_backend()
+        )
+        if backend == "oracle":
+            return lambda x: scan_core.oracle_apply(spec, np.asarray(x))
+        if backend == "scan":
+            return lambda x: scan_core.apply_filter(spec, x)
+        if backend == "pallas":
+            try:
+                from .kernels import fused as _fused
+
+                return lambda x: _fused.apply_filter(spec, plan, x)
+            except ImportError:
+                backend = "einsum"
+        if backend == "einsum":
+            return lambda x: tiling.apply_filter(spec, x)
+        raise ValueError(f"unknown backend {backend}")
+
+    def compile_jit(self, filename: Optional[str] = None) -> Callable:
+        """Trace + compile now; optionally dump the lowered/optimized HLO to
+        ``filename`` (``RecFilter::compile_jit``, ``lib/recfilter.cpp:918-930``,
+        which dumps lowered Halide HTML)."""
+        fn = self.as_func()
+        jitted = jax.jit(fn)
+        lowered = jitted.lower(jax.ShapeDtypeStruct(self._image.shape, self._image.dtype))
+        compiled = lowered.compile()
+        if filename:
+            with open(filename, "w") as fh:
+                fh.write(lowered.as_text())
+        self._cached_fn = compiled
+        return compiled
+
+    def realize(self, input: Optional[np.ndarray] = None):
+        """Run the filter on the bound (or given) image
+        (``RecFilter::realize``, ``lib/recfilter.cpp:984-989``)."""
+        if input is None and getattr(self, "_chain_parent", None) is not None:
+            input = self._chain_parent.realize()
+        x = self._image if input is None else input
+        if x is None:
+            raise RuntimeError(f"filter {self._name} has no bound image")
+        if self._cached_fn is None:
+            fn = self.as_func()
+            self._cached_fn = jax.jit(fn) if self._plan.backend != "oracle" else fn
+        return self._cached_fn(jnp.asarray(x))
+
+    def profile(self, iterations: int = 1) -> float:
+        """Warm-up + timed loop; prints and returns total ms
+        (``RecFilter::profile``, ``lib/recfilter.cpp:991-1016``)."""
+        x = jnp.asarray(self._image)
+        if self._cached_fn is None:
+            self._cached_fn = jax.jit(self.as_func())
+        ms = timing.benchmark(self._cached_fn, x, iterations=iterations)
+        pixels = int(np.prod([d.extent for d in self.spec.dims])) * iterations
+        print(
+            f"{self._name}: {ms:.3f} ms for {iterations} iterations "
+            f"({timing.throughput(ms, pixels):.2f} MiP/s)"
+        )
+        return ms
+
+    def func(self, name: str):
+        """Evaluate one internal stage by name for debugging
+        (``RecFilter::func``, ``lib/recfilter.h:296-302``). Returns the stage's
+        output array for the bound image."""
+        spec = self.spec
+        stages = {st.name: st for st in graph.build_graph(spec)}
+        if name not in stages:
+            raise KeyError(
+                f"no stage {name}; available: {sorted(stages)}"
+            )
+        st = stages[name]
+        x = jnp.asarray(self._image)
+        if st.scan_id is None:
+            return x
+        # Run scans before this stage's scan, then compute the stage output.
+        tiles = spec.tile_widths or (0,) * spec.ndim
+        for i, s in enumerate(spec.scans[: st.scan_id]):
+            T = tiles[s.axis]
+            if T:
+                x = tiling.tiled_apply_scan(
+                    x, s.axis, s.causal, s.feedfwd, s.feedback, T, spec.border
+                )
+            else:
+                x = scan_core.apply_scan(
+                    x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
+                )
+        s = spec.scans[st.scan_id]
+        T = tiles[s.axis]
+        if not T or st.tag == graph.INTRA_1:
+            return scan_core.apply_scan(
+                x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
+            )
+        xm = jnp.moveaxis(x, s.axis, -1)
+        shape = xm.shape
+        if not s.causal:
+            xm = jnp.flip(xm, axis=-1)
+        y, inter = tiling.blocked_scan_last_axis(
+            xm.reshape(-1, shape[-1]),
+            s.feedfwd,
+            s.feedback,
+            T,
+            spec.border == BorderMode.CLAMP,
+            return_intermediates=True,
+        )
+        if st.tag == graph.INTRA_N:
+            return inter["intra_tails"].reshape(shape[:-1] + inter["intra_tails"].shape[-2:])
+        if st.tag == graph.INTER:
+            return inter["ctail"].reshape(shape[:-1] + inter["ctail"].shape[-2:])
+        y = y.reshape(shape)
+        if not s.causal:
+            y = jnp.flip(y, axis=-1)
+        return jnp.moveaxis(y, -1, s.axis)
+
+    # ------------------------------------------------------------ scheduling
+    def full_schedule(self) -> planner.RecFilterSchedule:
+        if self.spec.tiled:
+            raise RuntimeError(
+                "Filter is tiled, use intra_schedule() and inter_schedule()"
+            )
+        return planner.RecFilterSchedule(self, "full")
+
+    def intra_schedule(self, id: int = 1) -> planner.RecFilterSchedule:
+        if not self.spec.tiled:
+            raise RuntimeError("Filter is not tiled, use full_schedule()")
+        return planner.RecFilterSchedule(self, f"intra({id})")
+
+    def inter_schedule(self) -> planner.RecFilterSchedule:
+        if not self.spec.tiled:
+            raise RuntimeError("Filter is not tiled, use full_schedule()")
+        return planner.RecFilterSchedule(self, "inter")
+
+    def auto_schedule(self, tile_width: int = 0):
+        """Auto planner (``gpu_auto_schedule``/``cpu_auto_schedule``,
+        ``lib/recfilter.cpp:577-870``): optionally tile every scanned dim and
+        let the Plan resolve backend/layout automatically."""
+        if tile_width:
+            self.split_all_dimensions(tile_width)
+        self._plan = self._plan.with_(backend="auto")
+        self._schedule_log.append(f"auto_schedule({tile_width})")
+        self._cached_fn = None
+        return self
+
+    # GPU/CPU aliases for source-level parity with reference apps.
+    def gpu_auto_schedule(self, tile_width: int = 0):
+        return self.auto_schedule(tile_width)
+
+    def cpu_auto_schedule(self, tile_width: int = 0):
+        return self.auto_schedule(tile_width)
+
+    def set_plan(self, **kw):
+        """Directly set Plan fields (backend=, line_block=, interpret=, …)."""
+        self._plan = self._plan.with_(**kw)
+        self._cached_fn = None
+        return self
+
+    @property
+    def plan(self) -> planner.Plan:
+        return self._plan
+
+    # Schedule-var handles (VarTag addressing, lib/recfilter.h:568-640).
+    def inner(self, i: Optional[int] = None):
+        return planner.ScheduleVar("INNER", i)
+
+    def outer(self, i: Optional[int] = None):
+        return planner.ScheduleVar("OUTER", i)
+
+    def tail(self):
+        return planner.ScheduleVar("TAIL")
+
+    def inner_scan(self):
+        return planner.ScheduleVar("INNER_SCAN")
+
+    def outer_scan(self):
+        return planner.ScheduleVar("OUTER_SCAN")
+
+    def inner_channels(self):
+        return planner.ScheduleVar("CHANNEL")
+
+    @staticmethod
+    def set_max_threads_per_cuda_warp(n: int):
+        """Parity shim (``lib/recfilter.cpp:36-46``); informs default
+        line-block sizing on TPU."""
+        global _max_threads_per_warp
+        assert n % 32 == 0, "max threads must be a multiple of 32"
+        _max_threads_per_warp = n
+
+    @staticmethod
+    def set_vectorization_width(n: int):
+        """Parity shim (``lib/recfilter.cpp:48-57``)."""
+        global _vectorization_width
+        assert n > 0 and (n & (n - 1)) == 0 and n <= 64
+        _vectorization_width = n
+
+    # ------------------------------------------------------- reorder/cascade
+    def cascade(self, *scan_groups) -> List["RecFilter"]:
+        """Split this filter's scans into a chain of filters
+        (``RecFilter::cascade``, ``lib/reorder.cpp:28-176``), with the same
+        legality checks: every scan appears exactly once, and the relative
+        order of opposite-causality scans in the same dimension is preserved.
+        """
+        spec = self.spec
+        if len(scan_groups) == 1 and isinstance(scan_groups[0], (list, tuple)) \
+                and scan_groups[0] and isinstance(scan_groups[0][0], (list, tuple)):
+            scan_groups = tuple(scan_groups[0])
+        groups = [list(g) for g in scan_groups]
+
+        flat = [i for g in groups for i in g]
+        if sorted(flat) != list(range(len(spec.scans))):
+            raise ValueError(
+                "cascade: each scan must appear in exactly one group"
+            )
+        # Opposite-causality same-dim scans must not be reordered
+        # (lib/reorder.cpp:36-98).
+        order_of = {s: gi for gi, g in enumerate(groups) for s in g}
+        pos_in = {s: groups[order_of[s]].index(s) for s in flat}
+        for i in range(len(spec.scans)):
+            for j in range(i + 1, len(spec.scans)):
+                si, sj = spec.scans[i], spec.scans[j]
+                if si.axis == sj.axis and si.causal != sj.causal:
+                    if (order_of[j], pos_in[j]) < (order_of[i], pos_in[i]):
+                        raise ValueError(
+                            "cascade: cannot swap opposite-causality scans "
+                            f"{i} and {j} in the same dimension"
+                        )
+
+        out: List[RecFilter] = []
+        upstream = self
+        for gi, g in enumerate(groups):
+            f = RecFilter(f"{self._name}_{gi}")
+            if self._clamped_border:
+                f.set_clamped_image_border()
+            f._image = self._image
+            f._dtype = self._dtype
+            f._spec = FilterSpec(
+                name=f._name,
+                dims=spec.dims,
+                scans=tuple(spec.scans[i] for i in g),
+                border=spec.border,
+                dtype=spec.dtype,
+                tile_widths=spec.tile_widths,
+            )
+            f._plan = self._plan
+            # Chain realization: each filter's input is the previous one's
+            # output (lib/reorder.cpp:110-133).
+            f._chain_parent = out[-1] if out else None
+            out.append(f)
+        return out
+
+    def cascade_by_causality(self) -> List["RecFilter"]:
+        """One filter per causality class (``lib/reorder.cpp:188-209``)."""
+        spec = self.spec
+        causal = [i for i, s in enumerate(spec.scans) if s.causal]
+        anticausal = [i for i, s in enumerate(spec.scans) if not s.causal]
+        groups = [g for g in (causal, anticausal) if g]
+        return self.cascade(*groups)
+
+    def cascade_by_dimension(self) -> List["RecFilter"]:
+        """One filter per scanned dimension (``lib/reorder.cpp:211-229``)."""
+        spec = self.spec
+        groups = [g for g in spec.scans_by_axis().values() if g]
+        return self.cascade(*groups)
+
+    def overlap_to_higher_order_filter(
+        self, other: "RecFilter", name: str = "O"
+    ) -> "RecFilter":
+        """Merge this filter with ``other`` into a single higher-order filter
+        (``lib/reorder.cpp:231-381``): per-dimension, per-causality, the
+        feedforward coefficients multiply and the feedback polynomials
+        convolve (``overlap_feedback_coeff``, ``lib/iir_coeff.cpp:236-263``).
+        """
+        a, b = self.spec, other.spec
+        if tuple(d.extent for d in a.dims) != tuple(d.extent for d in b.dims):
+            raise ValueError("overlap: filters must have identical dims")
+        if a.border != b.border:
+            raise ValueError("overlap: filters must have identical border")
+        if len(a.scans) != len(b.scans):
+            raise ValueError("overlap: filters must have matching scan lists")
+        merged: List[Scan] = []
+        for sa, sb in zip(a.scans, b.scans):
+            if sa.axis != sb.axis or sa.causal != sb.causal:
+                raise ValueError(
+                    "overlap: scans must match in dimension and causality"
+                )
+            fb = iir.overlap_feedback_coeff(list(sa.feedback), list(sb.feedback))
+            merged.append(
+                Scan(sa.axis, sa.causal, sa.feedfwd * sb.feedfwd, tuple(fb))
+            )
+        f = RecFilter(name)
+        if self._clamped_border:
+            f.set_clamped_image_border()
+        f._image = self._image
+        f._dtype = self._dtype
+        f._spec = FilterSpec(
+            name=name,
+            dims=a.dims,
+            scans=tuple(merged),
+            border=a.border,
+            dtype=a.dtype,
+            tile_widths=a.tile_widths,
+        )
+        f._plan = self._plan
+        return f
+
+    # ------------------------------------------------------------- printing
+    def print_synopsis(self) -> str:
+        s = graph.synopsis(self.spec)
+        print(s)
+        return s
+
+    def print_functions(self) -> str:
+        s = graph.print_functions(self.spec)
+        print(s)
+        return s
+
+    def print_schedule(self) -> str:
+        s = "\n".join(self._schedule_log) or "(no schedule directives)"
+        print(s)
+        return s
+
+    def print_hl_code(self) -> str:
+        """Emit a re-runnable Python program reconstructing this filter —
+        the analog of the reference's re-runnable Halide C++ dump
+        (``lib/recfilter_utils.cpp:121-222``)."""
+        spec = self.spec
+        lines = ["import recfilter_tpu as rf", ""]
+        for d in spec.dims:
+            lines.append(f"{d.name} = rf.Dim({d.name!r}, {d.extent})")
+        lines.append(f"F = rf.RecFilter({spec.name!r})")
+        if spec.border == BorderMode.CLAMP:
+            lines.append("F.set_clamped_image_border()")
+        dimlist = ", ".join(d.name for d in spec.dims)
+        lines.append(f"F[{dimlist}] = image  # bind your input here")
+        for s in spec.scans:
+            sign = "+" if s.causal else "-"
+            co = [s.feedfwd] + list(s.feedback)
+            lines.append(
+                f"F.add_filter({sign}{spec.dims[s.axis].name}, {co!r})"
+            )
+        if spec.tiled:
+            pairs = ", ".join(
+                f"{d.name}, {t}"
+                for d, t in zip(spec.dims, spec.tile_widths)
+                if t
+            )
+            lines.append(f"F.split({pairs})")
+        code = "\n".join(lines)
+        print(code)
+        return code
+
+    def __repr__(self) -> str:
+        if self._spec is None:
+            return f"RecFilter({self._name!r}, undefined)"
+        return graph.synopsis(self._spec)

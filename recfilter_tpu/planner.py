@@ -1,0 +1,164 @@
+"""Execution planner: the TPU-native replacement for the collective scheduler.
+
+The reference's scheduler (``lib/schedule.cpp``) applies Halide scheduling
+primitives to *sets* of generated functions selected by FunctionTag, with loop
+variables addressed by VarTag — because on a GPU the user must hand-place
+loops onto blocks/threads/registers. On TPU, XLA owns fusion and loop
+placement, so the planner's real decisions are different and fewer:
+
+  * tile width per dimension        (≙ split factors, ``lib/split.cpp:1850``)
+  * executor backend                (einsum matmul path, fused Pallas kernels,
+                                     or the lax.scan core)
+  * line-block size for kernels     (≙ warp/thread shaping,
+                                     ``lib/recfilter.cpp:825-853``)
+  * storage layout between passes   (≙ ``storage_layout``,
+                                     ``lib/schedule.cpp:835-913``)
+  * device mesh + sharding          (no reference analog — single-GPU there)
+
+``RecFilterSchedule`` keeps the reference's tag-addressed, chainable directive
+API (``lib/recfilter.h:516-566``) for source-level parity: every directive is
+recorded (replayable via ``print_schedule``, like
+``lib/recfilter.cpp:1034-1079``) and the ones with a real TPU meaning update
+the underlying :class:`Plan`; the rest are accepted as documented no-ops
+because XLA subsumes them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+from .spec import FilterSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class Plan:
+    """Static execution plan for a filter (hashable; jit-static)."""
+
+    backend: str = "auto"  # auto | einsum | pallas | scan | oracle
+    line_block: int = 256  # lines processed per kernel block (lane packing)
+    unroll: int = 1  # in-kernel unroll of the tile loop
+    mesh_axes: Tuple[str, ...] = ()  # e.g. ("data",) or ("data", "seq")
+    mesh_shape: Tuple[int, ...] = ()
+    data_axis: Optional[int] = None  # array axis sharded over "data"
+    seq_axis: Optional[int] = None  # array axis sharded over "seq" (scan dim)
+    interpret: bool = False  # pallas interpreter mode (CPU tests)
+
+    def with_(self, **kw) -> "Plan":
+        return dataclasses.replace(self, **kw)
+
+
+def resolve_backend(spec: FilterSpec, plan: Plan, platform: str) -> str:
+    """Pick the executor for ``auto``: Pallas fused kernels for tiled float
+    filters on TPU, the einsum/MXU path otherwise, lax.scan for integers."""
+    import jax.numpy as jnp
+
+    if plan.backend != "auto":
+        return plan.backend
+    if jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer):
+        return "scan"
+    if spec.tiled and platform == "tpu":
+        return "pallas"
+    if spec.tiled:
+        return "einsum"
+    return "scan"
+
+
+def default_tile_width(extent: int, platform: str) -> int:
+    """Auto tile width: the reference defaults to 32
+    (``lib/recfilter_utils.cpp:32-36``); 32 also matches one MXU-quarter tile
+    and keeps the carry chain matrix small ((w/32·k)² ≤ 384² at 4K)."""
+    t = 32
+    while t > 1 and extent % t and extent < t:
+        t //= 2
+    return max(min(t, extent), 1)
+
+
+class ScheduleVar:
+    """A tag-addressed loop variable handle (VarTag analog,
+    ``lib/recfilter_internals.h:31-44``)."""
+
+    def __init__(self, tag: str, index: Optional[int] = None):
+        self.tag = tag
+        self.index = index
+
+    def split_var(self) -> "ScheduleVar":
+        return ScheduleVar(self.tag + "_split", self.index)
+
+    def __repr__(self) -> str:
+        i = "" if self.index is None else f"({self.index})"
+        return f"{self.tag}{i}"
+
+
+class RecFilterSchedule:
+    """Chainable, recorded schedule over a set of stages selected by tag.
+
+    Parity object for ``RecFilterSchedule`` (``lib/recfilter.h:516-566``,
+    impl ``lib/schedule.cpp``). Directives that map to real TPU knobs mutate
+    the owner's Plan; all are recorded for ``print_schedule``.
+    """
+
+    def __init__(self, owner, selector: str):
+        self._owner = owner  # RecFilter
+        self._selector = selector  # "intra(1)" | "intra(2)" | "inter" | "full"
+        self._log: List[str] = []
+
+    # -- recording helper ---------------------------------------------------
+    def _rec(self, directive: str) -> "RecFilterSchedule":
+        self._log.append(directive)
+        self._owner._schedule_log.append(f"{self._selector}: {directive}")
+        return self
+
+    # -- directives with a real TPU mapping ---------------------------------
+    def compute_locally(self) -> "RecFilterSchedule":
+        """Stage in VMEM next to its consumer (≙ ``compute_at`` into
+        gpu_blocks, ``lib/schedule.cpp:219-293``): selects the fused Pallas
+        backend where intra-tile terms never touch HBM."""
+        if self._selector.startswith("intra"):
+            self._owner._plan = self._owner._plan.with_(backend="pallas")
+        return self._rec("compute_locally()")
+
+    def compute_globally(self) -> "RecFilterSchedule":
+        """Materialize the stage in HBM (≙ ``compute_root``,
+        ``lib/schedule.cpp:188-217``): the einsum backend's behavior."""
+        if self._selector.startswith("intra"):
+            self._owner._plan = self._owner._plan.with_(backend="einsum")
+        return self._rec("compute_globally()")
+
+    def unroll(self, var=None, factor: int = 0) -> "RecFilterSchedule":
+        if factor:
+            self._owner._plan = self._owner._plan.with_(unroll=factor)
+        return self._rec(f"unroll({var})")
+
+    def vectorize(self, var=None, width: int = 0) -> "RecFilterSchedule":
+        if width:
+            self._owner._plan = self._owner._plan.with_(line_block=width)
+        return self._rec(f"vectorize({var})")
+
+    def gpu_threads(self, *vars) -> "RecFilterSchedule":
+        return self._rec(f"gpu_threads{vars}")
+
+    def gpu_blocks(self, *vars) -> "RecFilterSchedule":
+        return self._rec(f"gpu_blocks{vars}")
+
+    def parallel(self, var=None, factor: int = 0) -> "RecFilterSchedule":
+        return self._rec(f"parallel({var})")
+
+    def split(self, var, factor: int) -> "RecFilterSchedule":
+        return self._rec(f"split({var}, {factor})")
+
+    def fuse(self, a, b) -> "RecFilterSchedule":
+        return self._rec(f"fuse({a}, {b})")
+
+    def reorder(self, *vars) -> "RecFilterSchedule":
+        return self._rec(f"reorder{vars}")
+
+    def reorder_storage(self, *vars) -> "RecFilterSchedule":
+        return self._rec(f"reorder_storage{vars}")
+
+    def storage_layout(self, *args) -> "RecFilterSchedule":
+        return self._rec(f"storage_layout{args}")
+
+    def __repr__(self) -> str:
+        body = "\n".join(f"    .{d}" for d in self._log)
+        return f"RecFilterSchedule[{self._selector}]\n{body}"
