@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Summed-area table benchmark (``apps/summed_table/summed_table.cpp``)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import recfilter_tpu as rf
+from recfilter_tpu.apps import summed_table
+from recfilter_tpu import scan_core
+
+
+def main():
+    args = rf.Arguments(description="summed-area table")
+    w = args.width or 4096
+    image = rf.generate_random_image(w, w)
+
+    F = summed_table(w, w, args.block)
+    if args.backend != "auto":
+        F.set_plan(backend=args.backend)
+    if not args.noschedule:
+        F.gpu_auto_schedule()
+
+    F.profile(args.iterations)
+
+    if not args.nocheck:
+        print("\nChecking difference ... ")
+        out = np.asarray(F.realize(image))
+        ref = scan_core.oracle_apply(F.spec, image)
+        print(rf.CheckResult(ref, out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Iterated box filters via IIR integral images (``apps/box/box_filter.h``).
+
+Order 1: summed-area table + 4-corner finite differencing
+(``box_filter.h:21-103``). Order 2: 2nd-order integral image cascaded per
+dimension, each followed by two finite-differencing passes
+(``box_filter.h:105-225``). Higher iterations compose these: 3 = 1∘2
+(``box_filter_3.cpp:37-41``), 6 = 2∘2∘2 (``box_filter_6.cpp:40-46``).
+
+The pointwise differencing stages — Halide Funcs scheduled by hand in the
+reference — are plain jnp expressions here; XLA fuses them into the
+surrounding kernels for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import RecFilter
+from ..iir import integral_image_coeff
+from ..spec import Dim
+
+
+def _take_clamped(f, idx, axis):
+    return jnp.take(f, jnp.clip(idx, 0, f.shape[axis] - 1), axis=axis)
+
+
+def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 32):
+    """One box iteration: SAT + 4-corner differencing (``box_filter.h:21-103``).
+
+    Returns (fn, sat_filter); ``fn(image)`` is jittable.
+    """
+    x = Dim("x", width)
+    y = Dim("y", height)
+    F = RecFilter("Box1_Sat")
+    F[y, x] = np.zeros((height, width), dtype=np.float32)
+    F.add_filter(x, [1.0, 1.0])
+    F.add_filter(y, [1.0, 1.0])
+    F.split(x, tile_width, y, tile_width)
+    sat = F.as_func()
+    norm = float((2 * B + 1) ** 2)
+
+    def fn(image):
+        f = sat(image)
+        xs = jnp.arange(width)
+        ys = jnp.arange(height)
+        # D(x,y) = [f(x+B, y+B) - f(x+B, y-B-1) + f(x-B-1, y-B-1)
+        #           - f(x-B-1, y+B)] / (2B+1)^2        (box_filter.h:36-39)
+        fp = _take_clamped(f, ys + B, 0)
+        fm = _take_clamped(f, ys - B - 1, 0)
+        d = (
+            _take_clamped(fp, xs + B, 1)
+            - _take_clamped(fm, xs + B, 1)
+            + _take_clamped(fm, xs - B - 1, 1)
+            - _take_clamped(fp, xs - B - 1, 1)
+        )
+        return d / norm
+
+    return fn, F
+
+
+def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 32):
+    """Two box iterations: 2nd-order integral image + double differencing per
+    dimension, cascaded x then y (``box_filter.h:105-225``).
+
+    Returns (fn, (sat_x, sat_y)).
+    """
+    x = Dim("x", width)
+    y = Dim("y", height)
+    coeff = integral_image_coeff(2)
+
+    sat_x = RecFilter("Box2_Satx")
+    sat_x[y, x] = np.zeros((height, width), dtype=np.float32)
+    sat_x.add_filter(+x, coeff)
+    sat_x.split_all_dimensions(tile_width)
+
+    sat_y = RecFilter("Box2_Saty")
+    sat_y[y, x] = np.zeros((height, width), dtype=np.float32)
+    sat_y.add_filter(+y, coeff)
+    sat_y.split_all_dimensions(tile_width)
+
+    fx = sat_x.as_func()
+    fy = sat_y.as_func()
+    norm = float(2 * B + 1)
+
+    def _diff(f, B, axis, extent):
+        idx = jnp.arange(extent)
+        return (
+            _take_clamped(f, idx + B, axis) - _take_clamped(f, idx - B - 1, axis)
+        ) / norm
+
+    def fn(image):
+        # x: 2nd-order integral then two differencing passes
+        # (box_filter.h:124-129)
+        a = fx(image)
+        a = _diff(a, B, 1, width)
+        a = _diff(a, B, 1, width)
+        # y: same along the other dimension (box_filter.h:132-139)
+        b = fy(a)
+        b = _diff(b, B, 0, height)
+        b = _diff(b, B, 0, height)
+        return b
+
+    return fn, (sat_x, sat_y)
+
+
+def box_filter_3(width: int, height: int, B: int, tile_width: int = 32):
+    """Three iterations = order-1 ∘ order-2 (``box_filter_3.cpp:37-41``)."""
+    f1, _ = box_filter_order_1(width, height, B, tile_width)
+    f2, _ = box_filter_order_2(width, height, B, tile_width)
+
+    def fn(image):
+        return f2(f1(image))
+
+    return fn
+
+
+def box_filter_6(width: int, height: int, B: int, tile_width: int = 32):
+    """Six iterations = order-2 ∘ order-2 ∘ order-2
+    (``box_filter_6.cpp:40-46``)."""
+    f2a, _ = box_filter_order_2(width, height, B, tile_width)
+
+    def fn(image):
+        return f2a(f2a(f2a(image)))
+
+    return fn
+
+
+def box_oracle(image: np.ndarray, B: int, iterations: int) -> np.ndarray:
+    """Brute-force iterated box blur with zero padding (test oracle)."""
+    img = np.asarray(image, dtype=np.float64)
+    norm = float((2 * B + 1) ** 2)
+    for _ in range(iterations):
+        h, w = img.shape
+        padded = np.zeros((h + 2 * B, w + 2 * B))
+        padded[B : B + h, B : B + w] = img
+        out = np.zeros_like(img)
+        for dy in range(-B, B + 1):
+            for dx in range(-B, B + 1):
+                out += padded[B + dy : B + dy + h, B + dx : B + dx + w]
+        img = out / norm
+    return img

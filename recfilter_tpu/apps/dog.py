@@ -1,0 +1,102 @@
+"""Difference of Gaussians via iterated box filters (``apps/DoG/diff_gauss.cpp``).
+
+Six-stage pipeline with dual-radius Tuple outputs carried as a stacked
+channel axis: cast → SAT → dual-radius box differencing → 2nd-order x
+integral + differencing → 2nd-order y integral + differencing → subtract
+(``diff_gauss.cpp:72-110``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import RecFilter
+from ..spec import Dim
+
+
+def _take_clamped(f, idx, axis):
+    return jnp.take(f, jnp.clip(idx, 0, f.shape[axis] - 1), axis=axis)
+
+
+def _diff_xy(f, B, width, height):
+    """4-corner SAT differencing at radius B (``diff_gauss.cpp:29-38``)."""
+    xs = jnp.arange(width)
+    ys = jnp.arange(height)
+    fp = _take_clamped(f, ys + B, 0)
+    fm = _take_clamped(f, ys - B - 1, 0)
+    return (
+        _take_clamped(fp, xs + B, 1)
+        - _take_clamped(fm, xs + B, 1)
+        + _take_clamped(fm, xs - B - 1, 1)
+        - _take_clamped(fp, xs - B - 1, 1)
+    ) / float((2 * B + 1) ** 2)
+
+
+def difference_of_gaussians(
+    width: int,
+    height: int,
+    B1: int = 5,
+    B2: int = 9,
+    tile_width: int = 32,
+):
+    """Return jittable ``fn(image_gray) -> DoG``.
+
+    Tuple outputs (dual radius) ride a leading channel axis of size 2 — the
+    channel-parallel analog of Halide Tuples (``diff_gauss.cpp:84-103``).
+    """
+    x = Dim("x", width)
+    y = Dim("y", height)
+
+    SAT = RecFilter("SAT")
+    SAT[y, x] = np.zeros((height, width), dtype=np.float32)
+    SAT.add_filter(+x, [1.0, 1.0])
+    SAT.add_filter(+y, [1.0, 1.0])
+    SAT.split_all_dimensions(tile_width)
+    sat = SAT.as_func()
+
+    c = Dim("c", 2)
+    SAT2x = RecFilter("SAT2x")
+    SAT2x[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
+    SAT2x.add_filter(+x, [1.0, 2.0, -1.0])
+    SAT2x.split(x, tile_width)
+    sat2x = SAT2x.as_func()
+
+    SAT2y = RecFilter("SAT2y")
+    SAT2y[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
+    SAT2y.add_filter(+y, [1.0, 2.0, -1.0])
+    SAT2y.split(y, tile_width)
+    sat2y = SAT2y.as_func()
+
+    def _diff2(f, B, axis, extent, norm):
+        idx = jnp.arange(extent)
+        return (
+            _take_clamped(f, idx + B, axis)
+            - _take_clamped(f, idx - B - 1, axis)
+        ) / norm
+
+    def fn(image):
+        v = image.astype(jnp.float32)
+        s = sat(v)
+        # dual-radius box from one SAT (Tuple output -> channel axis)
+        box1 = jnp.stack(
+            [_diff_xy(s, B1, width, height), _diff_xy(s, B2, width, height)]
+        )
+        s2x = sat2x(box1)
+        box2x = jnp.stack(
+            [
+                _diff2(_diff2(s2x[0], B1, 1, width, float(2 * B1 + 1)), B1, 1,
+                       width, float(2 * B1 + 1)),
+                _diff2(_diff2(s2x[1], B2, 1, width, float(2 * B2 + 1)), B2, 1,
+                       width, float(2 * B2 + 1)),
+            ]
+        )
+        s2y = sat2y(box2x)
+        g1 = _diff2(_diff2(s2y[0], B1, 0, height, float(2 * B1 + 1)), B1, 0,
+                    height, float(2 * B1 + 1))
+        g2 = _diff2(_diff2(s2y[1], B2, 0, height, float(2 * B2 + 1)), B2, 0,
+                    height, float(2 * B2 + 1))
+        return g1 - g2
+
+    return jax.jit(fn)

@@ -1,0 +1,201 @@
+"""Application integration tests — the analogs of running each reference app
+with its built-in oracle check at small sizes (SURVEY §4: apps double as
+integration tests)."""
+
+import numpy as np
+import pytest
+
+import recfilter_tpu as rf
+from recfilter_tpu import iir, scan_core
+from recfilter_tpu.apps import (
+    audio_filter_biquads,
+    audio_filter_high_order,
+    bicubic,
+    biquintic_cascaded,
+    biquintic_overlapped,
+    box,
+    box_filter_3,
+    box_filter_order_1,
+    box_filter_order_2,
+    difference_of_gaussians,
+    gaussian_1xy_2xy,
+    gaussian_3x_3y,
+    gaussian_3xy,
+    summed_table,
+    unsharp_mask,
+)
+from recfilter_tpu.apps.gaussian import run_cascade
+
+
+def test_summed_table_matches_oracle():
+    w = 32
+    F = summed_table(w, w, 8)
+    img = rf.generate_random_image(w, w)
+    out = np.asarray(F.realize(img))
+    ref = scan_core.oracle_apply(F.spec, img)
+    rf.CheckResult(ref, out)
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_box1_matches_brute_force():
+    w, B = 48, 3
+    fn, _ = box_filter_order_1(w, w, B, 8)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=1)
+    pad = B + 2
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    out = np.asarray(fn(img))
+    ref = box.box_oracle(img, B, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_box2_matches_brute_force():
+    w, B = 48, 3
+    fn, _ = box_filter_order_2(w, w, B, 8)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=2)
+    pad = 2 * (B + 1) + 1
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    out = np.asarray(fn(img))
+    ref = box.box_oracle(img, B, 2)
+    # The reference's 2nd-order formula is undefined in the zero-padded
+    # right/bottom margin (the 2nd-order integral keeps growing past the
+    # data and index clamping truncates it) — compare the valid region,
+    # as the reference's padding contract implies (box_filter.h:9-11).
+    v = slice(0, w - pad)
+    np.testing.assert_allclose(out[v, v], ref[v, v], rtol=1e-3, atol=1e-4)
+
+
+def test_box3_composes():
+    w, B = 48, 2
+    fn = box_filter_3(w, w, B, 8)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=3)
+    pad = 3 * (B + 1) + 1
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    out = np.asarray(fn(img))
+    ref = box.box_oracle(img, B, 3)
+    v = slice(0, w - pad)
+    np.testing.assert_allclose(out[v, v], ref[v, v], rtol=1e-3, atol=1e-4)
+
+
+def test_gaussian_3xy_matches_true_gaussian():
+    """Tiled 3rd-order recursive Gaussian ≈ true Gaussian convolution
+    (the reference's check via reference_gaussian, gaussian apps)."""
+    w, sigma = 48, 3.0
+    F = gaussian_3xy(w, w, 8, sigma)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=4)
+    out = np.asarray(F.realize(img))
+    ref = iir.reference_gaussian(img, sigma)
+    # recursive approximation: interior-pixel agreement to ~1%
+    interior = (slice(8, -8), slice(8, -8))
+    err = np.abs(out[interior] - ref[interior]).max()
+    assert err < 2e-2, f"max abs err {err}"
+
+
+def test_gaussian_cascade_variants_agree():
+    w, sigma = 32, 2.0
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=5)
+    out_3xy = np.asarray(gaussian_3xy(w, w, 8, sigma).realize(img))
+    out_3x3y = np.asarray(
+        run_cascade(gaussian_3x_3y(w, w, 8, sigma), img)
+    )
+    out_12 = np.asarray(run_cascade(gaussian_1xy_2xy(w, w, 8, sigma), img))
+    # 3xy and 3x_3y are algebraically identical (scan grouping commutes)
+    np.testing.assert_allclose(out_3x3y, out_3xy, rtol=1e-4, atol=1e-5)
+    # 1+2 cascade equals 3rd order (weights3 composition identity,
+    # lib/iir_coeff.cpp:150-159) — an interior identity: with clamped
+    # borders the two factorizations handle edges differently.
+    i = slice(6, -6)
+    np.testing.assert_allclose(
+        out_12[i, i], out_3xy[i, i], rtol=1e-2, atol=1e-3
+    )
+
+
+def test_bicubic_matches_oracle():
+    w = 32
+    F = bicubic(w, w, 8)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=6)
+    out = np.asarray(F.realize(img))
+    ref = scan_core.oracle_apply(F.spec, img)
+    np.testing.assert_allclose(out, ref.astype(np.float32), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_biquintic_variants_agree():
+    w = 32
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=7)
+    out_o = np.asarray(biquintic_overlapped(w, w, 8).realize(img))
+    fc = biquintic_cascaded(w, w, 8)
+    out_c = img
+    for f in fc:
+        out_c = f.realize(out_c)
+    np.testing.assert_allclose(np.asarray(out_c), out_o, rtol=1e-3, atol=1e-4)
+    ref = scan_core.oracle_apply(
+        biquintic_overlapped(w, w, 8).spec, img
+    )
+    np.testing.assert_allclose(out_o, ref.astype(np.float32), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_unsharp_mask():
+    w = 32
+    fn = unsharp_mask(w, w, 8, sigma=2.0, weight=1.0)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=8)
+    out = np.asarray(fn(img))
+    # oracle: (1+w)I - w*blur
+    fc = gaussian_3x_3y(w, w, 8, 2.0)
+    blur = img.astype(np.float64)
+    for f in fc:
+        blur = scan_core.oracle_apply(f.spec, blur)
+    ref = 2.0 * img - blur
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_dog_runs_and_is_finite():
+    w = 64
+    fn = difference_of_gaussians(w, w, B1=2, B2=4, tile_width=8)
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=9)
+    pad = 11
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    out = np.asarray(fn(img))
+    assert out.shape == (w, w)
+    assert np.isfinite(out).all()
+    # DoG of a zero image is zero
+    assert np.abs(np.asarray(fn(np.zeros_like(img)))).max() == 0.0
+
+
+def test_audio_high_order_tiled_equals_nontiled():
+    n, order = 5000, 5
+    img = rf.generate_random_image(n, lo=0, hi=1, seed=10)
+    coeff = [1.0] + [0.01] * order
+    Ft = audio_filter_high_order(n, order, 100, tiled=True, coeff=coeff)
+    Fn = audio_filter_high_order(n, order, 100, tiled=False, coeff=coeff)
+    out_t = np.asarray(Ft.realize(img))
+    out_n = np.asarray(Fn.realize(img))
+    np.testing.assert_allclose(out_t, out_n, rtol=1e-4, atol=1e-5)
+
+
+def test_audio_biquads_overlap_equals_cascade():
+    """Overlapped n-biquad filter == running the biquad n times
+    (the overlap_feedback_coeff identity, audio_filter_biquads.cpp)."""
+    n, nb = 2000, 3
+    img = rf.generate_random_image(n, lo=0, hi=1, seed=11)
+    F = audio_filter_biquads(n, nb, 100, overlapped=True)
+    out = np.asarray(F.realize(img))
+
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    one = FilterSpec(
+        "bq", (Dim("x", n),), (Scan(0, True, 1.0, (0.01, 0.01)),)
+    )
+    ref = img.astype(np.float64)
+    for _ in range(nb):
+        ref = scan_core.oracle_apply(one, ref)
+    np.testing.assert_allclose(out, ref.astype(np.float32), rtol=1e-3,
+                               atol=1e-4)

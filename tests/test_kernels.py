@@ -1,0 +1,139 @@
+"""Fused Pallas dimension-pass kernels vs the oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from recfilter_tpu import scan_core
+from recfilter_tpu.kernels import fused
+from recfilter_tpu.planner import Plan
+from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+PLAN = Plan(backend="pallas", interpret=True)
+
+
+def _img(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def _check(spec, img, rtol=1e-4, atol=1e-4):
+    got = np.asarray(fused.apply_filter(spec, PLAN, img))
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+def test_row_pass_single_causal():
+    spec = FilterSpec(
+        "K1", (Dim("y", 8), Dim("x", 16)),
+        (Scan(1, True, 1.0, (0.5, 0.25)),), tile_widths=(0, 4),
+    )
+    _check(spec, _img(8, 16, seed=0))
+
+
+def test_row_pass_causal_anticausal_third_order():
+    spec = FilterSpec(
+        "K2", (Dim("y", 8), Dim("x", 16)),
+        (
+            Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+            Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+        ),
+        tile_widths=(0, 4),
+    )
+    _check(spec, _img(8, 16, seed=1))
+
+
+def test_col_pass_single_causal():
+    spec = FilterSpec(
+        "K3", (Dim("y", 16), Dim("x", 8)),
+        (Scan(0, True, 1.0, (0.5, 0.25)),), tile_widths=(4, 0),
+    )
+    _check(spec, _img(16, 8, seed=2))
+
+
+def test_col_pass_causal_anticausal():
+    spec = FilterSpec(
+        "K4", (Dim("y", 16), Dim("x", 8)),
+        (
+            Scan(0, True, 1.0, (0.5, 0.25)),
+            Scan(0, False, 1.0, (0.4, 0.2)),
+        ),
+        tile_widths=(4, 0),
+    )
+    _check(spec, _img(16, 8, seed=3))
+
+
+def test_2d_sat():
+    spec = FilterSpec(
+        "SAT", (Dim("y", 16), Dim("x", 16)),
+        (Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))),
+        tile_widths=(4, 4),
+    )
+    img = np.ones((16, 16), dtype=np.float32)
+    _check(spec, img, rtol=1e-5)
+
+
+def test_2d_gaussian_shape_clamped():
+    from recfilter_tpu import iir
+
+    w = iir.gaussian_weights(1.5, 3)
+    spec = FilterSpec(
+        "G", (Dim("y", 24), Dim("x", 24)),
+        (
+            Scan(1, True, w[0], tuple(w[1:])),
+            Scan(1, False, w[0], tuple(w[1:])),
+            Scan(0, True, w[0], tuple(w[1:])),
+            Scan(0, False, w[0], tuple(w[1:])),
+        ),
+        border=BorderMode.CLAMP,
+        tile_widths=(8, 8),
+    )
+    _check(spec, _img(24, 24, seed=4), rtol=1e-3)
+
+
+def test_non_dividing_zero_border():
+    spec = FilterSpec(
+        "ND", (Dim("y", 6), Dim("x", 19)),
+        (
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(1, False, 1.0, (0.4,)),
+        ),
+        tile_widths=(0, 5),
+    )
+    _check(spec, _img(6, 19, seed=5))
+
+
+def test_non_dividing_clamp_falls_back():
+    spec = FilterSpec(
+        "NDC", (Dim("y", 6), Dim("x", 19)),
+        (Scan(1, False, 1.0, (0.5,)),),
+        border=BorderMode.CLAMP,
+        tile_widths=(0, 5),
+    )
+    _check(spec, _img(6, 19, seed=6))
+
+
+def test_3d_middle_axis():
+    spec = FilterSpec(
+        "M", (Dim("b", 3), Dim("y", 12), Dim("x", 8)),
+        (Scan(1, True, 1.0, (0.5, 0.25)), Scan(1, False, 1.0, (0.3,))),
+        tile_widths=(0, 4, 0),
+    )
+    _check(spec, _img(3, 12, 8, seed=7))
+
+
+def test_matches_einsum_backend():
+    from recfilter_tpu import tiling
+
+    spec = FilterSpec(
+        "X", (Dim("y", 16), Dim("x", 16)),
+        (
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(0, True, 1.0, (0.4, 0.1)),
+            Scan(0, False, 1.0, (0.3,)),
+        ),
+        tile_widths=(4, 4),
+    )
+    img = _img(16, 16, seed=8)
+    got = np.asarray(fused.apply_filter(spec, PLAN, img))
+    want = np.asarray(tiling.apply_filter(spec, img))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
