@@ -7,6 +7,10 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from recfilter_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import recfilter_tpu as rf
 from recfilter_tpu.apps import difference_of_gaussians
 from recfilter_tpu.utils import timing

@@ -9,6 +9,10 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from recfilter_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import recfilter_tpu as rf
 from recfilter_tpu import scan_core
 from recfilter_tpu.apps import gaussian as G

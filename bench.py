@@ -9,8 +9,12 @@ is the fraction of the HBM-bandwidth roofline achieved: the fused executor
 needs 2 HBM touches per pixel per dimension pass (2 passes, f32) = 16
 bytes/pixel; v5e HBM ≈ 819 GB/s → roofline ≈ 51.2 Gpix/s.
 
-Extra context (per-app numbers, MiP/s in the reference's unit) goes to
-stderr; stdout carries only the JSON line.
+Timing methodology: host wall-clock over a remote/tunneled TPU is unreliable
+(dispatch may be lazy; fetches carry RPC latency), so iterations run INSIDE
+one jitted ``lax.fori_loop`` chaining each output into the next input, a
+scalar reduction is fetched to force execution, and the per-iteration time is
+the SLOPE between two iteration counts — tunnel constants cancel. Validated
+against an MXU matmul of known FLOPs (within 80% of peak).
 """
 
 import json
@@ -20,16 +24,8 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def _build_filter(h, w, sigma=5.0, tile=32):
     import recfilter_tpu as rf
-    from recfilter_tpu.utils import timing
-
-    h = w = 4096
-    sigma = 5.0
-    iters = 20
 
     wts = rf.gaussian_weights(sigma, 3)
     x = rf.Dim("x", w)
@@ -40,26 +36,53 @@ def main():
     F.add_filter(-x, wts)
     F.add_filter(+y, wts)
     F.add_filter(-y, wts)
-    F.split(x, 32, y, 32)
+    F.split(x, tile, y, tile)
+    return F
 
-    fn = jax.jit(F.as_func())
+
+def timed_iters(fn, img, iters):
+    """ms for `iters` chained applications of fn, forced by a scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        def body(i, v):
+            return fn(v)
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return out[0, 0] + out[-1, -1]
+
+    float(loop(img))  # warm up + compile
+    t0 = time.perf_counter()
+    s = float(loop(img))
+    dt = (time.perf_counter() - t0) * 1000.0
+    assert np.isfinite(s), "benchmark produced non-finite output"
+    return dt
+
+
+def slope_ms_per_iter(fn, img, n1=2, n2=12):
+    t1 = timed_iters(fn, img, n1)
+    t2 = timed_iters(fn, img, n2)
+    return max((t2 - t1) / (n2 - n1), 1e-6)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from recfilter_tpu.utils import timing
+
+    h = w = 4096
+    F = _build_filter(h, w)
+    fn = F.as_func()
     img = jnp.asarray(
-        np.random.default_rng(0).standard_normal((h, w)), dtype=jnp.float32
+        np.random.default_rng(0).standard_normal((h, w)) * 0.01,
+        dtype=jnp.float32,
     )
 
-    # Warm up (compile), then time. Chain each iteration's output into the
-    # next input so no caching/overlap layer can elide or parallelize the
-    # iterations (the recursive Gaussian has ~unit DC gain, so values stay
-    # bounded).
-    jax.block_until_ready(fn(img))
-    t0 = time.perf_counter()
-    out = img
-    for _ in range(iters):
-        out = fn(out)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) * 1000.0
-
-    pixels = h * w * iters
+    ms = slope_ms_per_iter(fn, img)
+    pixels = h * w
     mpix_s = timing.mpix_per_sec(ms, pixels)
     mip_s = timing.throughput(ms, pixels)
 
@@ -70,7 +93,7 @@ def main():
 
     print(
         f"[bench] platform={jax.default_backend()} {h}x{w} gaussian3 "
-        f"{ms/iters:.3f} ms/iter  {mpix_s:.1f} Mpix/s ({mip_s:.1f} MiP/s)  "
+        f"{ms:.3f} ms/iter  {mpix_s:.1f} Mpix/s ({mip_s:.1f} MiP/s)  "
         f"roofline {roofline_mpix_s:.0f} Mpix/s",
         file=sys.stderr,
     )

@@ -29,6 +29,16 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+USE_NATIVE = True  # prefer the C++ host library when built
+
+
+def _native():
+    if not USE_NATIVE:
+        return None
+    from .utils import native
+
+    return native if native.available() else None
+
 
 def impulse_matrix(
     feedfwd: float,
@@ -45,6 +55,9 @@ def impulse_matrix(
     (``lib/coefficients.cpp:8-49``) and the first/last-tile-only clamping in
     ``lib/split.cpp:625-654``.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.impulse_matrix(feedfwd, feedback, tile_width, clamp_border)
     a = np.asarray(feedback, dtype=np.float64)
     k = a.shape[0]
     T = int(tile_width)
@@ -85,6 +98,9 @@ def state_matrix(
     Feedforward does not apply to state contributions (state enters through
     the feedback taps only), matching the reference.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.state_matrix(feedback, tile_width)
     a = np.asarray(feedback, dtype=np.float64)
     k = a.shape[0]
     T = int(tile_width)
@@ -139,6 +155,9 @@ def antidiagonal(size: int) -> np.ndarray:
 def _carry_chain_cached(
     feedback: Tuple[float, ...], tile_width: int, num_tiles: int, prev: bool
 ) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        return nat.carry_chain_matrix(feedback, tile_width, num_tiles, prev)
     k = len(feedback)
     n = int(num_tiles)
     W = tail_weight_matrix(feedback, tile_width)
