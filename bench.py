@@ -40,30 +40,38 @@ def _build_filter(h, w, sigma=5.0, tile=32):
     return F
 
 
-def timed_iters(fn, img, iters):
-    """ms for `iters` chained applications of fn, forced by a scalar fetch."""
+def make_loop(fn):
+    """One jitted chained-iteration loop; the trip count is a traced argument
+    so a single (slow, remote) compile serves every measurement point."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
-    def loop(x):
+    def loop(x, n):
         def body(i, v):
             return fn(v)
 
-        out = jax.lax.fori_loop(0, iters, body, x)
+        out = jax.lax.fori_loop(0, n, body, x)
         return out[0, 0] + out[-1, -1]
 
-    float(loop(img))  # warm up + compile
-    t0 = time.perf_counter()
-    s = float(loop(img))
-    dt = (time.perf_counter() - t0) * 1000.0
-    assert np.isfinite(s), "benchmark produced non-finite output"
-    return dt
+    return loop
 
 
 def slope_ms_per_iter(fn, img, n1=2, n2=12):
-    t1 = timed_iters(fn, img, n1)
-    t2 = timed_iters(fn, img, n2)
+    """ms per application of fn, from the slope between two trip counts
+    (tunnel dispatch/fetch constants cancel)."""
+    import jax.numpy as jnp
+
+    loop = make_loop(fn)
+    float(loop(img, jnp.int32(1)))  # warm up + compile
+
+    def timed(n):
+        t0 = time.perf_counter()
+        s = float(loop(img, jnp.int32(n)))
+        dt = (time.perf_counter() - t0) * 1000.0
+        assert np.isfinite(s), "benchmark produced non-finite output"
+        return dt
+
+    t1, t2 = timed(n1), timed(n2)
     return max((t2 - t1) / (n2 - n1), 1e-6)
 
 
