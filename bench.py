@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _build_filter(h, w, sigma=5.0, tile=32):
+def _build_filter(h, w, sigma=5.0, tile=64):
     import recfilter_tpu as rf
 
     wts = rf.gaussian_weights(sigma, 3)
@@ -56,9 +56,13 @@ def make_loop(fn):
     return loop
 
 
-def slope_ms_per_iter(fn, img, n1=2, n2=12):
+def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3):
     """ms per application of fn, from the slope between two trip counts
-    (tunnel dispatch/fetch constants cancel)."""
+    (tunnel dispatch/fetch constants cancel).
+
+    The trip-count spread is sized so the extra device time dwarfs RPC
+    jitter (≥ ``min_window_ms``), and the median of ``repeats`` slopes is
+    returned."""
     import jax.numpy as jnp
 
     loop = make_loop(fn)
@@ -71,8 +75,14 @@ def slope_ms_per_iter(fn, img, n1=2, n2=12):
         assert np.isfinite(s), "benchmark produced non-finite output"
         return dt
 
-    t1, t2 = timed(n1), timed(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-6)
+    # Rough estimate to size the window.
+    rough = max((timed(64) - timed(2)) / 62.0, 1e-4)
+    spread = int(min(max(min_window_ms / rough, 50), 20000))
+    slopes = []
+    for _ in range(repeats):
+        t1, t2 = timed(2), timed(2 + spread)
+        slopes.append((t2 - t1) / spread)
+    return max(float(np.median(slopes)), 1e-6)
 
 
 def main():
@@ -82,7 +92,7 @@ def main():
     from recfilter_tpu.utils import timing
 
     h = w = 4096
-    F = _build_filter(h, w)
+    F = _build_filter(h, w, tile=64)
     fn = F.as_func()
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((h, w)) * 0.01,

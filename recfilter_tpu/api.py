@@ -187,6 +187,10 @@ class RecFilter:
             except ImportError:
                 backend = "einsum"
         if backend == "einsum":
+            from . import dimfuse
+
+            return lambda x: dimfuse.apply_filter_fused(spec, x)
+        if backend == "blocked":
             return lambda x: tiling.apply_filter(spec, x)
         raise ValueError(f"unknown backend {backend}")
 
@@ -363,6 +367,32 @@ class RecFilter:
         global _vectorization_width
         assert n > 0 and (n & (n - 1)) == 0 and n <= 64
         _vectorization_width = n
+
+    def apply_bounds(self):
+        """Parity shim for ``RecFilter::apply_bounds``
+        (``lib/recfilter.cpp``): Halide needs explicit output bounds before
+        fusing pipelines; JAX shapes are static by construction, so this is
+        a recorded no-op."""
+        self._schedule_log.append("apply_bounds()")
+        return self
+
+    def compute_at(self, consumer: Callable, level=None):
+        """Fuse this filter into a consumer stage — parity for
+        ``RecFilter::compute_at`` (``lib/recfilter.cpp:507-573``), which the
+        USM app uses to merge the blur's last kernel into the pointwise
+        unsharp mask (``apps/usm/unsharp_mask_optimized.cpp:61-71``).
+
+        On TPU the same fusion is achieved by composing inside one jit: XLA
+        fuses the elementwise consumer into the producer's final kernel.
+        Returns the fused jittable ``fn(input) -> consumer(filter(input))``.
+        """
+        self._schedule_log.append(f"compute_at({getattr(consumer, '__name__', 'consumer')})")
+        producer = self.as_func()
+
+        def fused(x):
+            return consumer(producer(x))
+
+        return jax.jit(fused)
 
     # ------------------------------------------------------- reorder/cascade
     def cascade(self, *scan_groups) -> List["RecFilter"]:

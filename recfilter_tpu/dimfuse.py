@@ -1,0 +1,337 @@
+"""Fused per-dimension executor: all scans of a dimension in 3 HBM touches.
+
+This is the TPU generalization of the reference's 3-phase tiled execution
+(intra kernels → sequential CTail kernel → final kernel,
+``lib/recfilter.cpp:991-1016``), extended to ANY number of same-dimension
+scans of mixed causality in a FIXED number of passes — the role of the
+reference's hardest code, the cross-scan tail-dependency algebra
+(``create_tail_residual_term`` ``lib/split.cpp:912-1004`` and
+``add_prev_dimension_residual_to_tails`` ``:1215-1633``) — but derived as
+plain matrix identities instead of IR rewrites:
+
+Per tile t (natural orientation; anticausal scans carry anti-diagonal
+transforms J·B·J, J·R baked into their matrices host-side):
+
+    y⁰ = x_t
+    yⁱ = B_i y^{i-1} + RN_i Nⁱ_t                   (scan i completion)
+
+with Nⁱ the solved incoming carries. Expanding:
+
+    yⁱ = Btot_i x_t + Σ_{j≤i} Rhat_{i,j} Nʲ_t
+    bⁱ_t = G_i x_t + Σ_{j<i} H_{i,j} Nʲ_t          (local tails of scan i)
+
+    Btot_i   = B_i···B_1
+    Rhat_{i,j} = (B_i···B_{j+1}) RN_j,  Rhat_{i,i} = RN_i
+    G_i      = Sel_iᵀ Btot_i
+    H_{i,j}  = Sel_iᵀ B_i Rhat_{i-1,j}
+
+and Nⁱ = CM_i · stack(bⁱ) solves each scan's cross-tile recurrence with one
+small precomputed block-Toeplitz matmul. Execution per dimension:
+
+    pass A (parallel einsum): read X → all bⁱ (tiny, K/T of the data)
+    solve   (tiny matmuls):   Nⁱ, sequenced over scans only (m ≤ 4)
+    pass B (parallel einsum): read X → Y via one fused (T, T+Σk) matmul
+
+No sequential device code, no latency chains — every large op is an
+independent batched MXU matmul. Clamped borders change the matrices of the
+globally-first/last tile only (``lib/split.cpp:625-654``); those tiles get
+per-tile matrix variants, selected by a static index stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import coeffs
+from .spec import BorderMode, FilterSpec, Scan
+
+
+# ---------------------------------------------------------------------------
+# Host-side matrix preparation
+# ---------------------------------------------------------------------------
+
+
+def _scan_base_mats(s: Scan, T: int, clamp: bool):
+    """Direction-transformed (natural orientation) per-scan matrices."""
+    k = s.order
+    B = coeffs.impulse_matrix(s.feedfwd, s.feedback, T)
+    Bf = (
+        coeffs.impulse_matrix(s.feedfwd, s.feedback, T, clamp_border=True)
+        if clamp
+        else B
+    )
+    R = coeffs.state_matrix(s.feedback, T)
+    Jk = coeffs.antidiagonal(k)
+    Sel = np.zeros((T, k))
+    if s.causal:
+        RN = R @ Jk  # corr from natural (ascending last-k) prev carry
+        for j in range(k):
+            Sel[T - k + j, j] = 1.0
+    else:
+        B = B[::-1, ::-1].copy()
+        Bf = Bf[::-1, ::-1].copy()
+        RN = R[::-1, :]
+        for j in range(k):
+            Sel[j, j] = 1.0
+    return B, Bf, RN, Sel
+
+
+def _chain_matrix(s: Scan, T: int, n: int) -> np.ndarray:
+    """CM (n·k × n·k): stacked natural local tails b → stacked natural
+    incoming vectors N (corr_t = RN · N_t). Direction folded in."""
+    k = s.order
+    W = coeffs.tail_weight_matrix(s.feedback, T)
+    Jk = coeffs.antidiagonal(k)
+    powers = [np.eye(k)]
+    for _ in range(n):
+        powers.append(W @ powers[-1])
+    C = np.zeros((n, k, n, k))
+    for t in range(n):
+        if s.causal:
+            for i in range(t):
+                C[t, :, i, :] = Jk @ powers[t - 1 - i] @ Jk
+        else:
+            for i in range(t + 1, n):
+                C[t, :, i, :] = powers[i - 1 - t]
+    return C.reshape(n * k, n * k)
+
+
+@dataclasses.dataclass
+class DimPassMats:
+    """Per-dimension fused-pass matrices (numpy, trace-time constants).
+
+    ``G[i]`` is (n, k_i, T); ``H[i][j]`` is (n, k_i, k_j); ``CM[i]`` is
+    (n·k_i, n·k_i); ``Btot`` is (n, T, T); ``Rhat[j]`` is (n, T, k_j).
+    The ``n`` axis carries the edge-tile variants (clamp); for zero borders
+    every tile is identical and the n axis is collapsed to 1.
+    """
+
+    orders: List[int]
+    G: List[np.ndarray]
+    H: List[List[np.ndarray]]
+    CM: List[np.ndarray]
+    Btot: np.ndarray
+    Rhat: List[np.ndarray]
+    uniform: bool  # True → n axis collapsed (no per-tile variants)
+
+
+def prepare_dim_pass(
+    scans: Sequence[Scan], T: int, n: int, clamp: bool, pad_slots: int = 0
+) -> DimPassMats:
+    m = len(scans)
+    base = [_scan_base_mats(s, T, clamp) for s in scans]
+
+    # Pad projector for the last tile: ``pad_slots`` trailing positions are
+    # zero padding, and a causal scan propagates real values into them — a
+    # later scan must see zeros there (the zero-border contract). Replacing
+    # B with B·Z for the last tile zeroes those slots algebraically between
+    # scans; on the raw input x the pad is genuinely zero, so the extra Z
+    # before B_1 is harmless.
+    Z = np.eye(T)
+    if pad_slots:
+        Z[np.arange(T - pad_slots, T), np.arange(T - pad_slots, T)] = 0.0
+
+    # Distinct tile variants: interior, first, last (first==last when n==1).
+    def mats_for_tile(t: int):
+        out = []
+        for s, (B, Bf, RN, Sel) in zip(scans, base):
+            edge = (t == 0) if s.causal else (t == n - 1)
+            Bt = Bf if (clamp and edge) else B
+            if pad_slots and t == n - 1:
+                Bt = Bt @ Z
+            out.append((Bt, RN, Sel))
+        return out
+
+    # Representative tile indices to build: interior (a middle tile when one
+    # exists) plus the tiles whose matrices differ — globally-first/last for
+    # clamp (lib/split.cpp:625-654), last for padding.
+    if not clamp and not pad_slots:
+        tiles = [0]
+    else:
+        special = set()
+        if clamp:
+            special |= {0, n - 1}
+        if pad_slots:
+            special.add(n - 1)
+        interior = {t for t in range(n) if t not in special}
+        tiles = sorted(special | ({min(interior)} if interior else set()))
+
+    per_tile = {t: mats_for_tile(t) for t in tiles}
+
+    def build(tile_mats):
+        Btot_i = [None] * m
+        Rhat_i = [[None] * m for _ in range(m)]
+        G = [None] * m
+        H = [[None] * m for _ in range(m)]
+        acc = np.eye(T)
+        for i, (B, RN, Sel) in enumerate(tile_mats):
+            for j in range(i):
+                Rhat_i[i][j] = B @ Rhat_i[i - 1][j]
+            Rhat_i[i][i] = RN
+            acc = B @ acc
+            Btot_i[i] = acc
+            G[i] = Sel.T @ acc
+            for j in range(i):
+                H[i][j] = Sel.T @ (B @ Rhat_i[i - 1][j])
+        return G, H, Btot_i[m - 1], Rhat_i[m - 1]
+
+    built = {t: build(mats) for t, mats in per_tile.items()}
+
+    uniform = not clamp and not pad_slots
+    if uniform:
+        G1, H1, Btot1, Rhat1 = built[0]
+        return DimPassMats(
+            orders=[s.order for s in scans],
+            G=[g[None] for g in G1],
+            H=[[h[None] if h is not None else None for h in row] for row in H1],
+            CM=[_chain_matrix(s, T, n) for s in scans],
+            Btot=Btot1[None],
+            Rhat=[r[None] for r in Rhat1],
+            uniform=True,
+        )
+
+    interior_reps = [t for t in tiles if t not in (0, n - 1)] or [tiles[0]]
+    interior_t = interior_reps[0]
+
+    def stack(select):
+        rows = []
+        for t in range(n):
+            key = t if t in built else interior_t
+            rows.append(select(built[key]))
+        return np.stack(rows)
+
+    G = [stack(lambda b, i=i: b[0][i]) for i in range(m)]
+    H = [
+        [
+            (stack(lambda b, i=i, j=j: b[1][i][j]) if j < i else None)
+            for j in range(m)
+        ]
+        for i in range(m)
+    ]
+    Btot = stack(lambda b: b[2])
+    Rhat = [stack(lambda b, j=j: b[3][j]) for j in range(m)]
+    return DimPassMats(
+        orders=[s.order for s in scans],
+        G=G,
+        H=H,
+        CM=[_chain_matrix(s, T, n) for s in scans],
+        Btot=Btot,
+        Rhat=Rhat,
+        uniform=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side passes
+# ---------------------------------------------------------------------------
+
+
+def fused_dim_pass(
+    x,
+    axis: int,
+    scans: Sequence[Scan],
+    tile_width: int,
+    border: str = BorderMode.ZERO,
+    compute_dtype=jnp.float32,
+):
+    """Apply all ``scans`` (same dimension) to ``x`` along ``axis``."""
+    clamp = border == BorderMode.CLAMP
+    w = x.shape[axis]
+    T = int(min(tile_width, w))
+    n = -(-w // T)
+    pad = n * T - w
+
+    # Zero padding at the end is exact for ZERO borders in both directions.
+    # For CLAMP the globally-last tile's matrices assume the edge sits at
+    # the tile's end, so clamp requires T | w; fall back to a divisor.
+    if clamp and pad:
+        for cand in range(T, 0, -1):
+            if w % cand == 0:
+                T, n, pad = cand, w // cand, 0
+                break
+
+    mats = prepare_dim_pass(scans, T, n, clamp, pad_slots=pad)
+    m = len(scans)
+    cdt = compute_dtype
+
+    if pad:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, pad)
+        x = jnp.pad(x, pads)
+
+    shape = x.shape
+    split = shape[:axis] + (n, T) + shape[axis + 1 :]
+    lead = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    trail = (
+        int(np.prod(shape[axis + 1 :], dtype=np.int64))
+        if axis + 1 < len(shape)
+        else 1
+    )
+    X = x.reshape(lead, n, T, trail).astype(cdt)
+
+    def em(M):  # matrix constant in compute dtype
+        return jnp.asarray(M, dtype=cdt)
+
+    def tile_mat_apply(Mstack, V, vdim_in):
+        """einsum over the tile axis: Mstack (n|1, out, in) × V (a,n,in,b)."""
+        M = em(Mstack)
+        if M.shape[0] == 1:
+            # all tiles share one matrix — plain (out,in) contraction
+            return jnp.einsum(
+                "os,ansb->anob", M[0], V, preferred_element_type=cdt
+            )
+        return jnp.einsum("nos,ansb->anob", M, V, preferred_element_type=cdt)
+
+    # --- pass A: all local tails ------------------------------------------
+    N = [None] * m
+    for i in range(m):
+        b = tile_mat_apply(mats.G[i], X, T)  # (a, n, k_i, b)
+        for j in range(i):
+            b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
+        # --- chain solve: one small block-Toeplitz matmul -----------------
+        k = mats.orders[i]
+        bl = jnp.moveaxis(b, 3, 1).reshape(lead * trail, n * k)
+        Ni = bl @ em(mats.CM[i]).T
+        N[i] = jnp.moveaxis(
+            Ni.reshape(lead, trail, n, k), 1, 3
+        )  # (a, n, k, b)
+
+    # --- pass B: fused completion -----------------------------------------
+    Y = tile_mat_apply(mats.Btot, X, T)
+    for j in range(m):
+        Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
+
+    y = Y.reshape(lead, n * T, trail).reshape(
+        shape[:axis] + (n * T,) + shape[axis + 1 :]
+    )
+    if pad:
+        y = jax.lax.slice_in_dim(y, 0, w, axis=axis)
+    return y
+
+
+def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32):
+    """Whole-filter executor: one fused pass per scanned dimension."""
+    from . import scan_core
+
+    dtype = jnp.dtype(spec.dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return scan_core.apply_filter(spec, x)
+    cdt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    x = x.astype(cdt)
+    tiles = spec.tile_widths or (0,) * spec.ndim
+    for axis, ids in spec.scans_by_axis().items():
+        T = tiles[axis] or tile_default
+        x = fused_dim_pass(
+            x,
+            axis,
+            [spec.scans[i] for i in ids],
+            T,
+            spec.border,
+            compute_dtype=cdt,
+        )
+    return x.astype(dtype)

@@ -113,22 +113,20 @@ def _seq_scan_local(y_loc, axis, scan, seg_width, num_devices, axis_name):
 
 def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret):
     """Device-local dimension pass with the chosen backend."""
-    from .. import scan_core, tiling
+    from .. import dimfuse, scan_core
     from ..kernels import fused
 
     if backend == "pallas":
         return fused.apply_dim(x, spec, axis, scan_ids, tile_width, interpret)
+    if backend == "einsum" and tile_width:
+        return dimfuse.fused_dim_pass(
+            x, axis, [spec.scans[i] for i in scan_ids], tile_width, spec.border
+        )
     for i in scan_ids:
         s = spec.scans[i]
-        if backend == "einsum" and tile_width:
-            x = tiling.tiled_apply_scan(
-                x, s.axis, s.causal, s.feedfwd, s.feedback, tile_width,
-                spec.border,
-            )
-        else:
-            x = scan_core.apply_scan(
-                x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
-            )
+        x = scan_core.apply_scan(
+            x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
+        )
     return x
 
 

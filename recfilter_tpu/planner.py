@@ -57,20 +57,22 @@ def resolve_backend(spec: FilterSpec, plan: Plan, platform: str) -> str:
         return plan.backend
     if jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer):
         return "scan"
-    if spec.tiled and platform == "tpu":
-        return "pallas"
     if spec.tiled:
+        # The fused per-dimension einsum path (dimfuse) has no sequential
+        # device code at all and measures faster than the strip-resident
+        # Pallas kernels (whose in-VMEM tile loop is a dependent-matmul
+        # latency chain); it is the default everywhere. "pallas" remains
+        # selectable via Plan/compute_locally.
         return "einsum"
     return "scan"
 
 
 def default_tile_width(extent: int, platform: str) -> int:
-    """Auto tile width: the reference defaults to 32
-    (``lib/recfilter_utils.cpp:32-36``); 32 also matches one MXU-quarter tile
-    and keeps the carry chain matrix small ((w/32·k)² ≤ 384² at 4K)."""
-    t = 32
-    while t > 1 and extent % t and extent < t:
-        t //= 2
+    """Auto tile width. The reference defaults to 32
+    (``lib/recfilter_utils.cpp:32-36``); on TPU the fused-dimension einsum
+    path measures fastest at 64 (balances the T-wide impulse matmul against
+    the n·k-wide carry-chain matmul)."""
+    t = 64 if platform == "tpu" else 32
     return max(min(t, extent), 1)
 
 

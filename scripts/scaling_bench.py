@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: samples/s at mesh sizes 1..N.
+
+BASELINE.md target: ≥85% samples/s scaling efficiency at N hosts. With one
+physical chip in this environment, the harness runs on the virtual CPU mesh
+by default (RECFILTER_PLATFORM=cpu RECFILTER_CPU_DEVICES=8) to exercise the
+real sharded program; on a pod slice the same script measures real scaling.
+
+Methodology: batch of images data-parallel over the mesh (+ optional seq
+sharding of the scan dim), slope-timed inside one jit.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recfilter_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", "-w", type=int, default=512)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=1,
+                   help="sequence-parallel factor over the scan dim")
+    ns = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recfilter_tpu import iir
+    from recfilter_tpu.parallel import sharding
+    from recfilter_tpu.planner import Plan
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    ndev = len(jax.devices())
+    w = ns.width
+    wts = iir.gaussian_weights(3.0, 3)
+    spec = FilterSpec(
+        "Scale",
+        (Dim("b", ns.batch), Dim("y", w), Dim("x", w)),
+        (
+            Scan(2, True, wts[0], tuple(wts[1:])),
+            Scan(2, False, wts[0], tuple(wts[1:])),
+            Scan(1, True, wts[0], tuple(wts[1:])),
+            Scan(1, False, wts[0], tuple(wts[1:])),
+        ),
+        tile_widths=(0, 32, 32),
+    )
+    img = jnp.asarray(
+        np.random.default_rng(0).standard_normal((ns.batch, w, w)) * 0.01,
+        dtype=jnp.float32,
+    )
+    plan = Plan(interpret=jax.default_backend() != "tpu")
+
+    def rate_for(d_data):
+        mesh = sharding.make_mesh(
+            (d_data, ns.seq) if ns.seq > 1 else (d_data,),
+            ("data", "seq") if ns.seq > 1 else ("data",),
+        )
+        fn = sharding.make_sharded_filter(
+            spec, plan, mesh, data_axis=0,
+            seq_axis=2 if ns.seq > 1 else None,
+        )
+
+        @jax.jit
+        def loop(x, n):
+            def body(i, v):
+                return fn(v)
+
+            out = jax.lax.fori_loop(0, n, body, x)
+            return out[0, 0, 0]
+
+        float(loop(img, jnp.int32(1)))
+        ts = []
+        for n in (2, 12):
+            t0 = time.perf_counter()
+            float(loop(img, jnp.int32(n)))
+            ts.append((time.perf_counter() - t0) * 1000)
+        per = max((ts[1] - ts[0]) / 10, 1e-9)
+        return ns.batch / (per / 1000.0)  # samples (images) per second
+
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d * max(ns.seq, 1) <= ndev
+             and ns.batch % d == 0]
+    base = None
+    print(f"devices available: {ndev}  (platform {jax.default_backend()})")
+    print("mesh_data  samples/s  efficiency")
+    for d in sizes:
+        r = rate_for(d)
+        if base is None:
+            base = r
+        eff = r / (base * d)
+        print(f"{d:9d}  {r:9.2f}  {eff*100:8.1f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Fused per-dimension executor vs the oracle — the cross-scan tail algebra
+(the analog of the reference's TDeps machinery) must be exact for any scan
+mix, causality pattern, and border mode."""
+
+import numpy as np
+import pytest
+
+from recfilter_tpu import dimfuse, scan_core
+from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+
+def _img(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def _oracle_dim(x, scans, border):
+    x = x.astype(np.float64)
+    for s in scans:
+        x = scan_core.oracle_apply_scan(
+            x, s.axis, s.causal, s.feedfwd, s.feedback, border
+        )
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+@pytest.mark.parametrize("causal", [True, False])
+def test_single_scan(border, causal):
+    scans = [Scan(1, causal, 0.9, (0.6, 0.25, -0.1))]
+    x = _img(5, 24, seed=0)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 6, border))
+    want = _oracle_dim(x, scans, border)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_causal_anticausal_pair(border):
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+        Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+    ]
+    x = _img(4, 24, seed=1)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 6, border))
+    want = _oracle_dim(x, scans, border)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_four_scans_mixed_orders():
+    """Repeated + mixed causality + differing orders in one dim — exercises
+    all the cross-scan G/H terms."""
+    scans = [
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(1, False, 1.0, (0.4,)),
+        Scan(1, True, 0.9, (0.3, 0.1, -0.05)),
+        Scan(1, False, 1.0, (0.6, 0.2)),
+    ]
+    x = _img(3, 20, seed=2)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 5, BorderMode.ZERO))
+    want = _oracle_dim(x, scans, BorderMode.ZERO)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("width,tile", [(19, 5), (16, 16), (7, 32)])
+def test_non_dividing_and_degenerate_tiles(width, tile):
+    scans = [
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(1, False, 1.0, (0.4, 0.1)),
+    ]
+    x = _img(4, width, seed=3)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, tile, BorderMode.ZERO))
+    want = _oracle_dim(x, scans, BorderMode.ZERO)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_clamp_non_dividing_falls_back_to_divisor():
+    scans = [Scan(1, False, 1.0, (0.5,))]
+    x = _img(4, 18, seed=4)  # 18 % 5 != 0 → falls back to divisor tile
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 5, BorderMode.CLAMP))
+    want = _oracle_dim(x, scans, BorderMode.CLAMP)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_middle_axis_and_3d():
+    scans = [
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(1, False, 1.0, (0.3,)),
+    ]
+    x = _img(3, 16, 5, seed=5)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 4, BorderMode.ZERO))
+    want = _oracle_dim(x, scans, BorderMode.ZERO)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_apply_filter_fused_2d_gaussian_clamped():
+    from recfilter_tpu import iir
+
+    w = iir.gaussian_weights(2.0, 3)
+    dims = (Dim("y", 24), Dim("x", 24))
+    scans = (
+        Scan(1, True, w[0], tuple(w[1:])),
+        Scan(1, False, w[0], tuple(w[1:])),
+        Scan(0, True, w[0], tuple(w[1:])),
+        Scan(0, False, w[0], tuple(w[1:])),
+    )
+    spec = FilterSpec(
+        "G", dims, scans, border=BorderMode.CLAMP, tile_widths=(8, 8)
+    )
+    x = _img(24, 24, seed=6)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_matches_per_scan_einsum_backend():
+    from recfilter_tpu import tiling
+
+    dims = (Dim("y", 16), Dim("x", 16))
+    scans = (
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(1, False, 1.0, (0.4, 0.1)),
+        Scan(0, True, 1.0, (0.3,)),
+    )
+    spec = FilterSpec("X", dims, scans, tile_widths=(4, 4))
+    x = _img(16, 16, seed=7)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = np.asarray(tiling.apply_filter(spec, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
