@@ -121,7 +121,8 @@ class DimPassMats:
 
 
 def prepare_dim_pass(
-    scans: Sequence[Scan], T: int, n: int, clamp: bool, pad_slots: int = 0
+    scans: Sequence[Scan], T: int, n: int, clamp: bool, pad_slots: int = 0,
+    build_cm: bool = True,
 ) -> DimPassMats:
     m = len(scans)
     base = [_scan_base_mats(s, T, clamp) for s in scans]
@@ -189,7 +190,7 @@ def prepare_dim_pass(
             orders=[s.order for s in scans],
             G=[g[None] for g in G1],
             H=[[h[None] if h is not None else None for h in row] for row in H1],
-            CM=[_chain_matrix(s, T, n) for s in scans],
+            CM=[_chain_matrix(s, T, n) if build_cm else None for s in scans],
             Btot=Btot1[None],
             Rhat=[r[None] for r in Rhat1],
             uniform=True,
@@ -219,7 +220,7 @@ def prepare_dim_pass(
         orders=[s.order for s in scans],
         G=G,
         H=H,
-        CM=[_chain_matrix(s, T, n) for s in scans],
+        CM=[_chain_matrix(s, T, n) if build_cm else None for s in scans],
         Btot=Btot,
         Rhat=Rhat,
         uniform=False,
@@ -229,6 +230,53 @@ def prepare_dim_pass(
 # ---------------------------------------------------------------------------
 # Device-side passes
 # ---------------------------------------------------------------------------
+
+# Above this tile count the block-Toeplitz chain matmul (quadratic in n) is
+# replaced by a log-depth associative scan over (W, b) affine pairs — the
+# ``jax.lax.associative_scan`` form of the carry recurrence (SURVEY §5.7).
+_CHAIN_MATMUL_MAX_TILES = 256
+
+
+def _chain_solve_assoc(b, scan: Scan, T: int, em, last: bool):
+    """Solve one scan's cross-tile recurrence with an associative scan.
+
+    ``b`` is (a, n, k[, t]) natural local tails; returns N of the same shape
+    (the natural incoming vector consumed by RN). Equivalent to
+    ``b_stacked @ CM.T`` (see ``_chain_matrix``) for any n.
+    """
+    k = scan.order
+    W = em(coeffs.tail_weight_matrix(scan.feedback, T))
+    Jk = em(coeffs.antidiagonal(k))
+    n = b.shape[1]
+    jk_eq = "ij,anj->ani" if last else "ij,anjb->anib"
+    mv_eq = "nij,naj->nai" if last else "nij,najb->naib"
+
+    if scan.causal:
+        # s_t = W s_{t-1} + Jk b_t ;  N_t = Jk s_{t-1}
+        bt = jnp.einsum(jk_eq, Jk, b)
+    else:
+        # reversed order: run the same recurrence over reversed tiles with
+        # identity converters (see _chain_matrix's anticausal branch)
+        bt = jnp.flip(b, axis=1)
+
+    A = jnp.broadcast_to(W, (n,) + W.shape)
+
+    # associative_scan carries the tile axis at position 0 of each leaf
+    bt_n_first = jnp.moveaxis(bt, 1, 0)  # (n, a, k[, t])
+    _, s = jax.lax.associative_scan(
+        lambda c1, c2: (
+            jnp.einsum("nij,njk->nik", c2[0], c1[0]),
+            jnp.einsum(mv_eq, c2[0], c1[1]) + c2[1],
+        ),
+        (A, bt_n_first),
+        axis=0,
+    )
+    s = jnp.moveaxis(s, 0, 1)  # (a, n, k[, t])
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+
+    if scan.causal:
+        return jnp.einsum(jk_eq, Jk, s_prev)
+    return jnp.flip(s_prev, axis=1)
 
 
 def fused_dim_pass(
@@ -242,7 +290,8 @@ def fused_dim_pass(
     """Apply all ``scans`` (same dimension) to ``x`` along ``axis``."""
     clamp = border == BorderMode.CLAMP
     w = x.shape[axis]
-    T = int(min(tile_width, w))
+    kmax = max(s.order for s in scans)
+    T = int(min(max(tile_width, kmax), w))
     n = -(-w // T)
     pad = n * T - w
 
@@ -250,12 +299,27 @@ def fused_dim_pass(
     # For CLAMP the globally-last tile's matrices assume the edge sits at
     # the tile's end, so clamp requires T | w; fall back to a divisor.
     if clamp and pad:
-        for cand in range(T, 0, -1):
+        for cand in range(T, kmax - 1, -1):
             if w % cand == 0:
                 T, n, pad = cand, w // cand, 0
                 break
 
-    mats = prepare_dim_pass(scans, T, n, clamp, pad_slots=pad)
+    # The blocked algebra needs the order-k carry to fit inside one tile,
+    # and clamp needs exact tiling (no divisor ≥ kmax exists for prime-ish
+    # widths) — route such cases to the lax.scan core.
+    if T < kmax or (clamp and pad):
+        from . import scan_core
+
+        for s in scans:
+            x = scan_core.apply_scan(
+                x, axis, s.causal, s.feedfwd, s.feedback, border
+            )
+        return x
+
+    mats = prepare_dim_pass(
+        scans, T, n, clamp, pad_slots=pad,
+        build_cm=n <= _CHAIN_MATMUL_MAX_TILES,
+    )
     m = len(scans)
     cdt = compute_dtype
 
@@ -265,27 +329,32 @@ def fused_dim_pass(
         x = jnp.pad(x, pads)
 
     shape = x.shape
-    split = shape[:axis] + (n, T) + shape[axis + 1 :]
     lead = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     trail = (
         int(np.prod(shape[axis + 1 :], dtype=np.int64))
         if axis + 1 < len(shape)
         else 1
     )
-    X = x.reshape(lead, n, T, trail).astype(cdt)
+    # When the scan axis is the last array axis, keep the contracted axis in
+    # the lane dimension and emit (a, n, out) — a trailing axis of size 1
+    # would put every array on a single vector lane.
+    last = trail == 1
+    if last:
+        X = x.reshape(lead, n, T).astype(cdt)
+    else:
+        X = x.reshape(lead, n, T, trail).astype(cdt)
 
     def em(M):  # matrix constant in compute dtype
         return jnp.asarray(M, dtype=cdt)
 
     def tile_mat_apply(Mstack, V, vdim_in):
-        """einsum over the tile axis: Mstack (n|1, out, in) × V (a,n,in,b)."""
+        """einsum over the tile axis: Mstack (n|1, out, in) × V."""
         M = em(Mstack)
         if M.shape[0] == 1:
-            # all tiles share one matrix — plain (out,in) contraction
-            return jnp.einsum(
-                "os,ansb->anob", M[0], V, preferred_element_type=cdt
-            )
-        return jnp.einsum("nos,ansb->anob", M, V, preferred_element_type=cdt)
+            eq = "os,ans->ano" if last else "os,ansb->anob"
+            return jnp.einsum(eq, M[0], V, preferred_element_type=cdt)
+        eq = "nos,ans->ano" if last else "nos,ansb->anob"
+        return jnp.einsum(eq, M, V, preferred_element_type=cdt)
 
     # --- pass A: all local tails ------------------------------------------
     N = [None] * m
@@ -293,22 +362,30 @@ def fused_dim_pass(
         b = tile_mat_apply(mats.G[i], X, T)  # (a, n, k_i, b)
         for j in range(i):
             b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
-        # --- chain solve: one small block-Toeplitz matmul -----------------
         k = mats.orders[i]
-        bl = jnp.moveaxis(b, 3, 1).reshape(lead * trail, n * k)
-        Ni = bl @ em(mats.CM[i]).T
-        N[i] = jnp.moveaxis(
-            Ni.reshape(lead, trail, n, k), 1, 3
-        )  # (a, n, k, b)
+        if n <= _CHAIN_MATMUL_MAX_TILES:
+            # --- chain solve: one small block-Toeplitz matmul -------------
+            if last:
+                Ni = b.reshape(lead, n * k) @ em(mats.CM[i]).T
+                N[i] = Ni.reshape(lead, n, k)
+            else:
+                bl = jnp.moveaxis(b, 3, 1).reshape(lead * trail, n * k)
+                Ni = bl @ em(mats.CM[i]).T
+                N[i] = jnp.moveaxis(
+                    Ni.reshape(lead, trail, n, k), 1, 3
+                )  # (a, n, k, b)
+        else:
+            # --- large tile counts: log-depth associative scan ------------
+            # (the (n·k)² chain matrix would be quadratic in n; audio-scale
+            # 1-D filters have n ~ 10^4 tiles)
+            N[i] = _chain_solve_assoc(b, scans[i], T, em, last)
 
     # --- pass B: fused completion -----------------------------------------
     Y = tile_mat_apply(mats.Btot, X, T)
     for j in range(m):
         Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
 
-    y = Y.reshape(lead, n * T, trail).reshape(
-        shape[:axis] + (n * T,) + shape[axis + 1 :]
-    )
+    y = Y.reshape(shape[:axis] + (n * T,) + shape[axis + 1 :])
     if pad:
         y = jax.lax.slice_in_dim(y, 0, w, axis=axis)
     return y

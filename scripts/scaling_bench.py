@@ -90,6 +90,11 @@ def main():
              and ns.batch % d == 0]
     base = None
     print(f"devices available: {ndev}  (platform {jax.default_backend()})")
+    if jax.default_backend() == "cpu":
+        print(
+            "NOTE: virtual CPU devices share physical cores — efficiency "
+            "numbers here only validate the sharded program, not scaling."
+        )
     print("mesh_data  samples/s  efficiency")
     for d in sizes:
         r = rate_for(d)

@@ -125,3 +125,42 @@ def test_matches_per_scan_einsum_backend():
     got = np.asarray(dimfuse.apply_filter_fused(spec, x))
     want = np.asarray(tiling.apply_filter(spec, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_associative_chain_solve_matches_matmul_solve():
+    """Large-n path (associative_scan) must equal the block-Toeplitz path."""
+    import recfilter_tpu.dimfuse as df
+
+    scans = [
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(1, False, 1.0, (0.4, 0.1)),
+    ]
+    x = _img(3, 64, seed=8)
+    want = np.asarray(df.fused_dim_pass(x, 1, scans, 4, BorderMode.ZERO))
+    old = df._CHAIN_MATMUL_MAX_TILES
+    try:
+        df._CHAIN_MATMUL_MAX_TILES = 0  # force associative path (n = 16)
+        got = np.asarray(df.fused_dim_pass(x, 1, scans, 4, BorderMode.ZERO))
+    finally:
+        df._CHAIN_MATMUL_MAX_TILES = old
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    ref = _oracle_dim(x, scans, BorderMode.ZERO)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_audio_scale_many_tiles():
+    """1-D filter with hundreds of tiles routes through the associative
+    solve and matches the oracle (audio app shape)."""
+    scans = [Scan(0, True, 1.0, (0.1, 0.05, 0.02))]
+    x = _img(5000, seed=9)
+    got = np.asarray(dimfuse.fused_dim_pass(x, 0, scans, 16, BorderMode.ZERO))
+    want = _oracle_dim(x, scans, BorderMode.ZERO)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_prime_width_clamp_routes_to_scan_core():
+    scans = [Scan(1, True, 1.0, (0.5, 0.25))]
+    x = _img(3, 17, seed=10)  # prime width, order 2: no divisor tiling
+    got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 5, BorderMode.CLAMP))
+    want = _oracle_dim(x, scans, BorderMode.CLAMP)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
