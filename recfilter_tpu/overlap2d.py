@@ -1,0 +1,228 @@
+"""Full 2-D overlapped execution: both dimensions' carries from one read.
+
+The reference's deepest machinery — cross-dimension residuals
+(``add_prev_dimension_residual_to_tails``, ``lib/split.cpp:1215-1633``) —
+rebuilt as tensor-product identities. For a filter with scans on dims A then
+B (cross-dimension scans commute, so any interleaving regroups legally):
+
+Dim-A completion per tile (from :mod:`dimfuse`):
+
+    Z = Btot_A ∘_A x + Σ_j Rhat_{A,j} ∘_A N_{A,j}
+
+Dim-B local tails act on Z along B; because A- and B-operators act on
+different axes they commute, so with U_l = G_{B,l} ∘_B x (computed while x
+is being read for the A-tails):
+
+    b_{B,l} = Btot_A ∘_A U_l + Σ_j Rhat_{A,j} ∘_A (G_{B,l} ∘_B N_{A,j})
+              [+ Σ_{l'<l} H_{B,l,l'} ∘_B N_{B,l'}]
+
+Everything on the right is carry-sized — the B-dimension's tails cost NO
+extra pass over the image. Execution:
+
+    pass 1 (read x):   A-tails b_A, B-moments U
+    solves (tiny):     N_A per A-scan, then b_B → N_B per B-scan
+    pass 2 (read x):   Z = A-completion            (write Z)
+    pass 3 (read Z):   Y = B-completion            (write Y)
+
+5 HBM touches for the whole 2-D filter vs 6 for dimension-by-dimension; the
+Pallas fusion of passes 2+3 (Z lives only in VMEM) brings it to 3 — see
+``kernels/final2d.py``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dimfuse
+from .spec import BorderMode, FilterSpec, Scan
+
+
+def _axis_prep(x, axis_a: int, axis_b: int, Ta: int, Tb: int):
+    """Reshape x to the canonical 7-D (p, na, sa, q, nb, sb, r) view."""
+    assert axis_a < axis_b
+    shape = x.shape
+    wa, wb = shape[axis_a], shape[axis_b]
+    na, nb = wa // Ta, wb // Tb
+    p = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
+    q = int(np.prod(shape[axis_a + 1 : axis_b], dtype=np.int64))
+    r = int(np.prod(shape[axis_b + 1 :], dtype=np.int64))
+    return x.reshape(p, na, Ta, q, nb, Tb, r), (p, q, r, na, nb)
+
+
+def _apply_a(Mstack, V, cdt):
+    """Apply a dim-A matrix stack (na|1, o, s) over the 'sa' axis."""
+    M = jnp.asarray(Mstack, dtype=cdt)
+    if M.shape[0] == 1:
+        return jnp.einsum("os,pasqbtr->paoqbtr", M[0], V,
+                          preferred_element_type=cdt)
+    return jnp.einsum("aos,pasqbtr->paoqbtr", M, V,
+                      preferred_element_type=cdt)
+
+
+def _apply_b(Mstack, V, cdt):
+    """Apply a dim-B matrix stack (nb|1, o, t) over the 'sb' axis."""
+    M = jnp.asarray(Mstack, dtype=cdt)
+    if M.shape[0] == 1:
+        return jnp.einsum("ot,pasqbtr->pasqbor", M[0], V,
+                          preferred_element_type=cdt)
+    return jnp.einsum("bot,pasqbtr->pasqbor", M, V,
+                      preferred_element_type=cdt)
+
+
+def _solve_chain_a(b, CM, cdt):
+    """b: (p, na, k, q, nb, t, r) → N of the same shape (chain over na)."""
+    p, na, k, q, nb, t, r = b.shape
+    lines = jnp.moveaxis(b, (1, 2), (5, 6)).reshape(-1, na * k)
+    N = lines @ jnp.asarray(CM, dtype=cdt).T
+    N = N.reshape(p, q, nb, t, r, na, k)
+    return jnp.moveaxis(N, (5, 6), (1, 2))
+
+
+def _solve_chain_b(b, CM, cdt):
+    """b: (p, na, s, q, nb, k, r) → N of the same shape (chain over nb)."""
+    p, na, s, q, nb, k, r = b.shape
+    lines = jnp.moveaxis(b, (4, 5), (5, 6)).reshape(-1, nb * k)
+    N = lines @ jnp.asarray(CM, dtype=cdt).T
+    N = N.reshape(p, na, s, q, r, nb, k)
+    return jnp.moveaxis(N, (5, 6), (4, 5))
+
+
+def fused_2d_pass(
+    x,
+    axis_a: int,
+    scans_a: Sequence[Scan],
+    Ta: int,
+    axis_b: int,
+    scans_b: Sequence[Scan],
+    Tb: int,
+    border: str = BorderMode.ZERO,
+    compute_dtype=jnp.float32,
+):
+    """Apply dim-A scans then dim-B scans with cross-dimension carry fusion.
+
+    Falls back to two :func:`dimfuse.fused_dim_pass` calls when a dimension
+    needs the scan-core path (tiny/prime clamp widths) or huge tile counts.
+    """
+    clamp = border == BorderMode.CLAMP
+    cdt = compute_dtype
+    if axis_a > axis_b:
+        # normalize order: caller guarantees scans_a precede scans_b in the
+        # filter, which is all that matters (cross-dim scans commute)
+        return fused_2d_pass(
+            jnp.swapaxes(x, axis_a, axis_b), axis_b, scans_a, Ta,
+            axis_a, scans_b, Tb, border, cdt
+        ).swapaxes(axis_a, axis_b)
+
+    wa, wb = x.shape[axis_a], x.shape[axis_b]
+    ka = max(s.order for s in scans_a)
+    kb = max(s.order for s in scans_b)
+    Ta = int(min(max(Ta, ka), wa))
+    Tb = int(min(max(Tb, kb), wb))
+    na, nb = -(-wa // Ta), -(-wb // Tb)
+    pad_a, pad_b = na * Ta - wa, nb * Tb - wb
+
+    def fallback():
+        y = dimfuse.fused_dim_pass(x, axis_a, scans_a, Ta, border, cdt)
+        return dimfuse.fused_dim_pass(y, axis_b, scans_b, Tb, border, cdt)
+
+    if clamp and (pad_a or pad_b):
+        # exact tiling needed for clamp; dimfuse has the divisor fallback
+        return fallback()
+    if na > dimfuse._CHAIN_MATMUL_MAX_TILES or nb > dimfuse._CHAIN_MATMUL_MAX_TILES:
+        return fallback()
+    if Ta < ka or Tb < kb:
+        return fallback()
+
+    ma = dimfuse.prepare_dim_pass(scans_a, Ta, na, clamp, pad_slots=pad_a)
+    mb = dimfuse.prepare_dim_pass(scans_b, Tb, nb, clamp, pad_slots=pad_b)
+
+    if pad_a or pad_b:
+        pads = [(0, 0)] * x.ndim
+        pads[axis_a] = (0, pad_a)
+        pads[axis_b] = (0, pad_b)
+        x = jnp.pad(x, pads)
+
+    X, dims = _axis_prep(x.astype(cdt), axis_a, axis_b, Ta, Tb)
+    p, q, r, _, _ = dims
+
+    # ---- pass 1: dim-A tails + dim-B moments (one read of x) -------------
+    NA: List = [None] * len(scans_a)
+    for i in range(len(scans_a)):
+        b = _apply_a(ma.G[i], X, cdt)
+        for j in range(i):
+            b = b + _apply_a(ma.H[i][j], NA[j], cdt)
+        NA[i] = _solve_chain_a(b, ma.CM[i], cdt)
+
+    U = [_apply_b(mb.G[l], X, cdt) for l in range(len(scans_b))]
+
+    # ---- dim-B tails from carry-sized data only --------------------------
+    NB: List = [None] * len(scans_b)
+    for l in range(len(scans_b)):
+        bb = _apply_a(ma.Btot, U[l], cdt)
+        for j in range(len(scans_a)):
+            # G_{B,l} ∘_B N_{A,j}, then the A-completion operator on it
+            GN = _apply_b(mb.G[l], NA[j], cdt)
+            bb = bb + _apply_a(ma.Rhat[j], GN, cdt)
+        for lp in range(l):
+            bb = bb + _apply_b(mb.H[l][lp], NB[lp], cdt)
+        NB[l] = _solve_chain_b(bb, mb.CM[l], cdt)
+
+    # ---- pass 2: dim-A completion (Z) ------------------------------------
+    Z = _apply_a(ma.Btot, X, cdt)
+    for j in range(len(scans_a)):
+        Z = Z + _apply_a(ma.Rhat[j], NA[j], cdt)
+
+    # ---- pass 3: dim-B completion ----------------------------------------
+    Y = _apply_b(mb.Btot, Z, cdt)
+    for l in range(len(scans_b)):
+        Y = Y + _apply_b(mb.Rhat[l], NB[l], cdt)
+
+    shape = x.shape
+    y = Y.reshape(shape)
+    if pad_a:
+        y = jax.lax.slice_in_dim(y, 0, wa, axis=axis_a)
+    if pad_b:
+        y = jax.lax.slice_in_dim(y, 0, wb, axis=axis_b)
+    return y
+
+
+def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32):
+    """Whole-filter executor with 2-D cross-dimension fusion where possible.
+
+    Scanned dims are consumed pairwise (in first-appearance order) through
+    :func:`fused_2d_pass`; an odd remaining dim runs through dimfuse.
+    """
+    from . import scan_core
+
+    dtype = jnp.dtype(spec.dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return scan_core.apply_filter(spec, x)
+    cdt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    x = x.astype(cdt)
+    tiles = spec.tile_widths or (0,) * spec.ndim
+    groups = list(spec.scans_by_axis().items())
+    i = 0
+    while i < len(groups):
+        if i + 1 < len(groups):
+            (ax_a, ids_a), (ax_b, ids_b) = groups[i], groups[i + 1]
+            x = fused_2d_pass(
+                x,
+                ax_a, [spec.scans[j] for j in ids_a],
+                tiles[ax_a] or tile_default,
+                ax_b, [spec.scans[j] for j in ids_b],
+                tiles[ax_b] or tile_default,
+                spec.border, cdt,
+            )
+            i += 2
+        else:
+            ax, ids = groups[i]
+            x = dimfuse.fused_dim_pass(
+                x, ax, [spec.scans[j] for j in ids],
+                tiles[ax] or tile_default, spec.border, cdt,
+            )
+            i += 1
+    return x.astype(dtype)

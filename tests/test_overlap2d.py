@@ -1,0 +1,129 @@
+"""Full 2-D overlapped executor vs the oracle — cross-dimension carry fusion
+(the analog of lib/split.cpp:1215-1633) must be exact."""
+
+import numpy as np
+import pytest
+
+from recfilter_tpu import dimfuse, overlap2d, scan_core
+from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+
+def _img(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def _oracle(spec, x):
+    return scan_core.oracle_apply(spec, x).astype(np.float32)
+
+
+def _spec(scans, border=BorderMode.ZERO, h=16, w=16, tiles=(4, 4)):
+    return FilterSpec(
+        "O2", (Dim("y", h), Dim("x", w)), tuple(scans),
+        border=border, tile_widths=tiles,
+    )
+
+
+def test_sat_2d():
+    spec = _spec(
+        [Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))]
+    )
+    x = np.ones((16, 16), np.float32)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_gaussian_shape_both_dims(border):
+    from recfilter_tpu import iir
+
+    w3 = iir.gaussian_weights(2.0, 3)
+    spec = _spec(
+        [
+            Scan(1, True, w3[0], tuple(w3[1:])),
+            Scan(1, False, w3[0], tuple(w3[1:])),
+            Scan(0, True, w3[0], tuple(w3[1:])),
+            Scan(0, False, w3[0], tuple(w3[1:])),
+        ],
+        border=border, h=24, w=24, tiles=(8, 8),
+    )
+    x = _img(24, 24, seed=1)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_orders_and_counts():
+    spec = _spec(
+        [
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(1, False, 1.0, (0.4,)),
+            Scan(1, True, 0.9, (0.3, 0.1, -0.05)),
+            Scan(0, False, 1.0, (0.6, 0.2)),
+            Scan(0, True, 1.0, (0.2,)),
+        ],
+        h=20, w=20, tiles=(5, 5),
+    )
+    x = _img(20, 20, seed=2)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+def test_non_dividing_both_axes():
+    spec = _spec(
+        [
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(1, False, 1.0, (0.4, 0.1)),
+            Scan(0, True, 1.0, (0.3, 0.15)),
+            Scan(0, False, 1.0, (0.2,)),
+        ],
+        h=19, w=21, tiles=(5, 6),
+    )
+    x = _img(19, 21, seed=3)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+def test_matches_dimfuse():
+    spec = _spec(
+        [
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(0, False, 1.0, (0.4, 0.1)),
+        ],
+        h=16, w=16, tiles=(4, 4),
+    )
+    x = _img(16, 16, seed=4)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    want = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_3d_pairs_then_single():
+    dims = (Dim("z", 12), Dim("y", 12), Dim("x", 12))
+    spec = FilterSpec(
+        "O3", dims,
+        (
+            Scan(2, True, 1.0, (0.5, 0.25)),
+            Scan(2, False, 1.0, (0.3,)),
+            Scan(1, True, 1.0, (0.4, 0.1)),
+            Scan(0, True, 1.0, (0.2,)),
+        ),
+        tile_widths=(4, 4, 4),
+    )
+    x = _img(12, 12, 12, seed=5)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+def test_batch_axis_untouched():
+    dims = (Dim("c", 3), Dim("y", 16), Dim("x", 16))
+    spec = FilterSpec(
+        "OB", dims,
+        (
+            Scan(2, True, 1.0, (0.5, 0.25)),
+            Scan(1, True, 1.0, (0.4,)),
+        ),
+        tile_widths=(0, 4, 4),
+    )
+    x = _img(3, 16, 16, seed=6)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
