@@ -190,6 +190,14 @@ class RecFilter:
             from . import dimfuse
 
             return lambda x: dimfuse.apply_filter_fused(spec, x)
+        if backend in ("overlap", "overlap_k"):
+            from . import overlap2d
+
+            uk = backend == "overlap_k"
+            interp = plan.interpret or jax.default_backend() != "tpu"
+            return lambda x: overlap2d.apply_filter_overlap(
+                spec, x, use_kernels=uk, interpret=interp
+            )
         if backend == "blocked":
             return lambda x: tiling.apply_filter(spec, x)
         raise ValueError(f"unknown backend {backend}")

@@ -91,6 +91,83 @@ def _solve_chain_b(b, CM, cdt):
     return jnp.moveaxis(N, (5, 6), (4, 5))
 
 
+# -- 5-axis helpers for the Pallas-kernel path (p, na, sa, nb, sb) ----------
+
+
+def _apply_a5(Mstack, V, cdt):
+    M = jnp.asarray(Mstack, dtype=cdt)
+    if M.shape[0] == 1:
+        return jnp.einsum("os,pasbt->paobt", M[0], V,
+                          preferred_element_type=cdt)
+    return jnp.einsum("aos,pasbt->paobt", M, V, preferred_element_type=cdt)
+
+
+def _apply_b5(Mstack, V, cdt):
+    M = jnp.asarray(Mstack, dtype=cdt)
+    if M.shape[0] == 1:
+        return jnp.einsum("ot,pasbt->pasbo", M[0], V,
+                          preferred_element_type=cdt)
+    return jnp.einsum("bot,pasbt->pasbo", M, V, preferred_element_type=cdt)
+
+
+def _solve_a5(b, CM, cdt):
+    p, na, k, nb, t = b.shape
+    lines = jnp.moveaxis(b, (1, 2), (3, 4)).reshape(-1, na * k)
+    N = (lines @ jnp.asarray(CM, dtype=cdt).T).reshape(p, nb, t, na, k)
+    return jnp.moveaxis(N, (3, 4), (1, 2))
+
+
+def _solve_b5(b, CM, cdt):
+    p, na, s, nb, k = b.shape
+    lines = b.reshape(-1, nb * k)
+    N = (lines @ jnp.asarray(CM, dtype=cdt).T).reshape(p, na, s, nb, k)
+    return N
+
+
+def _fused_2d_kernel_path(X5, ma, mb, scans_a, scans_b, cdt, interpret):
+    """3-touch pipeline: moments kernel → tiny solves → fused final kernel.
+
+    ``X5`` is (p, na, Ta, nb, Tb) float32.
+    """
+    from .kernels import final2d as k2d
+
+    Ga_cat = np.concatenate([np.asarray(g) for g in ma.G], axis=1)
+    Gb_cat = np.concatenate([np.asarray(g) for g in mb.G], axis=1)
+    bA_raw, U_all = k2d.moments2d(X5, Ga_cat, Gb_cat, interpret)
+
+    # dim-A solves (H-corrections on carry-sized data)
+    NA: List = [None] * len(scans_a)
+    off = 0
+    for i, s in enumerate(scans_a):
+        b = bA_raw[:, :, off : off + s.order]
+        off += s.order
+        for j in range(i):
+            b = b + _apply_a5(ma.H[i][j], NA[j], cdt)
+        NA[i] = _solve_a5(b, ma.CM[i], cdt)
+
+    # dim-B tails from carry-sized data, then solves
+    NB: List = [None] * len(scans_b)
+    offb = 0
+    for l, sb in enumerate(scans_b):
+        U = U_all[..., offb : offb + sb.order]
+        offb += sb.order
+        bb = _apply_a5(ma.Btot, U, cdt)
+        for j in range(len(scans_a)):
+            GN = _apply_b5(mb.G[l], NA[j], cdt)
+            bb = bb + _apply_a5(ma.Rhat[j], GN, cdt)
+        for lp in range(l):
+            bb = bb + _apply_b5(mb.H[l][lp], NB[lp], cdt)
+        NB[l] = _solve_b5(bb, mb.CM[l], cdt)
+
+    NA_cat = jnp.concatenate(NA, axis=2)
+    NB_cat = jnp.concatenate(NB, axis=4)
+    Ra_cat = np.concatenate([np.asarray(r) for r in ma.Rhat], axis=2)
+    Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
+    return k2d.final2d(
+        X5, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret
+    )
+
+
 def fused_2d_pass(
     x,
     axis_a: int,
@@ -101,6 +178,8 @@ def fused_2d_pass(
     Tb: int,
     border: str = BorderMode.ZERO,
     compute_dtype=jnp.float32,
+    use_kernels: bool = False,
+    interpret: bool = False,
 ):
     """Apply dim-A scans then dim-B scans with cross-dimension carry fusion.
 
@@ -114,7 +193,8 @@ def fused_2d_pass(
         # filter, which is all that matters (cross-dim scans commute)
         return fused_2d_pass(
             jnp.swapaxes(x, axis_a, axis_b), axis_b, scans_a, Ta,
-            axis_a, scans_b, Tb, border, cdt
+            axis_a, scans_b, Tb, border, cdt,
+            use_kernels=use_kernels, interpret=interpret,
         ).swapaxes(axis_a, axis_b)
 
     wa, wb = x.shape[axis_a], x.shape[axis_b]
@@ -145,6 +225,26 @@ def fused_2d_pass(
         pads[axis_a] = (0, pad_a)
         pads[axis_b] = (0, pad_b)
         x = jnp.pad(x, pads)
+
+    # Kernel path: contiguous trailing image axes (q == r == 1).
+    if (
+        use_kernels
+        and axis_b == x.ndim - 1
+        and axis_b == axis_a + 1
+        and cdt == jnp.float32
+    ):
+        shape = x.shape
+        p0 = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
+        X5 = x.reshape(p0, na, Ta, nb, Tb).astype(cdt)
+        Y5 = _fused_2d_kernel_path(
+            X5, ma, mb, scans_a, scans_b, cdt, interpret
+        )
+        y = Y5.reshape(shape)
+        if pad_a:
+            y = jax.lax.slice_in_dim(y, 0, wa, axis=axis_a)
+        if pad_b:
+            y = jax.lax.slice_in_dim(y, 0, wb, axis=axis_b)
+        return y
 
     X, dims = _axis_prep(x.astype(cdt), axis_a, axis_b, Ta, Tb)
     p, q, r, _, _ = dims
@@ -190,11 +290,14 @@ def fused_2d_pass(
     return y
 
 
-def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32):
+def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
+                         use_kernels: bool = False, interpret: bool = False):
     """Whole-filter executor with 2-D cross-dimension fusion where possible.
 
     Scanned dims are consumed pairwise (in first-appearance order) through
-    :func:`fused_2d_pass`; an odd remaining dim runs through dimfuse.
+    :func:`fused_2d_pass`; an odd remaining dim runs through dimfuse. With
+    ``use_kernels`` the big passes run as Pallas kernels (3 HBM touches per
+    2-D pair).
     """
     from . import scan_core
 
@@ -216,6 +319,7 @@ def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32):
                 ax_b, [spec.scans[j] for j in ids_b],
                 tiles[ax_b] or tile_default,
                 spec.border, cdt,
+                use_kernels=use_kernels, interpret=interpret,
             )
             i += 2
         else:

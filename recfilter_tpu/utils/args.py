@@ -43,7 +43,8 @@ class Arguments:
         )
         p.add_argument(
             "--backend", type=str, default="auto",
-            choices=["auto", "einsum", "blocked", "pallas", "scan", "oracle"],
+            choices=["auto", "einsum", "overlap", "overlap_k", "blocked", "pallas",
+                     "scan", "oracle"],
             help="executor backend",
         )
         ns = p.parse_args(argv if argv is not None else sys.argv[1:])

@@ -127,3 +127,63 @@ def test_batch_axis_untouched():
     x = _img(3, 16, 16, seed=6)
     got = np.asarray(overlap2d.apply_filter_overlap(spec, x))
     np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_kernel_path_matches_xla_path(border):
+    """The Pallas 3-touch pipeline (interpret mode) must equal the XLA
+    5-touch pipeline and the oracle."""
+    from recfilter_tpu import iir
+
+    w3 = iir.gaussian_weights(1.5, 3)
+    spec = _spec(
+        [
+            Scan(1, True, w3[0], tuple(w3[1:])),
+            Scan(1, False, w3[0], tuple(w3[1:])),
+            Scan(0, True, w3[0], tuple(w3[1:])),
+            Scan(0, False, w3[0], tuple(w3[1:])),
+        ],
+        border=border, h=24, w=24, tiles=(8, 8),
+    )
+    x = _img(24, 24, seed=7)
+    got = np.asarray(
+        overlap2d.apply_filter_overlap(
+            spec, x, use_kernels=True, interpret=True
+        )
+    )
+    want = np.asarray(overlap2d.apply_filter_overlap(spec, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-3, atol=1e-4)
+
+
+def test_kernel_path_batch_axis():
+    spec_scans = [
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(2, False, 1.0, (0.4,)),
+    ]
+    dims = (Dim("c", 2), Dim("y", 16), Dim("x", 16))
+    spec = FilterSpec("KB", dims, tuple(spec_scans), tile_widths=(0, 4, 4))
+    x = _img(2, 16, 16, seed=8)
+    got = np.asarray(
+        overlap2d.apply_filter_overlap(
+            spec, x, use_kernels=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_path_non_dividing():
+    spec = _spec(
+        [
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(0, False, 1.0, (0.4, 0.1)),
+        ],
+        h=19, w=21, tiles=(5, 6),
+    )
+    x = _img(19, 21, seed=9)
+    got = np.asarray(
+        overlap2d.apply_filter_overlap(
+            spec, x, use_kernels=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
