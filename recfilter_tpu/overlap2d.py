@@ -124,16 +124,21 @@ def _solve_b5(b, CM, cdt):
     return N
 
 
-def _fused_2d_kernel_path(X5, ma, mb, scans_a, scans_b, cdt, interpret):
+def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
+                          interpret):
     """3-touch pipeline: moments kernel → tiny solves → fused final kernel.
 
-    ``X5`` is (p, na, Ta, nb, Tb) float32.
+    ``X4`` is (p, na, Ta, nb·Tb) float32.
     """
     from .kernels import final2d as k2d
 
+    p, na, Ta, W = X4.shape
     Ga_cat = np.concatenate([np.asarray(g) for g in ma.G], axis=1)
     Gb_cat = np.concatenate([np.asarray(g) for g in mb.G], axis=1)
-    bA_raw, U_all = k2d.moments2d(X5, Ga_cat, Gb_cat, interpret)
+    bA_raw, U_all = k2d.moments2d(X4, Ga_cat, Gb_cat, interpret)
+    bA_raw = bA_raw.reshape(p, na, -1, nb, Tb)  # (p, na, Ka, nb, Tb)
+    # U: kernel emits (p, na, nb, Ta, Kb) → helper layout (p, na, Ta, nb, Kb)
+    U_all = jnp.swapaxes(U_all, 2, 3)
 
     # dim-A solves (H-corrections on carry-sized data)
     NA: List = [None] * len(scans_a)
@@ -159,12 +164,13 @@ def _fused_2d_kernel_path(X5, ma, mb, scans_a, scans_b, cdt, interpret):
             bb = bb + _apply_b5(mb.H[l][lp], NB[lp], cdt)
         NB[l] = _solve_b5(bb, mb.CM[l], cdt)
 
-    NA_cat = jnp.concatenate(NA, axis=2)
-    NB_cat = jnp.concatenate(NB, axis=4)
+    # kernel layouts: NA (p, na, nb, Ka, Tb); NB (p, na, nb, Ta, Kb)
+    NA_cat = jnp.swapaxes(jnp.concatenate(NA, axis=2), 2, 3)
+    NB_cat = jnp.swapaxes(jnp.concatenate(NB, axis=4), 2, 3)
     Ra_cat = np.concatenate([np.asarray(r) for r in ma.Rhat], axis=2)
     Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
     return k2d.final2d(
-        X5, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret
+        X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret
     )
 
 
@@ -202,6 +208,12 @@ def fused_2d_pass(
     kb = max(s.order for s in scans_b)
     Ta = int(min(max(Ta, ka), wa))
     Tb = int(min(max(Tb, kb), wb))
+    if use_kernels and not interpret:
+        # Mosaic: static lane slices must be 128-aligned → the minor-axis
+        # tile is pinned to the lane width on real hardware.
+        from .kernels.final2d import LANE_TILE
+
+        Tb = int(min(LANE_TILE, -(-wb // LANE_TILE) * LANE_TILE))
     na, nb = -(-wa // Ta), -(-wb // Tb)
     pad_a, pad_b = na * Ta - wa, nb * Tb - wb
 
@@ -235,11 +247,11 @@ def fused_2d_pass(
     ):
         shape = x.shape
         p0 = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
-        X5 = x.reshape(p0, na, Ta, nb, Tb).astype(cdt)
-        Y5 = _fused_2d_kernel_path(
-            X5, ma, mb, scans_a, scans_b, cdt, interpret
+        X4 = x.reshape(p0, na, Ta, nb * Tb).astype(cdt)
+        Y4 = _fused_2d_kernel_path(
+            X4, nb, Tb, ma, mb, scans_a, scans_b, cdt, interpret
         )
-        y = Y5.reshape(shape)
+        y = Y4.reshape(shape)
         if pad_a:
             y = jax.lax.slice_in_dim(y, 0, wa, axis=axis_a)
         if pad_b:
