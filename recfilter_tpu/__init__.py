@@ -39,10 +39,12 @@ from .utils.testing import (
 )
 
 RecFilterDim = Dim  # reference name alias (lib/recfilter.h:68)
+RecFilterDimAndCausality = DimAndCausality  # (lib/recfilter.h:98)
 
 __all__ = [
     "RecFilter",
     "RecFilterDim",
+    "RecFilterDimAndCausality",
     "Dim",
     "DimAndCausality",
     "FilterSpec",

@@ -46,44 +46,51 @@ def _a_index(size):
 
 
 def _final2d_kernel(Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, NA_ref, NB_ref,
-                    o_ref, *, nb, Tb, b_stacked):
-    Ba = Ba_ref[:]
-    Ra = Ra_ref[:]
+                    o_ref, *, nb, Tb, b_stacked, mm_dtype):
+    # dim-A completion for the WHOLE b-row at once, VMEM-resident (pass 2):
+    # one (Ta,Ta)@(Ta,W) matmul keeps the MXU pipeline full.
+    x = x_ref[:].astype(mm_dtype)
+    z = jnp.dot(Ba_ref[:].astype(mm_dtype), x,
+                preferred_element_type=jnp.float32)
+    z = z + jnp.dot(Ra_ref[:], NA_ref[:], preferred_element_type=jnp.float32)
+    zc = z.astype(mm_dtype)
+    # dim-B completion per sub-tile (pass 3)
     for tb in range(nb):
         sl = slice(tb * Tb, (tb + 1) * Tb)
-        xt = x_ref[:, sl]
-        # dim-A completion, VMEM-resident (pass 2)
-        z = jnp.dot(Ba, xt, preferred_element_type=jnp.float32)
-        z = z + jnp.dot(Ra, NA_ref[tb], preferred_element_type=jnp.float32)
-        # dim-B completion (pass 3)
         bi = tb if b_stacked else 0
-        y = jnp.dot(z, Bb_ref[bi].T, preferred_element_type=jnp.float32)
+        y = jnp.dot(zc[:, sl], Bb_ref[bi].astype(mm_dtype).T,
+                    preferred_element_type=jnp.float32)
         y = y + jnp.dot(NB_ref[tb], Rb_ref[bi].T,
                         preferred_element_type=jnp.float32)
         o_ref[:, sl] = y
 
 
 def final2d(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_cat, NB_cat,
-            interpret: bool):
+            interpret: bool, matmul_dtype=jnp.float32):
     """Fused passes 2+3.
 
     x        : (outer, na, Ta, nb*Tb)
     Btot_a   : (na|1, Ta, Ta);  Rhat_a_cat: (na|1, Ta, Ka)
     Btot_b   : (nb|1, Tb, Tb);  Rhat_b_cat: (nb|1, Tb, Kb)
-    NA_cat   : (outer, na, nb, Ka, Tb)
+    NA_cat   : (outer, na, Ka, nb*Tb)   (row layout, like x)
     NB_cat   : (outer, na, nb, Ta, Kb)
     returns  : (outer, na, Ta, nb*Tb)
+
+    ``matmul_dtype=jnp.bfloat16`` runs the large B matmuls in bf16 with f32
+    accumulation (carry injections stay f32) — ~1e-3 relative input
+    rounding for 2-4x MXU throughput.
     """
     outer, na, Ta, W = x.shape
-    nb = NA_cat.shape[2]
+    nb = NB_cat.shape[2]
     Tb = W // nb
-    Ka, Kb = NA_cat.shape[3], NB_cat.shape[4]
+    Ka, Kb = NA_cat.shape[2], NB_cat.shape[4]
     Ba, Ra = _stack3(Btot_a), _stack3(Rhat_a_cat)
     Bb, Rb = _stack3(Btot_b), _stack3(Rhat_b_cat)
     ia, iar = _a_index(Ba.shape[0]), _a_index(Ra.shape[0])
     b_stacked = Bb.shape[0] > 1
 
-    kernel = partial(_final2d_kernel, nb=nb, Tb=Tb, b_stacked=b_stacked)
+    kernel = partial(_final2d_kernel, nb=nb, Tb=Tb, b_stacked=b_stacked,
+                     mm_dtype=matmul_dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
@@ -97,8 +104,7 @@ def final2d(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_cat, NB_cat,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Rb stack, whole
             pl.BlockSpec((None, None, Ta, W), lambda o, a: (o, a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, nb, Ka, Tb),
-                         lambda o, a: (o, a, 0, 0, 0),
+            pl.BlockSpec((None, None, Ka, W), lambda o, a: (o, a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, nb, Ta, Kb),
                          lambda o, a: (o, a, 0, 0, 0),

@@ -125,7 +125,7 @@ def _solve_b5(b, CM, cdt):
 
 
 def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
-                          interpret):
+                          interpret, matmul_dtype=jnp.float32):
     """3-touch pipeline: moments kernel → tiny solves → fused final kernel.
 
     ``X4`` is (p, na, Ta, nb·Tb) float32.
@@ -164,13 +164,15 @@ def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
             bb = bb + _apply_b5(mb.H[l][lp], NB[lp], cdt)
         NB[l] = _solve_b5(bb, mb.CM[l], cdt)
 
-    # kernel layouts: NA (p, na, nb, Ka, Tb); NB (p, na, nb, Ta, Kb)
-    NA_cat = jnp.swapaxes(jnp.concatenate(NA, axis=2), 2, 3)
+    # kernel layouts: NA (p, na, Ka, nb*Tb) row form; NB (p, na, nb, Ta, Kb)
+    NAc = jnp.concatenate(NA, axis=2)          # (p, na, Ka, nb, Tb)
+    NA_cat = NAc.reshape(NAc.shape[:3] + (-1,))
     NB_cat = jnp.swapaxes(jnp.concatenate(NB, axis=4), 2, 3)
     Ra_cat = np.concatenate([np.asarray(r) for r in ma.Rhat], axis=2)
     Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
     return k2d.final2d(
-        X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret
+        X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret,
+        matmul_dtype=matmul_dtype,
     )
 
 
@@ -186,6 +188,7 @@ def fused_2d_pass(
     compute_dtype=jnp.float32,
     use_kernels: bool = False,
     interpret: bool = False,
+    matmul_dtype=jnp.float32,
 ):
     """Apply dim-A scans then dim-B scans with cross-dimension carry fusion.
 
@@ -201,6 +204,7 @@ def fused_2d_pass(
             jnp.swapaxes(x, axis_a, axis_b), axis_b, scans_a, Ta,
             axis_a, scans_b, Tb, border, cdt,
             use_kernels=use_kernels, interpret=interpret,
+            matmul_dtype=matmul_dtype,
         ).swapaxes(axis_a, axis_b)
 
     wa, wb = x.shape[axis_a], x.shape[axis_b]
@@ -249,7 +253,8 @@ def fused_2d_pass(
         p0 = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
         X4 = x.reshape(p0, na, Ta, nb * Tb).astype(cdt)
         Y4 = _fused_2d_kernel_path(
-            X4, nb, Tb, ma, mb, scans_a, scans_b, cdt, interpret
+            X4, nb, Tb, ma, mb, scans_a, scans_b, cdt, interpret,
+            matmul_dtype=matmul_dtype,
         )
         y = Y4.reshape(shape)
         if pad_a:
@@ -303,7 +308,8 @@ def fused_2d_pass(
 
 
 def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
-                         use_kernels: bool = False, interpret: bool = False):
+                         use_kernels: bool = False, interpret: bool = False,
+                         matmul_dtype=jnp.float32):
     """Whole-filter executor with 2-D cross-dimension fusion where possible.
 
     Scanned dims are consumed pairwise (in first-appearance order) through
@@ -332,6 +338,7 @@ def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
                 tiles[ax_b] or tile_default,
                 spec.border, cdt,
                 use_kernels=use_kernels, interpret=interpret,
+                matmul_dtype=matmul_dtype,
             )
             i += 2
         else:
