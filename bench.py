@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _build_filter(h, w, sigma=5.0, tile=64):
+def _build_filter(h, w, sigma=5.0, tile=128):
     import recfilter_tpu as rf
 
     wts = rf.gaussian_weights(sigma, 3)
@@ -92,12 +92,18 @@ def main():
     from recfilter_tpu.utils import timing
 
     h = w = 4096
-    F = _build_filter(h, w, tile=64)
+    F = _build_filter(h, w, tile=128)
     fn = F.as_func()
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((h, w)) * 0.01,
         dtype=jnp.float32,
     )
+
+    # Self-calibrated roofline: measure the chip's streaming bandwidth with
+    # a chained elementwise op (1 read + 1 write per pixel). The spec-sheet
+    # number is wrong for this part (measured ~2x v5e's nominal 819 GB/s).
+    copy_ms = slope_ms_per_iter(lambda v: v * 1.0001, img)
+    hbm_gb_s = 2.0 * h * w * 4 / (copy_ms * 1e-3) / 1e9
 
     ms = slope_ms_per_iter(fn, img)
     pixels = h * w
@@ -105,14 +111,14 @@ def main():
     mip_s = timing.throughput(ms, pixels)
 
     # Roofline: 2 dimension passes × (read + write) × 4 B = 16 B/pixel.
-    hbm_gb_s = 819.0  # v5e
     roofline_mpix_s = hbm_gb_s * 1e9 / 16.0 / 1e6
     vs = mpix_s / roofline_mpix_s
 
     print(
         f"[bench] platform={jax.default_backend()} {h}x{w} gaussian3 "
         f"{ms:.3f} ms/iter  {mpix_s:.1f} Mpix/s ({mip_s:.1f} MiP/s)  "
-        f"roofline {roofline_mpix_s:.0f} Mpix/s",
+        f"measured-BW {hbm_gb_s:.0f} GB/s  roofline {roofline_mpix_s:.0f} "
+        f"Mpix/s",
         file=sys.stderr,
     )
     print(

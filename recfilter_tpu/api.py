@@ -195,8 +195,10 @@ class RecFilter:
 
             uk = backend == "overlap_k"
             interp = plan.interpret or jax.default_backend() != "tpu"
+            mmd = jnp.dtype(plan.matmul_dtype).type
             return lambda x: overlap2d.apply_filter_overlap(
-                spec, x, use_kernels=uk, interpret=interp
+                spec, x, use_kernels=uk, interpret=interp,
+                matmul_dtype=mmd,
             )
         if backend == "blocked":
             return lambda x: tiling.apply_filter(spec, x)

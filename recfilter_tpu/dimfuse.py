@@ -356,10 +356,19 @@ def fused_dim_pass(
         eq = "nos,ans->ano" if last else "nos,ansb->anob"
         return jnp.einsum(eq, M, V, preferred_element_type=cdt)
 
-    # --- pass A: all local tails ------------------------------------------
+    # --- pass A: all local tails in ONE read of X -------------------------
+    # (the raw G_i·x terms are independent of the solves; stacking the G
+    # rows turns m reads of X into one)
+    Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
+    braw = tile_mat_apply(Gcat, X, T)  # (a, n, ΣK, b)
+    offs = np.cumsum([0] + mats.orders)
+
     N = [None] * m
     for i in range(m):
-        b = tile_mat_apply(mats.G[i], X, T)  # (a, n, k_i, b)
+        if last:
+            b = braw[:, :, offs[i] : offs[i + 1]]
+        else:
+            b = braw[:, :, offs[i] : offs[i + 1], :]
         for j in range(i):
             b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
         k = mats.orders[i]

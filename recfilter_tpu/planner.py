@@ -43,6 +43,7 @@ class Plan:
     data_axis: Optional[int] = None  # array axis sharded over "data"
     seq_axis: Optional[int] = None  # array axis sharded over "seq" (scan dim)
     interpret: bool = False  # pallas interpreter mode (CPU tests)
+    matmul_dtype: str = "float32"  # bfloat16 = fast B matmuls, f32 accumulate
 
     def with_(self, **kw) -> "Plan":
         return dataclasses.replace(self, **kw)
