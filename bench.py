@@ -99,10 +99,31 @@ def main():
         dtype=jnp.float32,
     )
 
-    # Self-calibrated roofline: measure the chip's streaming bandwidth with
-    # a chained elementwise op (1 read + 1 write per pixel). The spec-sheet
-    # number is wrong for this part (measured ~2x v5e's nominal 819 GB/s).
-    copy_ms = slope_ms_per_iter(lambda v: v * 1.0001, img)
+    # Self-calibrated roofline: measure streaming bandwidth with a Pallas
+    # copy kernel. (A plain `v * c` loop is strength-reduced by XLA across
+    # fori_loop iterations and reports fictitious multi-TB/s rates; the
+    # kernel cannot be folded. Measured ≈ 796 GB/s ≈ the v5e spec.)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _copy_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 1.0001
+
+    def _copy(v):
+        return pl.pallas_call(
+            _copy_kernel,
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            grid=(h // 128,),
+            in_specs=[pl.BlockSpec((128, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((128, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+        )(v)
+
+    copy_ms = slope_ms_per_iter(_copy, img)
     hbm_gb_s = 2.0 * h * w * 4 / (copy_ms * 1e-3) / 1e9
 
     ms = slope_ms_per_iter(fn, img)

@@ -201,3 +201,27 @@ def test_clamp_after_scans_raises():
     F.add_filter(+x, [1.0, 0.5])
     with pytest.raises(RuntimeError):
         F.set_clamped_image_border()
+
+
+def test_filter_under_vmap():
+    """Filters compose with jax.vmap over a batch axis."""
+    import jax
+
+    F, _, _ = _sat()
+    fn = F.as_func()
+    batch = np.stack([np.ones((16, 16), np.float32) * (i + 1) for i in range(3)])
+    out = np.asarray(jax.vmap(fn)(batch))
+    ref0 = scan_core.oracle_apply(F.spec, batch[0])
+    np.testing.assert_allclose(out[0], ref0, rtol=1e-4)
+    np.testing.assert_allclose(out[2], 3 * ref0, rtol=1e-4)
+
+
+def test_overlap_backend_through_api():
+    F, _, _ = _sat()
+    F.set_plan(backend="overlap", interpret=True)
+    out = np.asarray(F.realize())
+    ref = scan_core.oracle_apply(F.spec, np.ones((16, 16), np.float32))
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+    F.set_plan(backend="overlap_k")
+    out2 = np.asarray(F.realize())
+    np.testing.assert_allclose(out2, ref, rtol=1e-4)
