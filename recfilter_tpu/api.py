@@ -20,7 +20,7 @@ Reference → TPU mapping of the main entry points:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

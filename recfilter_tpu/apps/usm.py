@@ -13,9 +13,7 @@ optimized — the pointwise stage fuses into the blur's last kernel; in the
 from __future__ import annotations
 
 import jax
-import numpy as np
 
-from ..iir import gaussian_weights
 from .gaussian import gaussian_3x_3y
 
 

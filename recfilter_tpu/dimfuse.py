@@ -41,7 +41,7 @@ per-tile matrix variants, selected by a static index stack.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ static in-kernel loop counter.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ recurrence layer specialized to image filtering). Used by
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ metaprogramming over ``Function`` objects.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
