@@ -286,8 +286,14 @@ def fused_dim_pass(
     tile_width: int,
     border: str = BorderMode.ZERO,
     compute_dtype=jnp.float32,
+    matmul_dtype=None,
 ):
-    """Apply all ``scans`` (same dimension) to ``x`` along ``axis``."""
+    """Apply all ``scans`` (same dimension) to ``x`` along ``axis``.
+
+    ``matmul_dtype=jnp.bfloat16`` casts the LARGE matmuls' inputs (X, B, G)
+    to bf16 with f32 accumulation — the carry solves and injections stay in
+    ``compute_dtype``. ~1e-3 relative input rounding for several-fold MXU
+    throughput."""
     clamp = border == BorderMode.CLAMP
     w = x.shape[axis]
     kmax = max(s.order for s in scans)
@@ -347,20 +353,28 @@ def fused_dim_pass(
     def em(M):  # matrix constant in compute dtype
         return jnp.asarray(M, dtype=cdt)
 
-    def tile_mat_apply(Mstack, V, vdim_in):
-        """einsum over the tile axis: Mstack (n|1, out, in) × V."""
-        M = em(Mstack)
+    mmd = matmul_dtype
+
+    def tile_mat_apply(Mstack, V, vdim_in, fast=False):
+        """einsum over the tile axis: Mstack (n|1, out, in) × V.
+
+        ``fast`` ops (the T-wide B/G matmuls on image-sized data) may run
+        with bf16 inputs when matmul_dtype requests it; carry-sized ops
+        always stay in the compute dtype."""
+        dt = mmd if (fast and mmd is not None) else cdt
+        M = jnp.asarray(np.asarray(Mstack), dtype=dt)
+        Vc = V.astype(dt)
         if M.shape[0] == 1:
             eq = "os,ans->ano" if last else "os,ansb->anob"
-            return jnp.einsum(eq, M[0], V, preferred_element_type=cdt)
+            return jnp.einsum(eq, M[0], Vc, preferred_element_type=cdt)
         eq = "nos,ans->ano" if last else "nos,ansb->anob"
-        return jnp.einsum(eq, M, V, preferred_element_type=cdt)
+        return jnp.einsum(eq, M, Vc, preferred_element_type=cdt)
 
     # --- pass A: all local tails in ONE read of X -------------------------
     # (the raw G_i·x terms are independent of the solves; stacking the G
     # rows turns m reads of X into one)
     Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
-    braw = tile_mat_apply(Gcat, X, T)  # (a, n, ΣK, b)
+    braw = tile_mat_apply(Gcat, X, T, fast=True)  # (a, n, ΣK, b)
     offs = np.cumsum([0] + mats.orders)
 
     N = [None] * m
@@ -390,7 +404,7 @@ def fused_dim_pass(
             N[i] = _chain_solve_assoc(b, scans[i], T, em, last)
 
     # --- pass B: fused completion -----------------------------------------
-    Y = tile_mat_apply(mats.Btot, X, T)
+    Y = tile_mat_apply(mats.Btot, X, T, fast=True)
     for j in range(m):
         Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
 
@@ -400,7 +414,8 @@ def fused_dim_pass(
     return y
 
 
-def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32):
+def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
+                       matmul_dtype=None):
     """Whole-filter executor: one fused pass per scanned dimension."""
     from . import scan_core
 
@@ -419,5 +434,6 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32):
             T,
             spec.border,
             compute_dtype=cdt,
+            matmul_dtype=matmul_dtype,
         )
     return x.astype(dtype)

@@ -164,3 +164,22 @@ def test_prime_width_clamp_routes_to_scan_core():
     got = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 5, BorderMode.CLAMP))
     want = _oracle_dim(x, scans, BorderMode.CLAMP)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_matmul_mode_close_to_f32():
+    import jax.numpy as jnp
+
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+        Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+    ]
+    x = _img(8, 64, seed=11)
+    f32 = np.asarray(dimfuse.fused_dim_pass(x, 1, scans, 16, BorderMode.ZERO))
+    bf = np.asarray(
+        dimfuse.fused_dim_pass(
+            x, 1, scans, 16, BorderMode.ZERO, matmul_dtype=jnp.bfloat16
+        )
+    )
+    # bf16 input rounding: ~3 decimal digits
+    np.testing.assert_allclose(bf, f32, rtol=0.05, atol=0.05)
+    assert np.abs(bf - f32).max() > 0  # it actually took the bf16 path
