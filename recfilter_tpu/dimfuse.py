@@ -354,21 +354,23 @@ def fused_dim_pass(
         return jnp.asarray(M, dtype=cdt)
 
     mmd = matmul_dtype
+    # Accumulate matmuls in f32 even when storage/compute is bf16.
+    acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
 
     def tile_mat_apply(Mstack, V, vdim_in, fast=False):
         """einsum over the tile axis: Mstack (n|1, out, in) × V.
 
         ``fast`` ops (the T-wide B/G matmuls on image-sized data) may run
         with bf16 inputs when matmul_dtype requests it; carry-sized ops
-        always stay in the compute dtype."""
+        always stay in the compute dtype. Accumulation is always f32."""
         dt = mmd if (fast and mmd is not None) else cdt
         M = jnp.asarray(np.asarray(Mstack), dtype=dt)
         Vc = V.astype(dt)
         if M.shape[0] == 1:
             eq = "os,ans->ano" if last else "os,ansb->anob"
-            return jnp.einsum(eq, M[0], Vc, preferred_element_type=cdt)
+            return jnp.einsum(eq, M[0], Vc, preferred_element_type=acc)
         eq = "nos,ans->ano" if last else "nos,ansb->anob"
-        return jnp.einsum(eq, M, Vc, preferred_element_type=cdt)
+        return jnp.einsum(eq, M, Vc, preferred_element_type=acc)
 
     # --- pass A: all local tails in ONE read of X -------------------------
     # (the raw G_i·x terms are independent of the solves; stacking the G
@@ -387,13 +389,16 @@ def fused_dim_pass(
             b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
         k = mats.orders[i]
         if n <= _CHAIN_MATMUL_MAX_TILES:
-            # --- chain solve: one small block-Toeplitz matmul -------------
+            # --- chain solve: one small block-Toeplitz matmul (f32) -------
+            CMf = jnp.asarray(mats.CM[i], dtype=acc)
             if last:
-                Ni = b.reshape(lead, n * k) @ em(mats.CM[i]).T
+                Ni = b.astype(acc).reshape(lead, n * k) @ CMf.T
                 N[i] = Ni.reshape(lead, n, k)
             else:
-                bl = jnp.moveaxis(b, 3, 1).reshape(lead * trail, n * k)
-                Ni = bl @ em(mats.CM[i]).T
+                bl = jnp.moveaxis(b.astype(acc), 3, 1).reshape(
+                    lead * trail, n * k
+                )
+                Ni = bl @ CMf.T
                 N[i] = jnp.moveaxis(
                     Ni.reshape(lead, trail, n, k), 1, 3
                 )  # (a, n, k, b)
@@ -422,7 +427,13 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     dtype = jnp.dtype(spec.dtype)
     if jnp.issubdtype(dtype, jnp.integer):
         return scan_core.apply_filter(spec, x)
-    cdt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    if dtype == jnp.bfloat16:
+        # Production bf16 mode: bf16 storage between passes (half the HBM
+        # traffic), bf16 MXU matmuls, f32 accumulation and carry solves.
+        cdt = jnp.bfloat16
+        matmul_dtype = jnp.bfloat16
+    else:
+        cdt = jnp.float32 if dtype == jnp.float16 else dtype
     x = x.astype(cdt)
     tiles = spec.tile_widths or (0,) * spec.ndim
     for axis, ids in spec.scans_by_axis().items():

@@ -71,9 +71,9 @@ def resolve_backend(spec: FilterSpec, plan: Plan, platform: str) -> str:
 def default_tile_width(extent: int, platform: str) -> int:
     """Auto tile width. The reference defaults to 32
     (``lib/recfilter_utils.cpp:32-36``); on TPU the fused-dimension einsum
-    path measures fastest at 64 (balances the T-wide impulse matmul against
-    the n·k-wide carry-chain matmul)."""
-    t = 64 if platform == "tpu" else 32
+    path measures fastest at 128 (the einsums are bandwidth-bound and a
+    128-contraction fills the MXU)."""
+    t = 128 if platform == "tpu" else 32
     return max(min(t, extent), 1)
 
 

@@ -183,3 +183,25 @@ def test_bf16_matmul_mode_close_to_f32():
     # bf16 input rounding: ~3 decimal digits
     np.testing.assert_allclose(bf, f32, rtol=0.05, atol=0.05)
     assert np.abs(bf - f32).max() > 0  # it actually took the bf16 path
+
+
+def test_bf16_storage_mode():
+    """spec dtype bfloat16 runs the bf16-storage pipeline (f32 accumulation)
+    and stays within bf16 tolerance of the f64 oracle."""
+    import jax.numpy as jnp
+
+    spec = FilterSpec(
+        "BF", (Dim("y", 8), Dim("x", 64)),
+        (
+            Scan(1, True, 0.9, (0.6, 0.25)),
+            Scan(1, False, 1.0, (0.4,)),
+        ),
+        dtype="bfloat16", tile_widths=(0, 16),
+    )
+    x = _img(8, 64, seed=12)
+    got = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(x, jnp.bfloat16)),
+        dtype=np.float32,
+    )
+    want = _oracle_dim(x, list(spec.scans), BorderMode.ZERO)
+    np.testing.assert_allclose(got, want, rtol=0.06, atol=0.06)
