@@ -101,6 +101,51 @@ def _chain_matrix(s: Scan, T: int, n: int) -> np.ndarray:
     return C.reshape(n * k, n * k)
 
 
+def combined_solve_matrix(mats: "DimPassMats", n: int) -> np.ndarray:
+    """Fold every scan's chain solve AND the cross-scan H-couplings into one
+    (n·ΣK × n·ΣK) matrix: N_cat = CMfull · b_raw_cat (interleaved per-tile
+    layout, matching the stacked-G tails and concatenated Rhat).
+
+    The per-scan system is block-triangular:
+        N_i = CM_i (b_i^raw + Σ_{j<i} Hblk_{ij} N_j)
+    so CMfull rows build up scan by scan — one device matmul replaces the
+    per-scan solve/correction op chain (dispatch overhead dominates the
+    small ops on this stack)."""
+    m = len(mats.orders)
+    S = sum(mats.orders)
+    offs = np.cumsum([0] + mats.orders)
+    rows: list = [None] * m  # rows[i]: (n*k_i, n*S) mapping braw_cat → N_i
+
+    def hblk(i, j):
+        Hs = mats.H[i][j]
+        ki, kj = mats.orders[i], mats.orders[j]
+        out = np.zeros((n * ki, n * kj))
+        for t in range(n):
+            Ht = Hs[t if Hs.shape[0] > 1 else 0]
+            out[t * ki : (t + 1) * ki, t * kj : (t + 1) * kj] = Ht
+        return out
+
+    for i in range(m):
+        ki = mats.orders[i]
+        E = np.zeros((n * ki, n * S))
+        for t in range(n):
+            E[t * ki : (t + 1) * ki,
+              t * S + offs[i] : t * S + offs[i] + ki] = np.eye(ki)
+        acc = E
+        for j in range(i):
+            acc = acc + hblk(i, j) @ rows[j]
+        rows[i] = mats.CM[i] @ acc
+
+    full = np.zeros((n * S, n * S))
+    for i in range(m):
+        ki = mats.orders[i]
+        for t in range(n):
+            full[t * S + offs[i] : t * S + offs[i] + ki, :] = rows[i][
+                t * ki : (t + 1) * ki, :
+            ]
+    return full
+
+
 @dataclasses.dataclass
 class DimPassMats:
     """Per-dimension fused-pass matrices (numpy, trace-time constants).
@@ -379,39 +424,41 @@ def fused_dim_pass(
     braw = tile_mat_apply(Gcat, X, T, fast=True)  # (a, n, ΣK, b)
     offs = np.cumsum([0] + mats.orders)
 
-    N = [None] * m
-    for i in range(m):
+    S = int(sum(mats.orders))
+    if n <= _CHAIN_MATMUL_MAX_TILES:
+        # --- every scan's solve + H-couplings as ONE matmul ---------------
+        # (per-op dispatch overhead dominates carry-sized work on this
+        # stack; see combined_solve_matrix)
+        CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
         if last:
-            b = braw[:, :, offs[i] : offs[i + 1]]
+            Ncat = (braw.astype(acc).reshape(lead, n * S) @ CMfull.T).reshape(
+                lead, n, S
+            )
         else:
-            b = braw[:, :, offs[i] : offs[i + 1], :]
-        for j in range(i):
-            b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
-        k = mats.orders[i]
-        if n <= _CHAIN_MATMUL_MAX_TILES:
-            # --- chain solve: one small block-Toeplitz matmul (f32) -------
-            CMf = jnp.asarray(mats.CM[i], dtype=acc)
+            bl = braw.astype(acc).reshape(lead, n * S, trail)
+            Ncat = jnp.einsum(
+                "ts,asb->atb", CMfull, bl, preferred_element_type=acc
+            ).reshape(lead, n, S, trail)
+        # --- pass B: one completion matmul + one carry injection ----------
+        Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+        Y = tile_mat_apply(mats.Btot, X, T, fast=True)
+        Y = Y + tile_mat_apply(Rcat, Ncat.astype(cdt), S)
+    else:
+        # --- large tile counts: log-depth associative scan per scan -------
+        # (the (n·k)² chain matrix would be quadratic in n; audio-scale
+        # 1-D filters have n ~ 10^4 tiles)
+        N = [None] * m
+        for i in range(m):
             if last:
-                Ni = b.astype(acc).reshape(lead, n * k) @ CMf.T
-                N[i] = Ni.reshape(lead, n, k)
+                b = braw[:, :, offs[i] : offs[i + 1]]
             else:
-                bl = jnp.moveaxis(b.astype(acc), 3, 1).reshape(
-                    lead * trail, n * k
-                )
-                Ni = bl @ CMf.T
-                N[i] = jnp.moveaxis(
-                    Ni.reshape(lead, trail, n, k), 1, 3
-                )  # (a, n, k, b)
-        else:
-            # --- large tile counts: log-depth associative scan ------------
-            # (the (n·k)² chain matrix would be quadratic in n; audio-scale
-            # 1-D filters have n ~ 10^4 tiles)
+                b = braw[:, :, offs[i] : offs[i + 1], :]
+            for j in range(i):
+                b = b + tile_mat_apply(mats.H[i][j], N[j], mats.orders[j])
             N[i] = _chain_solve_assoc(b, scans[i], T, em, last)
-
-    # --- pass B: fused completion -----------------------------------------
-    Y = tile_mat_apply(mats.Btot, X, T, fast=True)
-    for j in range(m):
-        Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
+        Y = tile_mat_apply(mats.Btot, X, T, fast=True)
+        for j in range(m):
+            Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
 
     y = Y.reshape(shape[:axis] + (n * T,) + shape[axis + 1 :])
     if pad:
