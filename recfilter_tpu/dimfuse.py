@@ -276,6 +276,26 @@ def prepare_dim_pass(
 # Device-side passes
 # ---------------------------------------------------------------------------
 
+def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
+    """Resolve (T, n, pad) for one dimension, or None when the blocked
+    algebra cannot apply (order exceeds any legal tile; clamp with no exact
+    divisor — see fused_dim_pass)."""
+    T = int(min(max(tile_width, kmax), w))
+    n = -(-w // T)
+    pad = n * T - w
+    # Zero padding at the end is exact for ZERO borders in both directions.
+    # For CLAMP the globally-last tile's matrices assume the edge sits at
+    # the tile's end, so clamp requires T | w; fall back to a divisor.
+    if clamp and pad:
+        for cand in range(T, kmax - 1, -1):
+            if w % cand == 0:
+                T, n, pad = cand, w // cand, 0
+                break
+    if T < kmax or (clamp and pad):
+        return None
+    return T, n, pad
+
+
 # Above this tile count the block-Toeplitz chain matmul (quadratic in n) is
 # replaced by a log-depth associative scan over (W, b) affine pairs — the
 # ``jax.lax.associative_scan`` form of the carry recurrence (SURVEY §5.7).
@@ -342,23 +362,12 @@ def fused_dim_pass(
     clamp = border == BorderMode.CLAMP
     w = x.shape[axis]
     kmax = max(s.order for s in scans)
-    T = int(min(max(tile_width, kmax), w))
-    n = -(-w // T)
-    pad = n * T - w
-
-    # Zero padding at the end is exact for ZERO borders in both directions.
-    # For CLAMP the globally-last tile's matrices assume the edge sits at
-    # the tile's end, so clamp requires T | w; fall back to a divisor.
-    if clamp and pad:
-        for cand in range(T, kmax - 1, -1):
-            if w % cand == 0:
-                T, n, pad = cand, w // cand, 0
-                break
+    plan = _plan_tiles(w, tile_width, kmax, clamp)
 
     # The blocked algebra needs the order-k carry to fit inside one tile,
     # and clamp needs exact tiling (no divisor ≥ kmax exists for prime-ish
     # widths) — route such cases to the lax.scan core.
-    if T < kmax or (clamp and pad):
+    if plan is None:
         from . import scan_core
 
         for s in scans:
@@ -367,6 +376,7 @@ def fused_dim_pass(
             )
         return x
 
+    T, n, pad = plan
     mats = prepare_dim_pass(
         scans, T, n, clamp, pad_slots=pad,
         build_cm=n <= _CHAIN_MATMUL_MAX_TILES,
@@ -466,6 +476,93 @@ def fused_dim_pass(
     return y
 
 
+
+
+def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
+    """One dimension pass along the LAST axis of (..., R, W), optionally
+    emitting the result transposed as (..., W, R).
+
+    The transposed emission rides the completion matmuls' output ordering
+    (free in the dot epilogue), so chaining two of these processes both
+    trailing dimensions entirely in fast lanes-contraction form with no
+    standalone relayout copy between them — the transpose-chaining executor
+    used by :func:`apply_filter_fused` for images.
+    """
+    T, n, pad = plan
+    m = len(scans)
+    mats = prepare_dim_pass(
+        scans, T, n, clamp, pad_slots=pad,
+        build_cm=n <= _CHAIN_MATMUL_MAX_TILES,
+    )
+    if pad:
+        pads = [(0, 0)] * x.ndim
+        pads[-1] = (0, pad)
+        x = jnp.pad(x, pads)
+
+    shape = x.shape
+    R = shape[-2]
+    P = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    X = x.reshape(P, R, n, T).astype(cdt)
+    acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
+
+    def apply(Mstack, V, fast=False, out_t=False):
+        dt = mmd if (fast and mmd is not None) else cdt
+        M = jnp.asarray(np.asarray(Mstack), dtype=dt)
+        Vc = V.astype(dt)
+        out = "pnor" if out_t else "prno"
+        if M.shape[0] == 1:
+            return jnp.einsum(
+                f"os,prns->{out}", M[0], Vc, preferred_element_type=acc
+            )
+        return jnp.einsum(
+            f"nos,prns->{out}", M, Vc, preferred_element_type=acc
+        )
+
+    Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
+    braw = apply(Gcat, X, fast=True)  # (P, R, n, S)
+    S = int(sum(mats.orders))
+
+    if n <= _CHAIN_MATMUL_MAX_TILES:
+        CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
+        Ncat = (
+            braw.astype(acc).reshape(P * R, n * S) @ CMfull.T
+        ).reshape(P, R, n, S)
+    else:
+        # associative fallback per scan (audio-scale) — reuse the 4-axis
+        # solver by treating R as the batch axis
+        offs = np.cumsum([0] + mats.orders)
+        Ns = []
+        for i in range(m):
+            b = braw[..., offs[i] : offs[i + 1]].reshape(P * R, n, -1)
+            for j in range(i):
+                prev = Ns[j].reshape(P * R, n, -1)
+                Hs = jnp.asarray(np.asarray(mats.H[i][j]), dtype=cdt)
+                corr = (
+                    jnp.einsum("oj,anj->ano", Hs[0], prev)
+                    if Hs.shape[0] == 1
+                    else jnp.einsum("noj,anj->ano", Hs, prev)
+                )
+                b = b + corr
+            Ns.append(
+                _chain_solve_assoc(b, scans[i], T, lambda M: jnp.asarray(M, acc), True)
+                .reshape(P, R, n, -1)
+            )
+        Ncat = jnp.concatenate(Ns, axis=-1)
+
+    Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+    Y = apply(mats.Btot, X, fast=True, out_t=transpose_out)
+    Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=transpose_out)
+
+    if transpose_out:
+        y = Y.reshape(shape[:-2] + (n * T, R))
+        if pad:
+            y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-2)
+    else:
+        y = Y.reshape(shape[:-2] + (R, n * T))
+        if pad:
+            y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
+    return y
+
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                        matmul_dtype=None):
     """Whole-filter executor: one fused pass per scanned dimension."""
@@ -483,7 +580,38 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
         cdt = jnp.float32 if dtype == jnp.float16 else dtype
     x = x.astype(cdt)
     tiles = spec.tile_widths or (0,) * spec.ndim
-    for axis, ids in spec.scans_by_axis().items():
+    groups = spec.scans_by_axis()
+    nd = x.ndim
+    clamp = spec.border == BorderMode.CLAMP
+
+    # Transpose-chaining fast path: both scanned dims are the trailing two
+    # array axes. Process the LAST axis first (cross-dim scans commute),
+    # emit transposed, process the (new) last axis, emit transposed again —
+    # every pass contracts over lanes and no standalone relayout copy sits
+    # between the passes.
+    if set(groups) == {nd - 2, nd - 1} and nd >= 2:
+        order = [nd - 1, nd - 2]
+        plans = {}
+        ok = True
+        for ax in order:
+            sc = [spec.scans[i] for i in groups[ax]]
+            plans[ax] = _plan_tiles(
+                x.shape[-1] if ax == nd - 1 else x.shape[-2],
+                tiles[ax] or tile_default,
+                max(s.order for s in sc),
+                clamp,
+            )
+            ok = ok and plans[ax] is not None
+        if ok:
+            for ax in order:
+                sc = [spec.scans[i] for i in groups[ax]]
+                x = _last_axis_pass_t(
+                    x, sc, plans[ax], clamp, cdt, matmul_dtype,
+                    transpose_out=True,
+                )
+            return x.astype(dtype)
+
+    for axis, ids in groups.items():
         T = tiles[axis] or tile_default
         x = fused_dim_pass(
             x,
