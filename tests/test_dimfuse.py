@@ -205,3 +205,36 @@ def test_bf16_storage_mode():
     )
     want = _oracle_dim(x, list(spec.scans), BorderMode.ZERO)
     np.testing.assert_allclose(got, want, rtol=0.06, atol=0.06)
+
+
+def test_transpose_chaining_non_square_and_batch():
+    """The trailing-2-dims transpose-chaining path must be exact for
+    non-square images and leading batch axes."""
+    scans = (
+        Scan(1, True, 1.0, (0.5, 0.25)),
+        Scan(2, False, 1.0, (0.4, 0.1)),
+        Scan(2, True, 1.0, (0.3,)),
+    )
+    spec = FilterSpec(
+        "TC", (Dim("c", 3), Dim("y", 20), Dim("x", 28)), scans,
+        tile_widths=(0, 5, 7),
+    )
+    x = _img(3, 20, 28, seed=13)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_transpose_chaining_clamp_non_square():
+    spec = FilterSpec(
+        "TCC", (Dim("y", 18), Dim("x", 24)),
+        (
+            Scan(0, True, 0.9, (0.6, 0.25)),
+            Scan(1, False, 1.0, (0.5, 0.2)),
+        ),
+        border=BorderMode.CLAMP, tile_widths=(6, 8),
+    )
+    x = _img(18, 24, seed=14)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
