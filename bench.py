@@ -9,6 +9,11 @@ is the fraction of the HBM-bandwidth roofline achieved: the fused executor
 needs 2 HBM touches per pixel per dimension pass (2 passes, f32) = 16
 bytes/pixel; v5e HBM ≈ 819 GB/s → roofline ≈ 51.2 Gpix/s.
 
+Note: the chained fori_loop adds one full-image loop-carry copy per
+iteration (~0.09 ms at 4K, visible in xplane traces) that a production
+single-dispatch call does not pay — the reported number is therefore a
+conservative lower bound on single-call throughput.
+
 Timing methodology: host wall-clock over a remote/tunneled TPU is unreliable
 (dispatch may be lazy; fetches carry RPC latency), so iterations run INSIDE
 one jitted ``lax.fori_loop`` chaining each output into the next input, a
