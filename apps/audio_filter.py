@@ -43,8 +43,8 @@ def main():
             Ft = audio_filter_biquads(n, order, ns.tile, overlapped=True)
 
         image = rf.generate_random_image(n, lo=0, hi=1, seed=6)
-        Fn._image = image
-        Ft._image = image
+        Fn.set_image(image)
+        Ft.set_image(image)
         ms_naive = Fn.profile(ns.iter)
         ms_tiled = Ft.profile(ns.iter)
 

@@ -43,7 +43,7 @@ def main():
     fc = build()
 
     for f in fc:
-        f._image = image
+        f.set_image(image)
     out = G.run_cascade(fc, image)
 
     import jax

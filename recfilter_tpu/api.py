@@ -107,6 +107,19 @@ class RecFilter:
         self._cached_fn = None
         return self
 
+    def set_image(self, image):
+        """Bind (or rebind) the input image without redefining the filter —
+        the analog of re-setting an ImageParam (``lib/recfilter.h``)."""
+        if self._spec is not None:
+            expect = tuple(d.extent for d in self._spec.dims)
+            if tuple(np.asarray(image).shape[: len(expect)]) != expect:
+                raise ValueError(
+                    f"image shape {np.asarray(image).shape} does not match "
+                    f"dim extents {expect}"
+                )
+        self._image = image
+        return self
+
     def set_clamped_image_border(self):
         """Clamp out-of-range taps to the image edge
         (``lib/recfilter.cpp:252-258``). Must precede scan definitions."""
