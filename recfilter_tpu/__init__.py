@@ -19,7 +19,8 @@ Public surface mirrors the reference's ergonomics (``lib/recfilter.h``):
     out = F.realize()
 """
 
-from .spec import BorderMode, Dim, DimAndCausality, FilterSpec, Scan
+from .spec import (BorderMode, Dim, DimAndCausality, FilterSpec, Scan,
+                   spec_from_json, spec_to_json)
 from .iir import (
     gaussian_weights,
     integral_image_coeff,
@@ -50,6 +51,8 @@ __all__ = [
     "FilterSpec",
     "Scan",
     "BorderMode",
+    "spec_to_json",
+    "spec_from_json",
     "gaussian_weights",
     "integral_image_coeff",
     "overlap_feedback_coeff",

@@ -172,6 +172,51 @@ class FilterSpec:
         return out
 
 
+def spec_to_json(spec: FilterSpec) -> str:
+    """Serialize a FilterSpec to JSON — the persistence analog of the
+    reference's replayable schedule strings (``print_schedule``,
+    ``lib/recfilter.cpp:1034-1079``): the whole program is data and can be
+    stored/shipped/reloaded."""
+    import json
+
+    return json.dumps(
+        {
+            "name": spec.name,
+            "dims": [[d.name, d.extent] for d in spec.dims],
+            "scans": [
+                {
+                    "axis": s.axis,
+                    "causal": s.causal,
+                    "feedfwd": s.feedfwd,
+                    "feedback": list(s.feedback),
+                }
+                for s in spec.scans
+            ],
+            "border": spec.border,
+            "dtype": spec.dtype,
+            "tile_widths": list(spec.tile_widths),
+        }
+    )
+
+
+def spec_from_json(text: str) -> FilterSpec:
+    """Inverse of :func:`spec_to_json`."""
+    import json
+
+    d = json.loads(text)
+    return FilterSpec(
+        name=d["name"],
+        dims=tuple(Dim(n, e) for n, e in d["dims"]),
+        scans=tuple(
+            Scan(s["axis"], s["causal"], s["feedfwd"], tuple(s["feedback"]))
+            for s in d["scans"]
+        ),
+        border=d["border"],
+        dtype=d["dtype"],
+        tile_widths=tuple(d["tile_widths"]),
+    )
+
+
 def make_scan(spec: FilterSpec, dx: DimAndCausality, coeff) -> Scan:
     """Build a Scan from a (+dim / -dim) and a [b0, a1, ..., ak] list.
 

@@ -225,3 +225,19 @@ def test_overlap_backend_through_api():
     F.set_plan(backend="overlap_k")
     out2 = np.asarray(F.realize())
     np.testing.assert_allclose(out2, ref, rtol=1e-4)
+
+
+def test_spec_json_roundtrip():
+    from recfilter_tpu import spec_from_json, spec_to_json
+
+    F, _, _ = _sat()
+    text = spec_to_json(F.spec)
+    back = spec_from_json(text)
+    assert back == F.spec
+    # a reloaded spec executes identically
+    from recfilter_tpu import dimfuse
+
+    img = np.ones((16, 16), np.float32)
+    a = np.asarray(dimfuse.apply_filter_fused(F.spec, img))
+    b = np.asarray(dimfuse.apply_filter_fused(back, img))
+    np.testing.assert_array_equal(a, b)
