@@ -185,3 +185,54 @@ void rf_overlap_feedback(const double* a, int na, const double* b, int nb,
 }
 
 }  // extern "C"
+
+// ---- Image IO (demo/image_io.h analog): binary PPM/PGM ----
+//
+// Minimal, fast native readers/writers used by the Python package through
+// ctypes when present (utils/native.py); the pure-Python codec remains the
+// fallback and handles PNG.
+
+#include <cstdio>
+#include <cstdint>
+
+extern "C" {
+
+// Returns 0 on success. Reads header into w/h/channels; data must be
+// pre-sized to w*h*channels bytes by a first call with data == nullptr.
+int rf_ppm_read(const char* path, int* w, int* h, int* channels,
+                unsigned char* data) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return 1;
+    char magic[3] = {0};
+    int maxval = 0;
+    if (std::fscanf(f, "%2s", magic) != 1) { std::fclose(f); return 2; }
+    int nc;
+    if (magic[0] == 'P' && magic[1] == '6') nc = 3;
+    else if (magic[0] == 'P' && magic[1] == '5') nc = 1;
+    else { std::fclose(f); return 3; }
+    if (std::fscanf(f, "%d %d %d", w, h, &maxval) != 3) {
+        std::fclose(f); return 4;
+    }
+    std::fgetc(f);  // single whitespace after maxval
+    *channels = nc;
+    if (data) {
+        size_t need = static_cast<size_t>(*w) * *h * nc;
+        if (std::fread(data, 1, need, f) != need) { std::fclose(f); return 5; }
+    }
+    std::fclose(f);
+    return 0;
+}
+
+int rf_ppm_write(const char* path, int w, int h, int channels,
+                 const unsigned char* data) {
+    if (channels != 1 && channels != 3) return 3;
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return 1;
+    std::fprintf(f, "P%c\n%d %d\n255\n", channels == 3 ? '6' : '5', w, h);
+    size_t n = static_cast<size_t>(w) * h * channels;
+    size_t written = std::fwrite(data, 1, n, f);
+    std::fclose(f);
+    return written == n ? 0 : 2;
+}
+
+}  // extern "C"

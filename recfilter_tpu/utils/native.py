@@ -50,6 +50,14 @@ def _load() -> Optional[ctypes.CDLL]:
         _sig(lib.rf_gaussian_weights, [ctypes.c_double, ctypes.c_int, _D])
         _sig(lib.rf_overlap_feedback,
              [_D, ctypes.c_int, _D, ctypes.c_int, _D])
+        _U8 = ctypes.POINTER(ctypes.c_ubyte)
+        _I = ctypes.POINTER(ctypes.c_int)
+        lib.rf_ppm_read.argtypes = [ctypes.c_char_p, _I, _I, _I, _U8]
+        lib.rf_ppm_read.restype = ctypes.c_int
+        lib.rf_ppm_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8
+        ]
+        lib.rf_ppm_write.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -142,3 +150,41 @@ def overlap_feedback_coeff(a, b):
         a_p, len(a_arr), b_p, len(b_arr), out.ctypes.data_as(_D)
     )
     return list(out)
+
+
+def ppm_read(path: str) -> np.ndarray:
+    """Native binary PPM/PGM reader (``demo/image_io.h`` analog)."""
+    lib = _load()
+    assert lib is not None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.rf_ppm_read(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(c), None)
+    if rc:
+        raise IOError(f"rf_ppm_read({path}) header failed with code {rc}")
+    buf = np.empty(w.value * h.value * c.value, dtype=np.uint8)
+    rc = lib.rf_ppm_read(
+        path.encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc:
+        raise IOError(f"rf_ppm_read({path}) failed with code {rc}")
+    img = buf.reshape(h.value, w.value, c.value)
+    return img[:, :, 0] if c.value == 1 else img
+
+
+def ppm_write(path: str, image: np.ndarray) -> None:
+    """Native binary PPM/PGM writer."""
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(image, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    rc = lib.rf_ppm_write(
+        path.encode(), w, h, c,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc:
+        raise IOError(f"rf_ppm_write({path}) failed with code {rc}")

@@ -77,3 +77,18 @@ def test_overlap_feedback():
     want = iir.overlap_feedback_coeff(a, b)
     got = native.overlap_feedback_coeff(a, b)
     np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+
+
+def test_native_ppm_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    for shape in [(6, 9), (5, 4, 3)]:
+        a = (rng.random(shape) * 255).astype(np.uint8)
+        p = str(tmp_path / "n.ppm")
+        native.ppm_write(p, a)
+        b = native.ppm_read(p)
+        np.testing.assert_array_equal(a.reshape(b.shape), b)
+        # cross-check with the pure-python reader
+        from recfilter_tpu.utils import image_io
+
+        c = image_io.load_ppm(p, dtype=np.uint8)
+        np.testing.assert_array_equal(b, c)
