@@ -276,6 +276,16 @@ def prepare_dim_pass(
 # Device-side passes
 # ---------------------------------------------------------------------------
 
+def _matmul_precision(cdt, mmd):
+    """True-f32 matmuls when storage/compute is f32: XLA's default lowers
+    f32 dots to a few bf16 MXU passes (~1e-3..1e-2 relative error — far off
+    the float32 SNR bound the oracle suite guarantees). HIGHEST restores
+    f32-equivalent accuracy; bf16 modes keep the fast default."""
+    if mmd is not None or cdt in (jnp.bfloat16, jnp.float16):
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
 def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
     """Resolve (T, n, pad) for one dimension, or None when the blocked
     algebra cannot apply (order exceeds any legal tile; clamp with no exact
@@ -411,6 +421,7 @@ def fused_dim_pass(
     mmd = matmul_dtype
     # Accumulate matmuls in f32 even when storage/compute is bf16.
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
+    prec = _matmul_precision(cdt, mmd)
 
     def tile_mat_apply(Mstack, V, vdim_in, fast=False):
         """einsum over the tile axis: Mstack (n|1, out, in) × V.
@@ -423,9 +434,11 @@ def fused_dim_pass(
         Vc = V.astype(dt)
         if M.shape[0] == 1:
             eq = "os,ans->ano" if last else "os,ansb->anob"
-            return jnp.einsum(eq, M[0], Vc, preferred_element_type=acc)
+            return jnp.einsum(eq, M[0], Vc, preferred_element_type=acc,
+                              precision=prec)
         eq = "nos,ans->ano" if last else "nos,ansb->anob"
-        return jnp.einsum(eq, M, Vc, preferred_element_type=acc)
+        return jnp.einsum(eq, M, Vc, preferred_element_type=acc,
+                          precision=prec)
 
     # --- pass A: all local tails in ONE read of X -------------------------
     # (the raw G_i·x terms are independent of the solves; stacking the G
@@ -441,13 +454,15 @@ def fused_dim_pass(
         # stack; see combined_solve_matrix)
         CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
         if last:
-            Ncat = (braw.astype(acc).reshape(lead, n * S) @ CMfull.T).reshape(
-                lead, n, S
-            )
+            Ncat = jnp.einsum(
+                "ls,ts->lt", braw.astype(acc).reshape(lead, n * S), CMfull,
+                preferred_element_type=acc, precision=prec,
+            ).reshape(lead, n, S)
         else:
             bl = braw.astype(acc).reshape(lead, n * S, trail)
             Ncat = jnp.einsum(
-                "ts,asb->atb", CMfull, bl, preferred_element_type=acc
+                "ts,asb->atb", CMfull, bl, preferred_element_type=acc,
+                precision=prec,
             ).reshape(lead, n, S, trail)
         # --- pass B: one completion matmul + one carry injection ----------
         Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
@@ -504,6 +519,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
     P = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
     X = x.reshape(P, R, n, T).astype(cdt)
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
+    prec = _matmul_precision(cdt, mmd)
 
     def apply(Mstack, V, fast=False, out_t=False):
         dt = mmd if (fast and mmd is not None) else cdt
@@ -512,10 +528,12 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
         out = "pnor" if out_t else "prno"
         if M.shape[0] == 1:
             return jnp.einsum(
-                f"os,prns->{out}", M[0], Vc, preferred_element_type=acc
+                f"os,prns->{out}", M[0], Vc, preferred_element_type=acc,
+                precision=prec,
             )
         return jnp.einsum(
-            f"nos,prns->{out}", M, Vc, preferred_element_type=acc
+            f"nos,prns->{out}", M, Vc, preferred_element_type=acc,
+            precision=prec,
         )
 
     Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
@@ -524,8 +542,9 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
 
     if n <= _CHAIN_MATMUL_MAX_TILES:
         CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
-        Ncat = (
-            braw.astype(acc).reshape(P * R, n * S) @ CMfull.T
+        Ncat = jnp.einsum(
+            "ls,ts->lt", braw.astype(acc).reshape(P * R, n * S), CMfull,
+            preferred_element_type=acc, precision=prec,
         ).reshape(P, R, n, S)
     else:
         # associative fallback per scan (audio-scale) — reuse the 4-axis
