@@ -41,6 +41,15 @@ from . import dimfuse
 from .spec import BorderMode, FilterSpec, Scan
 
 
+def _prec(cdt):
+    """True-f32 matmuls (see dimfuse._matmul_precision)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if cdt not in (jnp.bfloat16, jnp.float16)
+        else None
+    )
+
+
 def _axis_prep(x, axis_a: int, axis_b: int, Ta: int, Tb: int):
     """Reshape x to the canonical 7-D (p, na, sa, q, nb, sb, r) view."""
     assert axis_a < axis_b
@@ -58,9 +67,9 @@ def _apply_a(Mstack, V, cdt):
     M = jnp.asarray(Mstack, dtype=cdt)
     if M.shape[0] == 1:
         return jnp.einsum("os,pasqbtr->paoqbtr", M[0], V,
-                          preferred_element_type=cdt)
+                          preferred_element_type=cdt, precision=_prec(cdt))
     return jnp.einsum("aos,pasqbtr->paoqbtr", M, V,
-                      preferred_element_type=cdt)
+                      preferred_element_type=cdt, precision=_prec(cdt))
 
 
 def _apply_b(Mstack, V, cdt):
@@ -68,16 +77,17 @@ def _apply_b(Mstack, V, cdt):
     M = jnp.asarray(Mstack, dtype=cdt)
     if M.shape[0] == 1:
         return jnp.einsum("ot,pasqbtr->pasqbor", M[0], V,
-                          preferred_element_type=cdt)
+                          preferred_element_type=cdt, precision=_prec(cdt))
     return jnp.einsum("bot,pasqbtr->pasqbor", M, V,
-                      preferred_element_type=cdt)
+                      preferred_element_type=cdt, precision=_prec(cdt))
 
 
 def _solve_chain_a(b, CM, cdt):
     """b: (p, na, k, q, nb, t, r) → N of the same shape (chain over na)."""
     p, na, k, q, nb, t, r = b.shape
     lines = jnp.moveaxis(b, (1, 2), (5, 6)).reshape(-1, na * k)
-    N = lines @ jnp.asarray(CM, dtype=cdt).T
+    N = jnp.einsum("ls,ts->lt", lines, jnp.asarray(CM, dtype=cdt),
+                   precision=_prec(cdt))
     N = N.reshape(p, q, nb, t, r, na, k)
     return jnp.moveaxis(N, (5, 6), (1, 2))
 
@@ -86,7 +96,8 @@ def _solve_chain_b(b, CM, cdt):
     """b: (p, na, s, q, nb, k, r) → N of the same shape (chain over nb)."""
     p, na, s, q, nb, k, r = b.shape
     lines = jnp.moveaxis(b, (4, 5), (5, 6)).reshape(-1, nb * k)
-    N = lines @ jnp.asarray(CM, dtype=cdt).T
+    N = jnp.einsum("ls,ts->lt", lines, jnp.asarray(CM, dtype=cdt),
+                   precision=_prec(cdt))
     N = N.reshape(p, na, s, q, r, nb, k)
     return jnp.moveaxis(N, (5, 6), (4, 5))
 

@@ -114,21 +114,28 @@ def blocked_scan_last_axis(
     xt = xt.reshape(L, n, T)
 
     # Local (incomplete) tails of every tile: b = PB @ x_t.
-    b = jnp.einsum("kt,lnt->lnk", PB, xt, preferred_element_type=cdt)
+    b = jnp.einsum("kt,lnt->lnk", PB, xt, preferred_element_type=cdt,
+                   precision=jax.lax.Precision.HIGHEST)
     if clamp_border:
         PBf = jnp.asarray(mats["PB_first"], dtype=cdt)
-        b0 = jnp.einsum("kt,lt->lk", PBf, xt[:, 0], preferred_element_type=cdt)
+        b0 = jnp.einsum("kt,lt->lk", PBf, xt[:, 0], preferred_element_type=cdt,
+                   precision=jax.lax.Precision.HIGHEST)
         b = b.at[:, 0, :].set(b0)
 
     # Incoming completed state of every tile in one matmul.
-    s_prev = (b.reshape(L, n * k) @ M.T).reshape(L, n, k)
+    s_prev = jnp.einsum(
+        "ls,ts->lt", b.reshape(L, n * k), M,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(L, n, k)
 
     # Completion: y_t = R @ s_prev_t + B @ x_t as a single fused matmul.
     z = jnp.concatenate([s_prev, xt], axis=-1)  # (L, n, k+T)
-    y = jnp.einsum("tz,lnz->lnt", RB, z, preferred_element_type=cdt)
+    y = jnp.einsum("tz,lnz->lnt", RB, z, preferred_element_type=cdt,
+                   precision=jax.lax.Precision.HIGHEST)
     if clamp_border:
         Bf = jnp.asarray(mats["B_first"], dtype=cdt)
-        y0 = jnp.einsum("ts,ls->lt", Bf, xt[:, 0], preferred_element_type=cdt)
+        y0 = jnp.einsum("ts,ls->lt", Bf, xt[:, 0], preferred_element_type=cdt,
+                   precision=jax.lax.Precision.HIGHEST)
         y = y.at[:, 0, :].set(y0)  # s_prev_0 == 0, so no R term for tile 0
 
     y = y.reshape(L, n * T)
