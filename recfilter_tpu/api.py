@@ -358,6 +358,9 @@ class RecFilter:
         return self._plan
 
     # Schedule-var handles (VarTag addressing, lib/recfilter.h:568-640).
+    def full(self, i: Optional[int] = None):
+        return planner.ScheduleVar("FULL", i)
+
     def inner(self, i: Optional[int] = None):
         return planner.ScheduleVar("INNER", i)
 

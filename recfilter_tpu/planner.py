@@ -153,6 +153,11 @@ class RecFilterSchedule:
     def fuse(self, a, b) -> "RecFilterSchedule":
         return self._rec(f"fuse({a}, {b})")
 
+    def rename(self, a, b=None) -> "RecFilterSchedule":
+        """Loop-variable rename (the reference builds gpu_blocks/threads as
+        parallel().rename(), ``lib/schedule.cpp:19-29``)."""
+        return self._rec(f"rename({a}, {b})")
+
     def reorder(self, *vars) -> "RecFilterSchedule":
         return self._rec(f"reorder{vars}")
 
