@@ -202,7 +202,9 @@ class RecFilter:
         if backend == "einsum":
             from . import dimfuse
 
-            return lambda x: dimfuse.apply_filter_fused(spec, x)
+            return lambda x: dimfuse.apply_filter_fused(
+                spec, x, matmul_precision=plan.matmul_precision
+            )
         if backend in ("overlap", "overlap_k"):
             from . import overlap2d
 

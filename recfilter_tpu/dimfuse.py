@@ -276,14 +276,20 @@ def prepare_dim_pass(
 # Device-side passes
 # ---------------------------------------------------------------------------
 
-def _matmul_precision(cdt, mmd):
+def _matmul_precision(cdt, mmd, choice: str = "highest"):
     """True-f32 matmuls when storage/compute is f32: XLA's default lowers
-    f32 dots to a few bf16 MXU passes (~1e-3..1e-2 relative error — far off
-    the float32 SNR bound the oracle suite guarantees). HIGHEST restores
-    f32-equivalent accuracy; bf16 modes keep the fast default."""
+    f32 dots to single-pass bf16 (~1e-2 relative error measured on chip —
+    far off the float32 SNR bound the oracle suite guarantees). HIGHEST
+    restores f32-equivalent accuracy (2e-7 measured) at ~2.7x matmul cost;
+    HIGH (3-pass) lands at ~3e-5 for nearly the same cost as HIGHEST here.
+    bf16 modes always use the fast path."""
     if mmd is not None or cdt in (jnp.bfloat16, jnp.float16):
         return None
-    return jax.lax.Precision.HIGHEST
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": None,
+    }[choice]
 
 
 def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
@@ -362,6 +368,7 @@ def fused_dim_pass(
     border: str = BorderMode.ZERO,
     compute_dtype=jnp.float32,
     matmul_dtype=None,
+    matmul_precision: str = "highest",
 ):
     """Apply all ``scans`` (same dimension) to ``x`` along ``axis``.
 
@@ -421,7 +428,7 @@ def fused_dim_pass(
     mmd = matmul_dtype
     # Accumulate matmuls in f32 even when storage/compute is bf16.
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
-    prec = _matmul_precision(cdt, mmd)
+    prec = _matmul_precision(cdt, mmd, matmul_precision)
 
     def tile_mat_apply(Mstack, V, vdim_in, fast=False):
         """einsum over the tile axis: Mstack (n|1, out, in) × V.
@@ -493,7 +500,8 @@ def fused_dim_pass(
 
 
 
-def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
+def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
+                      matmul_precision: str = "highest"):
     """One dimension pass along the LAST axis of (..., R, W), optionally
     emitting the result transposed as (..., W, R).
 
@@ -519,7 +527,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
     P = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
     X = x.reshape(P, R, n, T).astype(cdt)
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
-    prec = _matmul_precision(cdt, mmd)
+    prec = _matmul_precision(cdt, mmd, matmul_precision)
 
     def apply(Mstack, V, fast=False, out_t=False):
         dt = mmd if (fast and mmd is not None) else cdt
@@ -583,7 +591,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out):
     return y
 
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
-                       matmul_dtype=None):
+                       matmul_dtype=None, matmul_precision: str = "highest"):
     """Whole-filter executor: one fused pass per scanned dimension."""
     from . import scan_core
 
@@ -626,7 +634,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                 sc = [spec.scans[i] for i in groups[ax]]
                 x = _last_axis_pass_t(
                     x, sc, plans[ax], clamp, cdt, matmul_dtype,
-                    transpose_out=True,
+                    transpose_out=True, matmul_precision=matmul_precision,
                 )
             return x.astype(dtype)
 
@@ -640,5 +648,6 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             spec.border,
             compute_dtype=cdt,
             matmul_dtype=matmul_dtype,
+            matmul_precision=matmul_precision,
         )
     return x.astype(dtype)

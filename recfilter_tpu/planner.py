@@ -44,6 +44,9 @@ class Plan:
     seq_axis: Optional[int] = None  # array axis sharded over "seq" (scan dim)
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     matmul_dtype: str = "float32"  # bfloat16 = fast B matmuls, f32 accumulate
+    matmul_precision: str = "highest"  # highest | high | default (TPU f32
+    # dots default to single-pass bf16 at ~1e-2 rel error; highest restores
+    # true f32 at ~2.7x matmul cost)
 
     def with_(self, **kw) -> "Plan":
         return dataclasses.replace(self, **kw)
