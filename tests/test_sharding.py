@@ -129,3 +129,23 @@ def test_jitted_sharded_filter_gradient(devices):
     d[3, 17] = eps
     fd = (loss(img + d) - loss(img - d)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g)[3, 17], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_multichannel_audio_sharded(devices):
+    """BASELINE.json config: multi-channel audio IIR, channels + time-blocks
+    sharded across the mesh (channels=data, time=seq)."""
+    mesh = sharding.make_mesh((2, 4), ("data", "seq"))
+    n = 256
+    spec = FilterSpec(
+        "Audio", (Dim("c", 8), Dim("t", n)),
+        (Scan(1, True, 1.0, (0.9, -0.45)),),
+        tile_widths=(0, 16),
+    )
+    img = _img(8, n, seed=20)
+    got = np.asarray(
+        sharding.sharded_apply_filter(
+            spec, PLAN, mesh, img, data_axis=0, seq_axis=1
+        )
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
