@@ -13,6 +13,7 @@ surrounding kernels for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,8 +22,15 @@ from ..iir import integral_image_coeff
 from ..spec import Dim
 
 
-def _take_clamped(f, idx, axis):
-    return jnp.take(f, jnp.clip(idx, 0, f.shape[axis] - 1), axis=axis)
+def _shift_clamped(f, offset, axis):
+    """f[..., i+offset, ...] with edge clamping — static pad+slice (cheap on
+    TPU) instead of a gather."""
+    n = f.shape[axis]
+    lo, hi = max(offset, 0), max(-offset, 0)
+    pads = [(0, 0)] * f.ndim
+    pads[axis] = (hi, lo)
+    g = jnp.pad(f, pads, mode="edge")
+    return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
 def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 32):
@@ -42,17 +50,15 @@ def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 32):
 
     def fn(image):
         f = sat(image)
-        xs = jnp.arange(width)
-        ys = jnp.arange(height)
         # D(x,y) = [f(x+B, y+B) - f(x+B, y-B-1) + f(x-B-1, y-B-1)
         #           - f(x-B-1, y+B)] / (2B+1)^2        (box_filter.h:36-39)
-        fp = _take_clamped(f, ys + B, 0)
-        fm = _take_clamped(f, ys - B - 1, 0)
+        fp = _shift_clamped(f, B, 0)
+        fm = _shift_clamped(f, -B - 1, 0)
         d = (
-            _take_clamped(fp, xs + B, 1)
-            - _take_clamped(fm, xs + B, 1)
-            + _take_clamped(fm, xs - B - 1, 1)
-            - _take_clamped(fp, xs - B - 1, 1)
+            _shift_clamped(fp, B, 1)
+            - _shift_clamped(fm, B, 1)
+            + _shift_clamped(fm, -B - 1, 1)
+            - _shift_clamped(fp, -B - 1, 1)
         )
         return d / norm
 
@@ -84,9 +90,8 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 32):
     norm = float(2 * B + 1)
 
     def _diff(f, B, axis, extent):
-        idx = jnp.arange(extent)
         return (
-            _take_clamped(f, idx + B, axis) - _take_clamped(f, idx - B - 1, axis)
+            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
         ) / norm
 
     def fn(image):

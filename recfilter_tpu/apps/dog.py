@@ -16,21 +16,25 @@ from ..api import RecFilter
 from ..spec import Dim
 
 
-def _take_clamped(f, idx, axis):
-    return jnp.take(f, jnp.clip(idx, 0, f.shape[axis] - 1), axis=axis)
+def _shift_clamped(f, offset, axis):
+    """Static pad+slice shift with edge clamping (no gathers)."""
+    n = f.shape[axis]
+    lo, hi = max(offset, 0), max(-offset, 0)
+    pads = [(0, 0)] * f.ndim
+    pads[axis] = (hi, lo)
+    g = jnp.pad(f, pads, mode="edge")
+    return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
 def _diff_xy(f, B, width, height):
     """4-corner SAT differencing at radius B (``diff_gauss.cpp:29-38``)."""
-    xs = jnp.arange(width)
-    ys = jnp.arange(height)
-    fp = _take_clamped(f, ys + B, 0)
-    fm = _take_clamped(f, ys - B - 1, 0)
+    fp = _shift_clamped(f, B, 0)
+    fm = _shift_clamped(f, -B - 1, 0)
     return (
-        _take_clamped(fp, xs + B, 1)
-        - _take_clamped(fm, xs + B, 1)
-        + _take_clamped(fm, xs - B - 1, 1)
-        - _take_clamped(fp, xs - B - 1, 1)
+        _shift_clamped(fp, B, 1)
+        - _shift_clamped(fm, B, 1)
+        + _shift_clamped(fm, -B - 1, 1)
+        - _shift_clamped(fp, -B - 1, 1)
     ) / float((2 * B + 1) ** 2)
 
 
@@ -70,10 +74,8 @@ def difference_of_gaussians(
     sat2y = SAT2y.as_func()
 
     def _diff2(f, B, axis, extent, norm):
-        idx = jnp.arange(extent)
         return (
-            _take_clamped(f, idx + B, axis)
-            - _take_clamped(f, idx - B - 1, axis)
+            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
         ) / norm
 
     def fn(image):
