@@ -22,22 +22,15 @@ from ..iir import integral_image_coeff
 from ..spec import Dim
 
 
-def _padded_shifts(f, margins, mode="edge"):
-    """Pad once, slice many: returns (padded, shift) where shift(offsets)
-    is a static slice of the single padded buffer — XLA fuses the slices
-    and arithmetic into one traversal instead of one padded copy per
-    shifted term. ``margins`` is ((lo, hi), ...) per axis."""
-    pads = [(m[0], m[1]) for m in margins]
-    g = jnp.pad(f, pads, mode=mode)
-    shape = f.shape
-
-    def shift(*offsets):
-        starts = [m[0] + o for m, o in zip(margins, offsets)]
-        return jax.lax.slice(
-            g, starts, [s + n for s, n in zip(starts, shape)]
-        )
-
-    return shift
+def _shift_clamped(f, offset, axis):
+    """f[..., i+offset, ...] with edge clamping — static pad+slice (cheap on
+    TPU) instead of a gather."""
+    n = f.shape[axis]
+    lo, hi = max(offset, 0), max(-offset, 0)
+    pads = [(0, 0)] * f.ndim
+    pads[axis] = (hi, lo)
+    g = jnp.pad(f, pads, mode="edge")
+    return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
 def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 32):
@@ -59,9 +52,13 @@ def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 32):
         f = sat(image)
         # D(x,y) = [f(x+B, y+B) - f(x+B, y-B-1) + f(x-B-1, y-B-1)
         #           - f(x-B-1, y+B)] / (2B+1)^2        (box_filter.h:36-39)
-        s = _padded_shifts(f, ((B + 1, B), (B + 1, B)))
+        fp = _shift_clamped(f, B, 0)
+        fm = _shift_clamped(f, -B - 1, 0)
         d = (
-            s(B, B) - s(-B - 1, B) + s(-B - 1, -B - 1) - s(B, -B - 1)
+            _shift_clamped(fp, B, 1)
+            - _shift_clamped(fm, B, 1)
+            + _shift_clamped(fm, -B - 1, 1)
+            - _shift_clamped(fp, -B - 1, 1)
         )
         return d / norm
 
@@ -93,14 +90,9 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 32):
     norm = float(2 * B + 1)
 
     def _diff(f, B, axis, extent):
-        margins = [(0, 0)] * f.ndim
-        margins[axis] = (B + 1, B)
-        s = _padded_shifts(f, margins)
-        offs_hi = [0] * f.ndim
-        offs_lo = [0] * f.ndim
-        offs_hi[axis] = B
-        offs_lo[axis] = -B - 1
-        return (s(*offs_hi) - s(*offs_lo)) / norm
+        return (
+            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
+        ) / norm
 
     def fn(image):
         # x: 2nd-order integral then two differencing passes

@@ -16,14 +16,25 @@ from ..api import RecFilter
 from ..spec import Dim
 
 
-from .box import _padded_shifts
+def _shift_clamped(f, offset, axis):
+    """Static pad+slice shift with edge clamping (no gathers)."""
+    n = f.shape[axis]
+    lo, hi = max(offset, 0), max(-offset, 0)
+    pads = [(0, 0)] * f.ndim
+    pads[axis] = (hi, lo)
+    g = jnp.pad(f, pads, mode="edge")
+    return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
 def _diff_xy(f, B, width, height):
     """4-corner SAT differencing at radius B (``diff_gauss.cpp:29-38``)."""
-    s = _padded_shifts(f, ((B + 1, B), (B + 1, B)))
+    fp = _shift_clamped(f, B, 0)
+    fm = _shift_clamped(f, -B - 1, 0)
     return (
-        s(B, B) - s(-B - 1, B) + s(-B - 1, -B - 1) - s(B, -B - 1)
+        _shift_clamped(fp, B, 1)
+        - _shift_clamped(fm, B, 1)
+        + _shift_clamped(fm, -B - 1, 1)
+        - _shift_clamped(fp, -B - 1, 1)
     ) / float((2 * B + 1) ** 2)
 
 
@@ -63,14 +74,9 @@ def difference_of_gaussians(
     sat2y = SAT2y.as_func()
 
     def _diff2(f, B, axis, extent, norm):
-        margins = [(0, 0)] * f.ndim
-        margins[axis] = (B + 1, B)
-        s = _padded_shifts(f, margins)
-        hi = [0] * f.ndim
-        lo = [0] * f.ndim
-        hi[axis] = B
-        lo[axis] = -B - 1
-        return (s(*hi) - s(*lo)) / norm
+        return (
+            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
+        ) / norm
 
     def fn(image):
         v = image.astype(jnp.float32)
