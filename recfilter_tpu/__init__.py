@@ -32,6 +32,7 @@ from .iir import (
     reference_gaussian,
 )
 from .api import RecFilter
+from .planner import Plan, set_default_matmul_precision
 from .utils.args import Arguments
 from .utils.testing import (
     CheckResult,
@@ -44,6 +45,8 @@ RecFilterDimAndCausality = DimAndCausality  # (lib/recfilter.h:98)
 
 __all__ = [
     "RecFilter",
+    "Plan",
+    "set_default_matmul_precision",
     "RecFilterDim",
     "RecFilterDimAndCausality",
     "Dim",

@@ -31,6 +31,18 @@ from typing import List, Optional, Tuple
 from .spec import FilterSpec
 
 
+_DEFAULT_MATMUL_PRECISION = ["highest"]
+
+
+def set_default_matmul_precision(p: str) -> None:
+    """Process-wide default for Plan.matmul_precision
+    ("highest" | "high" | "default"). Composite apps build internal filters
+    with fresh Plans; this is how a benchmark or serving config switches
+    them all to the fast modes at once."""
+    assert p in ("highest", "high", "default")
+    _DEFAULT_MATMUL_PRECISION[0] = p
+
+
 @dataclasses.dataclass(frozen=True)
 class Plan:
     """Static execution plan for a filter (hashable; jit-static)."""
@@ -44,9 +56,10 @@ class Plan:
     seq_axis: Optional[int] = None  # array axis sharded over "seq" (scan dim)
     interpret: bool = False  # pallas interpreter mode (CPU tests)
     matmul_dtype: str = "float32"  # bfloat16 = fast B matmuls, f32 accumulate
-    matmul_precision: str = "highest"  # highest | high | default (TPU f32
-    # dots default to single-pass bf16 at ~1e-2 rel error; highest restores
-    # true f32 at ~2.7x matmul cost)
+    matmul_precision: str = dataclasses.field(
+        default_factory=lambda: _DEFAULT_MATMUL_PRECISION[0]
+    )  # highest | high | default (TPU f32 dots default to single-pass bf16
+    # at ~1e-2 rel error; highest restores true f32 at ~2.7x matmul cost)
 
     def with_(self, **kw) -> "Plan":
         return dataclasses.replace(self, **kw)
