@@ -449,12 +449,23 @@ def fused_dim_pass(
 
     # --- pass A: all local tails in ONE read of X -------------------------
     # (the raw G_i·x terms are independent of the solves; stacking the G
-    # rows turns m reads of X into one)
+    # rows turns m reads of X into one; rows are zero-padded to >= 8 so XLA
+    # lowers the contraction as a dot — below 8 output rows it emits a
+    # broadcast+reduce chain costing one full-size stream per row)
     Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
-    braw = tile_mat_apply(Gcat, X, T, fast=True)  # (a, n, ΣK, b)
+    if Gcat.shape[1] < 8:
+        padg = np.zeros(
+            (Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2])
+        )
+        Gcat = np.concatenate([Gcat, padg], axis=1)
+    braw = tile_mat_apply(Gcat, X, T, fast=True)  # (a, n, >=ΣK, b)
     offs = np.cumsum([0] + mats.orders)
 
     S = int(sum(mats.orders))
+    if braw.shape[2] != S:
+        braw = (
+            braw[:, :, :S] if last else braw[:, :, :S, :]
+        )
     if n <= _CHAIN_MATMUL_MAX_TILES:
         # --- every scan's solve + H-couplings as ONE matmul ---------------
         # (per-op dispatch overhead dominates carry-sized work on this
@@ -545,8 +556,11 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
         )
 
     Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
-    braw = apply(Gcat, X, fast=True)  # (P, R, n, S)
     S = int(sum(mats.orders))
+    if Gcat.shape[1] < 8:
+        padg = np.zeros((Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2]))
+        Gcat = np.concatenate([Gcat, padg], axis=1)
+    braw = apply(Gcat, X, fast=True)[..., :S]  # (P, R, n, S)
 
     if n <= _CHAIN_MATMUL_MAX_TILES:
         CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
