@@ -24,12 +24,18 @@ from ..spec import Dim
 
 def _shift_clamped(f, offset, axis):
     """f[..., i+offset, ...] with edge clamping — static pad+slice (cheap on
-    TPU) instead of a gather."""
+    TPU) instead of a gather.
+
+    Negative offsets read toward the array start, where the apps' zeroed
+    input margins (``box_filter.h:9-11``) make the integral-image values 0 —
+    so the pad may be constant-0 there (constant pads fuse better than
+    edge-mode). Positive offsets clamp to the far edge, whose integral
+    values are real totals, so edge mode is required."""
     n = f.shape[axis]
     lo, hi = max(offset, 0), max(-offset, 0)
     pads = [(0, 0)] * f.ndim
     pads[axis] = (hi, lo)
-    g = jnp.pad(f, pads, mode="edge")
+    g = jnp.pad(f, pads, mode="edge" if offset > 0 else "constant")
     return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
