@@ -11,7 +11,11 @@ module is the capability it lacks, built the TPU way:
     carries (k·lines floats — tiny vs the data), and a rank-k correction
     completes the local segments. This is ``lib/split.cpp``'s tile algebra
     with "tile" = "device segment" and the carry recurrence solved from an
-    ``all_gather`` of carries (log-depth over ICI) instead of a serial loop.
+    ``all_gather`` of carries (log-depth over ICI) instead of a serial
+    loop. All of a dimension's scans share ONE exchange: the cross-scan
+    couplings (dimfuse's G/H identities) are folded into a combined
+    device-level solve matrix, so an m-scan dimension costs one collective,
+    not m.
 
 Everything is built on ``shard_map`` over a ``jax.sharding.Mesh`` so the same
 code runs on a real pod slice or on the 8-virtual-device CPU mesh used in
@@ -46,70 +50,6 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
-# ---------------------------------------------------------------------------
-# Device-level carry algebra (segment ≙ tile, device ≙ tile index)
-# ---------------------------------------------------------------------------
-
-
-def _device_chain(feedback, seg_width: int, num_devices: int, causal: bool):
-    """Per-scan static matrices for cross-device carry completion.
-
-    Returns (RN_dev, C):
-      RN_dev (seg_width, k): correction matrix, natural order, direction baked
-      C (D, D, k, k): C[d, i] maps device i's natural boundary carry to
-        device d's incoming true state; zero where no dependence.
-    Natural carries match the kernel convention: causal → last k outputs
-    ascending; anticausal → first k outputs ascending.
-    """
-    k = len(tuple(feedback))
-    D = int(num_devices)
-    W = coeffs.tail_weight_matrix(feedback, seg_width)  # true-state space
-    Jk = coeffs.antidiagonal(k)
-    R = coeffs.state_matrix(feedback, seg_width)
-    powers = [np.eye(k)]
-    for _ in range(D):
-        powers.append(W @ powers[-1])
-    C = np.zeros((D, D, k, k))
-    if causal:
-        RN = R
-        for d in range(D):
-            for i in range(d):
-                C[d, i] = powers[d - 1 - i] @ Jk
-    else:
-        RN = R[::-1, :]
-        # The natural first-k-ascending carry IS the true-state vector in
-        # flipped coordinates (the two reversals cancel), so no Jk here.
-        for d in range(D):
-            for i in range(d + 1, D):
-                C[d, i] = powers[i - 1 - d]
-    return RN, C
-
-
-def _seq_scan_local(y_loc, axis, scan, seg_width, num_devices, axis_name):
-    """Inside shard_map: complete one scan across the ``axis_name`` mesh axis.
-
-    ``y_loc`` is the device-local result of the scan run with zero incoming
-    state. Exchanges order-k carries and applies the rank-k correction.
-    """
-    k = scan.order
-    RN, C = _device_chain(scan.feedback, seg_width, num_devices, scan.causal)
-    RN = jnp.asarray(RN, dtype=y_loc.dtype)
-    C = jnp.asarray(C, dtype=y_loc.dtype)
-
-    ym = jnp.moveaxis(y_loc, axis, -1)  # (..., seg)
-    if scan.causal:
-        c = ym[..., seg_width - k :]
-    else:
-        c = ym[..., :k]
-    # (D, ..., k) — tiny: k values per line per device.
-    allc = jax.lax.all_gather(c, axis_name, axis=0)
-    d = jax.lax.axis_index(axis_name)
-    Crow = jnp.take(C, d, axis=0)  # (D, k, k)
-    s = jnp.einsum("dij,d...j->...i", Crow, allc)  # incoming true state
-    corr = jnp.einsum("tk,...k->...t", RN, s)
-    return jnp.moveaxis(ym + corr, -1, axis)
-
-
 def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret):
     """Device-local dimension pass with the chosen backend."""
     from .. import dimfuse, scan_core
@@ -127,6 +67,100 @@ def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret):
             x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
         )
     return x
+
+
+
+
+# ---------------------------------------------------------------------------
+# Combined per-dimension exchange: one collective for all of a dim's scans
+# ---------------------------------------------------------------------------
+
+
+def _apply_scan_cols(M: np.ndarray, scan, seg: int) -> np.ndarray:
+    """Apply ``scan`` (zero border) down the columns of a (seg, q) block —
+    host-side, used to evolve segment-level correction columns."""
+    from .. import scan_core
+
+    return scan_core.oracle_apply_scan(
+        M, 0, scan.causal, scan.feedfwd, list(scan.feedback), "zero"
+    )
+
+
+def _segment_dim_mats(scans, seg: int, D: int):
+    """Device-level matrices for the combined exchange — the dimfuse algebra
+    with "tile" = "device segment", built column-wise (никогда a seg×seg
+    matrix): per-scan natural correction columns Rhat (seg, k_i) evolved
+    through the later scans, cross-scan couplings H, and the combined
+    block-triangular solve over devices (see dimfuse.combined_solve_matrix).
+    """
+    from .. import dimfuse
+
+    m = len(scans)
+    orders = [s.order for s in scans]
+    cols = [None] * m  # RN_i evolved through scans applied so far
+    H = [[None] * m for _ in range(m)]
+    for i, s in enumerate(scans):
+        k = s.order
+        R = coeffs.state_matrix(s.feedback, seg)
+        Jk = coeffs.antidiagonal(k)
+        RN = R @ Jk if s.causal else R[::-1, :]
+        # evolve earlier scans' columns through scan i and record couplings
+        for j in range(i):
+            evolved = _apply_scan_cols(cols[j], s, seg)
+            if s.causal:
+                H[i][j] = evolved[seg - k :, :][None]  # (1, k_i, k_j)
+            else:
+                H[i][j] = evolved[:k, :][None]
+            cols[j] = evolved
+        cols[i] = RN
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.orders = orders
+    shim.H = H
+    shim.CM = [dimfuse._chain_matrix(s, seg, D) for s in scans]
+    CMfull = dimfuse.combined_solve_matrix(shim, D)
+    Rcat = np.concatenate(cols, axis=1)  # (seg, ΣK) final-output corrections
+    return CMfull, Rcat, orders
+
+
+def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
+                           backend, interpret):
+    """All of one dimension's scans with a SINGLE carry exchange.
+
+    Each device runs the zero-state local cascade scan by scan, recording
+    every scan's natural boundary carry along the way; one ``all_gather``
+    moves the stacked carries; the combined device-level solve and a single
+    rank-ΣK correction complete all scans at once.
+    """
+    scans = [spec.scans[i] for i in scan_ids]
+    seg = y.shape[axis]
+    CMfull, Rcat, orders = _segment_dim_mats(scans, seg, D)
+    S = int(sum(orders))
+
+    cs = []
+    for idx, s in zip(scan_ids, scans):
+        y = _local_apply_dim(y, spec, axis, [idx], tile_width, backend,
+                             interpret)
+        ym = jnp.moveaxis(y, axis, -1)
+        k = s.order
+        c = ym[..., seg - k :] if s.causal else ym[..., :k]
+        cs.append(c)
+    ccat = jnp.concatenate(cs, axis=-1)  # (..., S) natural, scan-ordered
+
+    allc = jax.lax.all_gather(ccat, name, axis=0)  # (D, ..., S)
+    d = jax.lax.axis_index(name)
+    CM = jnp.asarray(CMfull, dtype=y.dtype)  # (D·S, D·S)
+    # this device's row block maps ALL devices' raw carries to its N vector
+    rows = jax.lax.dynamic_slice_in_dim(CM, d * S, S, axis=0)  # (S, D·S)
+    flat = jnp.moveaxis(allc, 0, -2)  # (..., D, S)
+    flat = flat.reshape(flat.shape[:-2] + (D * S,))
+    N = jnp.einsum("sz,...z->...s", rows, flat)
+    corr = jnp.einsum("tk,...k->...t", jnp.asarray(Rcat, dtype=y.dtype), N)
+    ym = jnp.moveaxis(y, axis, -1) + corr
+    return jnp.moveaxis(ym, -1, axis)
 
 
 def sharded_apply_filter(
@@ -180,15 +214,13 @@ def sharded_apply_filter(
             T = min(T, y.shape[ax])
             name, D = shard_of.get(ax, (None, 1))
             if D > 1:
-                # Scanned axis is sharded: every scan needs its order-k
-                # boundary carries completed across that mesh axis.
-                seg = y.shape[ax]
-                for i in ids:
-                    s = spec.scans[i]
-                    y = _local_apply_dim(
-                        y, spec, ax, [i], T, backend, interpret
-                    )
-                    y = _seq_scan_local(y, ax, s, seg, D, name)
+                # Scanned axis is sharded: one combined carry exchange
+                # completes ALL of the dimension's scans (the dimfuse
+                # algebra at device level; one all_gather instead of one
+                # per scan).
+                y = _seq_dim_pass_combined(
+                    y, ax, spec, ids, T, D, name, backend, interpret
+                )
             else:
                 y = _local_apply_dim(y, spec, ax, ids, T, backend, interpret)
         return y.astype(jnp.dtype(spec.dtype))
