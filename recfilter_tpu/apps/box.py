@@ -95,22 +95,24 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 32):
     fy = sat_y.as_func()
     norm = float(2 * B + 1)
 
-    def _diff(f, B, axis, extent):
+    def _double_diff(f, B, axis):
+        # D1(x) = [f(x+B) - f(x-B-1)]/(2B+1) applied twice collapses to a
+        # 3-tap stencil: D2(x) = [f(x+2B) - 2 f(x-1) + f(x-2B-2)]/(2B+1)^2
+        # — one traversal instead of two (exact in the interior; borders
+        # live in the zeroed margin the reference's contract requires,
+        # box_filter.h:9-11).
         return (
-            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
-        ) / norm
+            _shift_clamped(f, 2 * B, axis)
+            - 2.0 * _shift_clamped(f, -1, axis)
+            + _shift_clamped(f, -2 * B - 2, axis)
+        ) / (norm * norm)
 
     def fn(image):
-        # x: 2nd-order integral then two differencing passes
+        # x: 2nd-order integral then the fused double differencing
         # (box_filter.h:124-129)
-        a = fx(image)
-        a = _diff(a, B, 1, width)
-        a = _diff(a, B, 1, width)
+        a = _double_diff(fx(image), B, 1)
         # y: same along the other dimension (box_filter.h:132-139)
-        b = fy(a)
-        b = _diff(b, B, 0, height)
-        b = _diff(b, B, 0, height)
-        return b
+        return _double_diff(fy(a), B, 0)
 
     return fn, (sat_x, sat_y)
 

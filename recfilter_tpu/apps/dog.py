@@ -80,10 +80,13 @@ def difference_of_gaussians(
     SAT2y.split(y, tile_width)
     sat2y = SAT2y.as_func()
 
-    def _diff2(f, B, axis, extent, norm):
+    def _ddiff(f, B, axis, norm):
+        # fused double differencing (see box.py:_double_diff)
         return (
-            _shift_clamped(f, B, axis) - _shift_clamped(f, -B - 1, axis)
-        ) / norm
+            _shift_clamped(f, 2 * B, axis)
+            - 2.0 * _shift_clamped(f, -1, axis)
+            + _shift_clamped(f, -2 * B - 2, axis)
+        ) / (norm * norm)
 
     def fn(image):
         v = image.astype(jnp.float32)
@@ -95,17 +98,13 @@ def difference_of_gaussians(
         s2x = sat2x(box1)
         box2x = jnp.stack(
             [
-                _diff2(_diff2(s2x[0], B1, 1, width, float(2 * B1 + 1)), B1, 1,
-                       width, float(2 * B1 + 1)),
-                _diff2(_diff2(s2x[1], B2, 1, width, float(2 * B2 + 1)), B2, 1,
-                       width, float(2 * B2 + 1)),
+                _ddiff(s2x[0], B1, 1, float(2 * B1 + 1)),
+                _ddiff(s2x[1], B2, 1, float(2 * B2 + 1)),
             ]
         )
         s2y = sat2y(box2x)
-        g1 = _diff2(_diff2(s2y[0], B1, 0, height, float(2 * B1 + 1)), B1, 0,
-                    height, float(2 * B1 + 1))
-        g2 = _diff2(_diff2(s2y[1], B2, 0, height, float(2 * B2 + 1)), B2, 0,
-                    height, float(2 * B2 + 1))
+        g1 = _ddiff(s2y[0], B1, 0, float(2 * B1 + 1))
+        g2 = _ddiff(s2y[1], B2, 0, float(2 * B2 + 1))
         return g1 - g2
 
     return jax.jit(fn)
