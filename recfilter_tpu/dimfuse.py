@@ -511,16 +511,20 @@ def fused_dim_pass(
 
 
 
-def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
+def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                       matmul_precision: str = "highest"):
-    """One dimension pass along the LAST axis of (..., R, W), optionally
-    emitting the result transposed as (..., W, R).
+    """One dimension pass along the LAST axis, optionally emitting the result
+    with the trailing ``rot_axes`` axes rotated one step: the scanned axis
+    moves to position ``-rot_axes`` and the other trailing axes shift right.
 
-    The transposed emission rides the completion matmuls' output ordering
-    (free in the dot epilogue), so chaining two of these processes both
+    The rotated emission rides the completion matmuls' output ordering (free
+    in the dot epilogue), so chaining ``D`` of these processes all ``D``
     trailing dimensions entirely in fast lanes-contraction form with no
-    standalone relayout copy between them — the transpose-chaining executor
-    used by :func:`apply_filter_fused` for images.
+    standalone relayout copy between passes, and after ``D`` passes the axis
+    order is restored exactly — the transpose-chaining executor used by
+    :func:`apply_filter_fused` for images (D=2) and volumes (D=3).
+
+    ``rot_axes=1`` emits in place (no rotation).
     """
     T, n, pad = plan
     m = len(scans)
@@ -534,9 +538,13 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
         x = jnp.pad(x, pads)
 
     shape = x.shape
-    R = shape[-2]
-    P = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
-    X = x.reshape(P, R, n, T).astype(cdt)
+    nrow = max(rot_axes - 1, 1)          # distinct row axes kept in einsums
+    rows = shape[-1 - nrow : -1]         # trailing row-axis sizes
+    rl = "qruvw"[:nrow]                  # einsum letters for the row axes
+    lead = shape[: -1 - nrow]
+    P = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    PR = P * int(np.prod(rows, dtype=np.int64))
+    X = x.reshape((P,) + tuple(rows) + (n, T)).astype(cdt)
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
 
@@ -544,14 +552,14 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
         dt = mmd if (fast and mmd is not None) else cdt
         M = jnp.asarray(np.asarray(Mstack), dtype=dt)
         Vc = V.astype(dt)
-        out = "pnor" if out_t else "prno"
+        out = f"pno{rl}" if out_t else f"p{rl}no"
         if M.shape[0] == 1:
             return jnp.einsum(
-                f"os,prns->{out}", M[0], Vc, preferred_element_type=acc,
+                f"os,p{rl}ns->{out}", M[0], Vc, preferred_element_type=acc,
                 precision=prec,
             )
         return jnp.einsum(
-            f"nos,prns->{out}", M, Vc, preferred_element_type=acc,
+            f"nos,p{rl}ns->{out}", M, Vc, preferred_element_type=acc,
             precision=prec,
         )
 
@@ -560,23 +568,23 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
     if Gcat.shape[1] < 8:
         padg = np.zeros((Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2]))
         Gcat = np.concatenate([Gcat, padg], axis=1)
-    braw = apply(Gcat, X, fast=True)[..., :S]  # (P, R, n, S)
+    braw = apply(Gcat, X, fast=True)[..., :S]  # (P, *rows, n, S)
 
     if n <= _CHAIN_MATMUL_MAX_TILES:
         CMfull = jnp.asarray(combined_solve_matrix(mats, n), dtype=acc)
         Ncat = jnp.einsum(
-            "ls,ts->lt", braw.astype(acc).reshape(P * R, n * S), CMfull,
+            "ls,ts->lt", braw.astype(acc).reshape(PR, n * S), CMfull,
             preferred_element_type=acc, precision=prec,
-        ).reshape(P, R, n, S)
+        ).reshape((P,) + tuple(rows) + (n, S))
     else:
         # associative fallback per scan (audio-scale) — reuse the 4-axis
-        # solver by treating R as the batch axis
+        # solver by treating the row axes as the batch axis
         offs = np.cumsum([0] + mats.orders)
         Ns = []
         for i in range(m):
-            b = braw[..., offs[i] : offs[i + 1]].reshape(P * R, n, -1)
+            b = braw[..., offs[i] : offs[i + 1]].reshape(PR, n, -1)
             for j in range(i):
-                prev = Ns[j].reshape(P * R, n, -1)
+                prev = Ns[j].reshape(PR, n, -1)
                 Hs = jnp.asarray(np.asarray(mats.H[i][j]), dtype=cdt)
                 corr = (
                     jnp.einsum("oj,anj->ano", Hs[0], prev)
@@ -586,20 +594,21 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, transpose_out,
                 b = b + corr
             Ns.append(
                 _chain_solve_assoc(b, scans[i], T, lambda M: jnp.asarray(M, acc), True)
-                .reshape(P, R, n, -1)
+                .reshape((P,) + tuple(rows) + (n, -1))
             )
         Ncat = jnp.concatenate(Ns, axis=-1)
 
     Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
-    Y = apply(mats.Btot, X, fast=True, out_t=transpose_out)
-    Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=transpose_out)
+    rot = rot_axes >= 2
+    Y = apply(mats.Btot, X, fast=True, out_t=rot)
+    Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=rot)
 
-    if transpose_out:
-        y = Y.reshape(shape[:-2] + (n * T, R))
+    if rot:
+        y = Y.reshape(lead + (n * T,) + tuple(rows))
         if pad:
-            y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-2)
+            y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1 - nrow)
     else:
-        y = Y.reshape(shape[:-2] + (R, n * T))
+        y = Y.reshape(lead + tuple(rows) + (n * T,))
         if pad:
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
     return y
@@ -625,19 +634,21 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     nd = x.ndim
     clamp = spec.border == BorderMode.CLAMP
 
-    # Transpose-chaining fast path: both scanned dims are the trailing two
-    # array axes. Process the LAST axis first (cross-dim scans commute),
-    # emit transposed, process the (new) last axis, emit transposed again —
-    # every pass contracts over lanes and no standalone relayout copy sits
-    # between the passes.
-    if set(groups) == {nd - 2, nd - 1} and nd >= 2:
-        order = [nd - 1, nd - 2]
+    # Rotation-chaining fast path: the scanned dims are the trailing D>=2
+    # array axes. Process the LAST axis first (cross-dim scans commute) and
+    # emit with the trailing-D group rotated one step, so the next scanned
+    # dim lands on the last axis; after D passes the axis order is restored
+    # exactly. Every pass contracts over lanes and no standalone relayout
+    # copy sits between the passes (D=2: images; D=3: volumes).
+    Ds = len(groups)
+    if 2 <= Ds <= 5 and set(groups) == set(range(nd - Ds, nd)):
+        order = [nd - 1 - i for i in range(Ds)]
         plans = {}
         ok = True
         for ax in order:
             sc = [spec.scans[i] for i in groups[ax]]
             plans[ax] = _plan_tiles(
-                x.shape[-1] if ax == nd - 1 else x.shape[-2],
+                x.shape[ax],
                 tiles[ax] or tile_default,
                 max(s.order for s in sc),
                 clamp,
@@ -648,7 +659,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                 sc = [spec.scans[i] for i in groups[ax]]
                 x = _last_axis_pass_t(
                     x, sc, plans[ax], clamp, cdt, matmul_dtype,
-                    transpose_out=True, matmul_precision=matmul_precision,
+                    rot_axes=Ds, matmul_precision=matmul_precision,
                 )
             return x.astype(dtype)
 

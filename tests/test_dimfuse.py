@@ -238,3 +238,58 @@ def test_transpose_chaining_clamp_non_square():
     got = np.asarray(dimfuse.apply_filter_fused(spec, x))
     want = scan_core.oracle_apply(spec, x).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rotation_chaining_3d_volume():
+    """Trailing-3-dims rotation chaining (volumes): after three rotated
+    passes the axis order must be restored exactly and match the oracle."""
+    scans = (
+        Scan(1, True, 1.0, (0.5, 0.2)),
+        Scan(1, False, 1.0, (0.5, 0.2)),
+        Scan(2, True, 1.0, (0.4,)),
+        Scan(2, False, 1.0, (0.4,)),
+        Scan(3, True, 0.9, (0.3, 0.1)),
+    )
+    spec = FilterSpec(
+        "R3", (Dim("c", 2), Dim("z", 15), Dim("y", 21), Dim("x", 27)), scans,
+        tile_widths=(0, 5, 7, 9),
+    )
+    x = _img(2, 15, 21, 27, seed=15)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rotation_chaining_3d_clamp():
+    spec = FilterSpec(
+        "R3C", (Dim("z", 12), Dim("y", 18), Dim("x", 24)),
+        (
+            Scan(0, True, 1.0, (0.5,)),
+            Scan(1, False, 1.0, (0.4,)),
+            Scan(2, True, 0.9, (0.6, 0.2)),
+        ),
+        border=BorderMode.CLAMP, tile_widths=(6, 6, 8),
+    )
+    x = _img(12, 18, 24, seed=16)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rotation_chaining_4d():
+    """Four scanned trailing dims rotate through four passes and restore."""
+    spec = FilterSpec(
+        "R4",
+        (Dim("b", 2), Dim("w", 10), Dim("z", 12), Dim("y", 14), Dim("x", 16)),
+        (
+            Scan(1, True, 1.0, (0.5,)),
+            Scan(2, False, 1.0, (0.4,)),
+            Scan(3, True, 1.0, (0.3, 0.1)),
+            Scan(4, False, 1.0, (0.6,)),
+        ),
+        tile_widths=(0, 5, 6, 7, 8),
+    )
+    x = _img(2, 10, 12, 14, 16, seed=17)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
