@@ -21,7 +21,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iterations-of-box", type=int, default=1, choices=[1, 3, 6])
     p.add_argument("--width", "-w", type=int, default=4096)
-    p.add_argument("--tile", "-t", type=int, default=32)
+    p.add_argument("--tile", "-t", type=int, default=0,
+                   help="tile width (0 = auto: 128 on TPU, 32 on CPU)")
     p.add_argument("--iter", "-i", type=int, default=1)
     p.add_argument("--radius", "-B", type=int, default=5)
     p.add_argument("--nocheck", action="store_true")

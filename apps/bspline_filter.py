@@ -22,7 +22,8 @@ def main():
     p.add_argument("--variant", default="bicubic",
                    choices=["bicubic", "biquintic", "biquintic_cascaded"])
     p.add_argument("--width", "-w", type=int, default=4096)
-    p.add_argument("--tile", "-t", type=int, default=32)
+    p.add_argument("--tile", "-t", type=int, default=0,
+                   help="tile width (0 = auto: 128 on TPU, 32 on CPU)")
     p.add_argument("--iter", "-i", type=int, default=1)
     p.add_argument("--nocheck", action="store_true")
     ns = p.parse_args()

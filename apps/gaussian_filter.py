@@ -24,7 +24,8 @@ def main():
                    choices=["3xy", "3x_3y", "1xy_2xy", "1xy_2x_2y",
                             "1xy_1xy_1xy"])
     p.add_argument("--width", "-w", type=int, default=4096)
-    p.add_argument("--tile", "-t", type=int, default=32)
+    p.add_argument("--tile", "-t", type=int, default=0,
+                   help="tile width (0 = auto: 128 on TPU, 32 on CPU)")
     p.add_argument("--iter", "-i", type=int, default=1)
     p.add_argument("--sigma", type=float, default=5.0)
     p.add_argument("--nocheck", action="store_true")

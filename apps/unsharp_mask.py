@@ -19,7 +19,8 @@ from recfilter_tpu.utils import timing
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", "-w", type=int, default=4096)
-    p.add_argument("--tile", "-t", type=int, default=32)
+    p.add_argument("--tile", "-t", type=int, default=0,
+                   help="tile width (0 = auto: 128 on TPU, 32 on CPU)")
     p.add_argument("--iter", "-i", type=int, default=1)
     p.add_argument("--naive", action="store_true",
                    help="unfused variant (unsharp_mask_naive.cpp)")

@@ -15,11 +15,13 @@ import numpy as np
 
 from ..api import RecFilter
 from ..spec import Dim
+from ..planner import auto_tile_width
 
 
-def bicubic(width: int, height: int, tile_width: int = 32) -> RecFilter:
+def bicubic(width: int, height: int, tile_width: int = 0) -> RecFilter:
     """Bicubic prefilter: 4 first-order scans, overlapped
     (``bicubic_filter.cpp:36-57``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     a = 2.0 - math.sqrt(3.0)
     coeff = [1.0 + a, -a]
     x = Dim("x", width)
@@ -49,9 +51,10 @@ def _biquintic_coeff():
     return [b0, a1, a2]
 
 
-def biquintic_overlapped(width: int, height: int, tile_width: int = 32) -> RecFilter:
+def biquintic_overlapped(width: int, height: int, tile_width: int = 0) -> RecFilter:
     """Biquintic prefilter, all scans in one overlapped filter
     (``biquintic_overlapped_filter.cpp``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     coeff = _biquintic_coeff()
     x = Dim("x", width)
     y = Dim("y", height)
@@ -66,9 +69,10 @@ def biquintic_overlapped(width: int, height: int, tile_width: int = 32) -> RecFi
     return F
 
 
-def biquintic_cascaded(width: int, height: int, tile_width: int = 32) -> List[RecFilter]:
+def biquintic_cascaded(width: int, height: int, tile_width: int = 0) -> List[RecFilter]:
     """Biquintic prefilter cascaded by dimension
     (``biquintic_cascaded_filter.cpp``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     F = biquintic_overlapped(width, height, tile_width)
     fc = F.cascade_by_dimension()
     for f in fc:

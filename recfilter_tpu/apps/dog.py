@@ -14,6 +14,7 @@ import numpy as np
 
 from ..api import RecFilter
 from ..spec import Dim
+from ..planner import auto_tile_width
 
 
 def _shift_clamped(f, offset, axis):
@@ -34,14 +35,12 @@ def _shift_clamped(f, offset, axis):
 
 
 def _diff_xy(f, B, width, height):
-    """4-corner SAT differencing at radius B (``diff_gauss.cpp:29-38``)."""
-    fp = _shift_clamped(f, B, 0)
-    fm = _shift_clamped(f, -B - 1, 0)
+    """4-corner SAT differencing at radius B (``diff_gauss.cpp:29-38``),
+    computed separably (g = Dy f, then Dx g): 4 padded terms instead of 6
+    (perf-neutral on TPU where XLA fuses the pad chains; see box.py)."""
+    g = _shift_clamped(f, B, 0) - _shift_clamped(f, -B - 1, 0)
     return (
-        _shift_clamped(fp, B, 1)
-        - _shift_clamped(fm, B, 1)
-        + _shift_clamped(fm, -B - 1, 1)
-        - _shift_clamped(fp, -B - 1, 1)
+        _shift_clamped(g, B, 1) - _shift_clamped(g, -B - 1, 1)
     ) / float((2 * B + 1) ** 2)
 
 
@@ -50,13 +49,14 @@ def difference_of_gaussians(
     height: int,
     B1: int = 5,
     B2: int = 9,
-    tile_width: int = 32,
+    tile_width: int = 0,
 ):
     """Return jittable ``fn(image_gray) -> DoG``.
 
     Tuple outputs (dual radius) ride a leading channel axis of size 2 — the
     channel-parallel analog of Halide Tuples (``diff_gauss.cpp:84-103``).
     """
+    tile_width = tile_width or auto_tile_width(min(width, height))
     x = Dim("x", width)
     y = Dim("y", height)
 

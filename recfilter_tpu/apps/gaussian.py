@@ -20,6 +20,7 @@ import numpy as np
 from ..api import RecFilter
 from ..iir import gaussian_weights
 from ..spec import Dim
+from ..planner import auto_tile_width
 
 SIGMA_DEFAULT = 5.0
 
@@ -33,9 +34,10 @@ def _base(name: str, width: int, height: int, dtype="float32"):
     return F, x, y
 
 
-def gaussian_3xy(width, height, tile_width=32, sigma=SIGMA_DEFAULT):
+def gaussian_3xy(width, height, tile_width=0, sigma=SIGMA_DEFAULT):
     """Single 3rd-order filter, 4 scans, fully tiled
     (``gaussian_filter_3xy.cpp:42-55``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     W3 = gaussian_weights(sigma, 3)
     F, x, y = _base("Gaussian_3xy", width, height)
     F.add_filter(+x, W3)
@@ -46,8 +48,9 @@ def gaussian_3xy(width, height, tile_width=32, sigma=SIGMA_DEFAULT):
     return F
 
 
-def gaussian_3x_3y(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
+def gaussian_3x_3y(width, height, tile_width=0, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
     """Cascade by dimension (``gaussian_filter_3x_3y.cpp:42-51``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     F = gaussian_3xy(width, height, tile_width, sigma)
     fc = F.cascade_by_dimension()
     for f in fc:
@@ -55,9 +58,10 @@ def gaussian_3x_3y(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[Re
     return fc
 
 
-def gaussian_1xy_2xy(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
+def gaussian_1xy_2xy(width, height, tile_width=0, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
     """1st-order overlapped then 2nd-order overlapped
     (``gaussian_filter_1xy_2xy.cpp:44-58``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     W1 = gaussian_weights(sigma, 1)
     W2 = gaussian_weights(sigma, 2)
     F, x, y = _base("Gaussian_1xy_2xy", width, height)
@@ -75,8 +79,9 @@ def gaussian_1xy_2xy(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[
     return fc
 
 
-def gaussian_1xy_2x_2y(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
+def gaussian_1xy_2x_2y(width, height, tile_width=0, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
     """1st-order overlapped, then 2nd-order x, then 2nd-order y."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     W1 = gaussian_weights(sigma, 1)
     W2 = gaussian_weights(sigma, 2)
     F, x, y = _base("Gaussian_1xy_2x_2y", width, height)
@@ -94,11 +99,12 @@ def gaussian_1xy_2x_2y(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> Lis
     return fc
 
 
-def gaussian_1xy_1xy_1xy(width, height, tile_width=32, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
+def gaussian_1xy_1xy_1xy(width, height, tile_width=0, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
     """Three cascaded 1st-order filters ≈ 3rd-order Gaussian
     (the overlap identity behind ``weights3``, ``lib/iir_coeff.cpp:150-159``
     is only exact for 1∘2; this variant is the reference's approximation
     study)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     W1 = gaussian_weights(sigma, 1)
     F, x, y = _base("Gaussian_1xy_1xy_1xy", width, height)
     for _ in range(3):

@@ -7,11 +7,13 @@ import numpy as np
 
 from ..api import RecFilter
 from ..spec import Dim
+from ..planner import auto_tile_width
 
 
-def summed_table(width: int, height: int, tile_width: int = 32,
+def summed_table(width: int, height: int, tile_width: int = 0,
                  dtype="float32") -> RecFilter:
     """Build the SAT filter (``summed_table.cpp:41-46``)."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
     x = Dim("x", width)
     y = Dim("y", height)
     F = RecFilter("Summed_table")

@@ -20,7 +20,7 @@ from .gaussian import gaussian_3x_3y
 def unsharp_mask(
     width: int,
     height: int,
-    tile_width: int = 32,
+    tile_width: int = 0,
     sigma: float = 5.0,
     weight: float = 1.0,
     fused: bool = True,

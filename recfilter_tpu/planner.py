@@ -93,6 +93,14 @@ def default_tile_width(extent: int, platform: str) -> int:
     return max(min(t, extent), 1)
 
 
+def auto_tile_width(extent: int) -> int:
+    """Platform-resolved :func:`default_tile_width` (4K DoG measures 5.0 ms
+    at T=128 vs 6.9 ms at the reference's T=32 on one v5e chip)."""
+    import jax
+
+    return default_tile_width(extent, jax.default_backend())
+
+
 class ScheduleVar:
     """A tag-addressed loop variable handle (VarTag analog,
     ``lib/recfilter_internals.h:31-44``)."""

@@ -155,6 +155,29 @@ def test_unsharp_mask():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_dog_matches_triple_box_oracle_interior():
+    """DoG = box³(B1) - box³(B2) in the interior (borders are undefined by
+    the apps' zeroed-margin contract, ``box_filter.h:9-11``; the tolerance
+    reflects f32 cancellation in the dual-radius subtraction)."""
+    from recfilter_tpu.apps.box import box_oracle
+
+    w, B1, B2 = 160, 5, 9
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=21)
+    pad = 2 * (B2 + 1) + 1
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    fn = difference_of_gaussians(w, w, B1, B2, tile_width=16)
+    got = np.asarray(fn(img))
+    want = box_oracle(img, B1, 3) - box_oracle(img, B2, 3)
+    m = 3 * (B2 + 1) + 3  # triple-box reach
+    scale = np.max(np.abs(want)) + 1e-30
+    np.testing.assert_allclose(
+        got[m:-m, m:-m] / scale, want[m:-m, m:-m] / scale,
+        rtol=0, atol=1e-2,
+    )
+
+
 def test_dog_runs_and_is_finite():
     w = 64
     fn = difference_of_gaussians(w, w, B1=2, B2=4, tile_width=8)
