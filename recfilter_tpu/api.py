@@ -202,6 +202,11 @@ class RecFilter:
         if backend == "einsum":
             from . import dimfuse
 
+            if plan.rotate_emit:
+                return lambda x: dimfuse.apply_filter_rotated(
+                    spec, x, rot_axes=plan.rotate_emit,
+                    matmul_precision=plan.matmul_precision,
+                )
             return lambda x: dimfuse.apply_filter_fused(
                 spec, x, matmul_precision=plan.matmul_precision
             )

@@ -67,17 +67,25 @@ def difference_of_gaussians(
     SAT.split_all_dimensions(tile_width)
     sat = SAT.as_func()
 
+    # The two single-dimension integral stages chain ROTATED layouts
+    # (Plan.rotate_emit): SAT2x consumes the natural (c, y, x) layout (x is
+    # already last), emits (c, x, y); SAT2y then finds its scan dim (y) on
+    # the last axis and emits (c, y, x) — both stages run in the fast
+    # lanes-contraction form with zero relayout copies between them. Without
+    # this, SAT2y's y-axis einsums lower to convolutions ~4x off bandwidth.
     c = Dim("c", 2)
     SAT2x = RecFilter("SAT2x")
     SAT2x[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
     SAT2x.add_filter(+x, [1.0, 2.0, -1.0])
     SAT2x.split(x, tile_width)
+    SAT2x.set_plan(rotate_emit=2)
     sat2x = SAT2x.as_func()
 
     SAT2y = RecFilter("SAT2y")
     SAT2y[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
     SAT2y.add_filter(+y, [1.0, 2.0, -1.0])
     SAT2y.split(y, tile_width)
+    SAT2y.set_plan(rotate_emit=2)
     sat2y = SAT2y.as_func()
 
     def _ddiff(f, B, axis, norm):
@@ -95,14 +103,14 @@ def difference_of_gaussians(
         box1 = jnp.stack(
             [_diff_xy(s, B1, width, height), _diff_xy(s, B2, width, height)]
         )
-        s2x = sat2x(box1)
+        s2x = sat2x(box1)  # rotated emit: (c, x, y)
         box2x = jnp.stack(
             [
-                _ddiff(s2x[0], B1, 1, float(2 * B1 + 1)),
-                _ddiff(s2x[1], B2, 1, float(2 * B2 + 1)),
+                _ddiff(s2x[0], B1, 0, float(2 * B1 + 1)),
+                _ddiff(s2x[1], B2, 0, float(2 * B2 + 1)),
             ]
         )
-        s2y = sat2y(box2x)
+        s2y = sat2y(box2x)  # rotated emit: back to (c, y, x)
         g1 = _ddiff(s2y[0], B1, 0, float(2 * B1 + 1))
         g2 = _ddiff(s2y[1], B2, 0, float(2 * B2 + 1))
         return g1 - g2

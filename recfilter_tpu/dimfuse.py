@@ -394,6 +394,18 @@ def fused_dim_pass(
         return x
 
     T, n, pad = plan
+    # Non-last scan axes route through the lanes-contraction form: move the
+    # scan axis last (one relayout) and emit rotated back into place — free
+    # in the completion matmuls' output ordering. The direct "ansb" einsums
+    # below contract over a non-lane axis and XLA lowers them to convolutions
+    # at ~4x off bandwidth on TPU (xplane-measured in the DoG pipeline).
+    if axis != x.ndim - 1 and x.ndim - axis <= 6:
+        xm = jnp.moveaxis(x, axis, -1)
+        # the rotated emit puts the scan axis straight back at ``axis``
+        return _last_axis_pass_t(
+            xm, scans, plan, clamp, compute_dtype, matmul_dtype,
+            rot_axes=x.ndim - axis, matmul_precision=matmul_precision,
+        )
     mats = prepare_dim_pass(
         scans, T, n, clamp, pad_slots=pad,
         build_cm=n <= _CHAIN_MATMUL_MAX_TILES,
@@ -676,3 +688,91 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             matmul_precision=matmul_precision,
         )
     return x.astype(dtype)
+
+
+def apply_filter_rotated(
+    spec: FilterSpec,
+    x,
+    rot_axes: int = 2,
+    tile_default: int = 32,
+    matmul_dtype=None,
+    matmul_precision: str = "highest",
+):
+    """Layout-chained executor for SINGLE-dimension filters.
+
+    The input ``x`` must carry the spec's (one) scanned dimension as its
+    LAST array axis — whatever that dimension's nominal position in the spec
+    — and the result is emitted with the trailing ``rot_axes`` axes rotated
+    one step (the scanned axis lands at position ``-rot_axes``). The rotated
+    emission rides the completion matmuls' output ordering, so it costs
+    nothing; chaining two such filters (x-scan then y-scan) runs BOTH in the
+    fast lanes-contraction form with no relayout copy in between and
+    restores the natural axis order — inter-filter rotation chaining, the
+    pipeline-level analog of what :func:`apply_filter_fused` does internally
+    for multi-dimension filters. Used by the DoG app, whose reference
+    pipeline interleaves single-dimension integral stages with pointwise
+    differencing (``apps/DoG/diff_gauss.cpp:72-110``).
+
+    ``rot_axes=1`` emits in place (scanned axis stays last).
+    """
+    groups = spec.scans_by_axis()
+    if len(groups) != 1:
+        raise ValueError(
+            "apply_filter_rotated requires a single scanned dimension; "
+            f"{spec.name} scans {len(groups)}"
+        )
+    if not 1 <= rot_axes <= min(x.ndim, 6):
+        raise ValueError(f"rot_axes {rot_axes} out of range for ndim {x.ndim}")
+    (axis,) = groups
+    ids = groups[axis]
+    scans = [spec.scans[i] for i in ids]
+    dtype = jnp.dtype(spec.dtype)
+
+    def emit_rotated(y):  # fallback paths: pay the transpose explicitly
+        return y if rot_axes == 1 else jnp.moveaxis(y, -1, -rot_axes)
+
+    if jnp.issubdtype(dtype, jnp.integer):
+        from . import scan_core
+
+        for s in scans:
+            x = scan_core.apply_scan(
+                x, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
+            )
+        return emit_rotated(x)
+
+    if dtype == jnp.bfloat16:
+        cdt = jnp.bfloat16
+        matmul_dtype = jnp.bfloat16
+    else:
+        cdt = jnp.float32 if dtype == jnp.float16 else dtype
+    x = x.astype(cdt)
+
+    if x.shape[-1] != spec.dims[axis].extent:
+        raise ValueError(
+            f"last axis has {x.shape[-1]} elements, spec dim "
+            f"{spec.dims[axis].name} expects {spec.dims[axis].extent}"
+        )
+    tiles = spec.tile_widths or (0,) * spec.ndim
+    T = tiles[axis] or tile_default
+    if x.ndim == 1:  # rot_axes is necessarily 1; the plain pass is the fast form
+        return fused_dim_pass(
+            x, 0, scans, T, spec.border, compute_dtype=cdt,
+            matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
+        ).astype(dtype)
+    clamp = spec.border == BorderMode.CLAMP
+    kmax = max(s.order for s in scans)
+    plan = _plan_tiles(x.shape[-1], T, kmax, clamp)
+    if plan is None:
+        from . import scan_core
+
+        for s in scans:
+            x = scan_core.apply_scan(
+                x, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
+            )
+        return emit_rotated(x).astype(dtype)
+
+    y = _last_axis_pass_t(
+        x, scans, plan, clamp, cdt, matmul_dtype,
+        rot_axes=rot_axes, matmul_precision=matmul_precision,
+    )
+    return y.astype(dtype)

@@ -60,6 +60,15 @@ class Plan:
         default_factory=lambda: _DEFAULT_MATMUL_PRECISION[0]
     )  # highest | high | default (TPU f32 dots default to single-pass bf16
     # at ~1e-2 rel error; highest restores true f32 at ~2.7x matmul cost)
+    rotate_emit: int = 0
+    # Layout chaining for single-dimension filters (the TPU meaning of the
+    # reference's ``storage_layout`` directive, ``lib/schedule.cpp:835-913``):
+    # nonzero opts into the contract that the INPUT array carries the scanned
+    # dimension as its LAST axis, and the result is emitted with the trailing
+    # ``rotate_emit`` axes rotated one step (free in the matmul epilogue).
+    # Chaining an x-scan and a y-scan filter with rotate_emit=2 runs both in
+    # lanes-contraction form with no relayout copy between them — see
+    # ``dimfuse.apply_filter_rotated``.
 
     def with_(self, **kw) -> "Plan":
         return dataclasses.replace(self, **kw)

@@ -293,3 +293,78 @@ def test_rotation_chaining_4d():
     got = np.asarray(dimfuse.apply_filter_fused(spec, x))
     want = scan_core.oracle_apply(spec, x).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_apply_filter_rotated_chain(border):
+    """Inter-filter rotation chaining: an x-scan stage and a y-scan stage,
+    each emitting rotated (Plan.rotate_emit semantics), compose to the same
+    result as natural-layout sequential application — with both stages in
+    lanes-contraction form (the DoG pipeline pattern)."""
+    dims = (Dim("c", 2), Dim("y", 18), Dim("x", 24))
+    sx = (Scan(2, True, 1.0, (0.5, 0.2)), Scan(2, False, 1.1, (0.4,)))
+    sy = (Scan(1, True, 0.9, (0.6,)),)
+    spec_x = FilterSpec("FX", dims, sx, border=border, tile_widths=(0, 6, 6))
+    spec_y = FilterSpec("FY", dims, sy, border=border, tile_widths=(0, 6, 6))
+    x = _img(2, 18, 24, seed=20)
+
+    r1 = dimfuse.apply_filter_rotated(spec_x, x, rot_axes=2)      # (c, x, y)
+    assert r1.shape == (2, 24, 18)
+    r2 = dimfuse.apply_filter_rotated(spec_y, r1, rot_axes=2)     # (c, y, x)
+    assert r2.shape == (2, 18, 24)
+
+    want = np.asarray(x, np.float64)
+    for s in sx + sy:
+        want = scan_core.oracle_apply_scan(
+            want, s.axis, s.causal, s.feedfwd, s.feedback, border
+        )
+    np.testing.assert_allclose(
+        np.asarray(r2), want.astype(np.float32), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_apply_filter_rotated_inplace_and_fallbacks():
+    dims = (Dim("y", 6), Dim("x", 20))
+    spec = FilterSpec(
+        "F1", dims, (Scan(1, True, 1.0, (0.5,)),), tile_widths=(0, 5)
+    )
+    x = _img(6, 20, seed=21)
+    # rot_axes=1: emit in place
+    r = dimfuse.apply_filter_rotated(spec, x, rot_axes=1)
+    want = _oracle_dim(x, spec.scans, BorderMode.ZERO)
+    np.testing.assert_allclose(np.asarray(r), want, rtol=1e-4, atol=1e-4)
+
+    # order > width → scan_core fallback must still honor the rotated emit
+    spec_big = FilterSpec(
+        "F2", (Dim("y", 6), Dim("x", 3)),
+        (Scan(1, True, 1.0, (0.3, 0.2, 0.1, 0.05)),), tile_widths=(0, 4)
+    )
+    xb = _img(6, 3, seed=22)
+    rb = dimfuse.apply_filter_rotated(spec_big, xb, rot_axes=2)
+    wantb = _oracle_dim(xb, spec_big.scans, BorderMode.ZERO)
+    np.testing.assert_allclose(
+        np.asarray(rb), wantb.T, rtol=1e-4, atol=1e-4
+    )
+
+    # integer dtype routes through the exact lax.scan path, still rotated
+    spec_i = FilterSpec(
+        "FI", dims, (Scan(1, True, 1.0, (1.0,)),),
+        dtype="int32", tile_widths=(0, 5),
+    )
+    xi = np.arange(120, dtype=np.int32).reshape(6, 20) % 7
+    ri = dimfuse.apply_filter_rotated(spec_i, xi, rot_axes=2)
+    wi = np.cumsum(xi, axis=1)
+    np.testing.assert_array_equal(np.asarray(ri), wi.T)
+
+
+def test_apply_filter_rotated_errors():
+    dims = (Dim("y", 6), Dim("x", 20))
+    two = FilterSpec(
+        "F2D", dims,
+        (Scan(0, True, 1.0, (0.5,)), Scan(1, True, 1.0, (0.5,))),
+    )
+    with pytest.raises(ValueError, match="single scanned dimension"):
+        dimfuse.apply_filter_rotated(two, _img(6, 20), rot_axes=2)
+    one = FilterSpec("F1D", dims, (Scan(1, True, 1.0, (0.5,)),))
+    with pytest.raises(ValueError, match="last axis"):
+        dimfuse.apply_filter_rotated(one, _img(20, 6), rot_axes=2)
