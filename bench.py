@@ -45,15 +45,33 @@ def _build_filter(h, w, sigma=5.0, tile=128):
     return F
 
 
-def make_loop(fn):
+def make_loop(fn, reinject=None, per_body=1):
     """One jitted chained-iteration loop; the trip count is a traced argument
-    so a single (slow, remote) compile serves every measurement point."""
+    so a single (slow, remote) compile serves every measurement point.
+
+    ``reinject`` (a tiny float, e.g. 1e-9) switches the loop body to
+    ``v ← x₀ + reinject·fn(v)``: pipelines that amplify rounding noise when
+    iterated on their own output (anything with integrator stages, like the
+    box/DoG double integrals in throughput mode) stay bounded for any trip
+    count, while the loop-carried data dependence still defeats hoisting.
+    Adds one axpy read of x₀ per iteration — a conservative harness cost.
+
+    ``per_body`` composes fn that many times per loop body: XLA inserts one
+    full-size loop-carry copy per while-loop iteration (~0.09 ms at 4K,
+    xplane-verified; a production single-dispatch call never pays it), so
+    composing k applications per body amortizes the artifact to 1/k. The
+    trip count still means BODY iterations — divide the slope by k."""
     import jax
 
     @jax.jit
     def loop(x, n):
+        def one(v):
+            return fn(v) if reinject is None else x + reinject * fn(v)
+
         def body(i, v):
-            return fn(v)
+            for _ in range(per_body):
+                v = one(v)
+            return v
 
         out = jax.lax.fori_loop(0, n, body, x)
         return out[0, 0] + out[-1, -1]
@@ -61,7 +79,8 @@ def make_loop(fn):
     return loop
 
 
-def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3):
+def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3, reinject=None,
+                      per_body=1):
     """ms per application of fn, from the slope between two trip counts
     (tunnel dispatch/fetch constants cancel).
 
@@ -70,7 +89,7 @@ def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3):
     returned."""
     import jax.numpy as jnp
 
-    loop = make_loop(fn)
+    loop = make_loop(fn, reinject=reinject, per_body=per_body)
     float(loop(img, jnp.int32(1)))  # warm up + compile
 
     def timed(n):
@@ -87,7 +106,7 @@ def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3):
     for _ in range(repeats):
         t1, t2 = timed(2), timed(2 + spread)
         slopes.append((t2 - t1) / spread)
-    return max(float(np.median(slopes)), 1e-6)
+    return max(float(np.median(slopes)) / per_body, 1e-6)
 
 
 def main():
@@ -137,7 +156,9 @@ def main():
     copy_ms = slope_ms_per_iter(_copy, img)
     hbm_gb_s = 2.0 * h * w * 4 / (copy_ms * 1e-3) / 1e9
 
-    ms = slope_ms_per_iter(fn, img)
+    # per_body=4 amortizes the while-loop carry-copy harness artifact
+    # (one full-image copy per body, ~0.09 ms at 4K) to 1/4.
+    ms = slope_ms_per_iter(fn, img, per_body=4)
     pixels = h * w
     mpix_s = timing.mpix_per_sec(ms, pixels)
     mip_s = timing.throughput(ms, pixels)

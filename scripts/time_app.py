@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Slope-time any app pipeline on the current device (one JSON line each).
+
+The per-app analog of ``bench.py``: iterations run inside one jitted
+``lax.fori_loop`` with a traced trip count and the per-iteration time is the
+slope between two trip counts (see bench.py's docstring for why wall-clock
+around dispatched calls is meaningless on the tunneled TPU).
+
+Apps with integrator stages (box orders >= 1, DoG) amplify rounding noise
+when iterated on their own output in throughput mode, so those use the
+bounded re-injection loop (``make_loop(reinject=...)``).
+
+    python scripts/time_app.py sat gaussian3 dog          # named apps
+    python scripts/time_app.py --all -w 4096
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recfilter_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import numpy as np
+
+
+def _apps(w, h, tile):
+    """name -> (build() -> jittable fn, reinject)."""
+    from recfilter_tpu import apps
+
+    def sat():
+        return apps.summed_table(w, h, tile).as_func()
+
+    def gaussian3():
+        return apps.gaussian_3xy(w, h, tile).as_func()
+
+    def gaussian_cascaded():
+        fc = apps.gaussian_3x_3y(w, h, tile)
+        fns = [f.as_func() for f in fc]
+
+        def fn(v):
+            for f in fns:
+                v = f(v)
+            return v
+
+        return fn
+
+    def bicubic():
+        return apps.bicubic(w, h, tile).as_func()
+
+    def biquintic():
+        return apps.biquintic_overlapped(w, h, tile).as_func()
+
+    def box1():
+        return apps.box_filter_order_1(w, h, 5, tile)[0]
+
+    def box3():
+        return apps.box_filter_3(w, h, 5, tile)
+
+    def usm():
+        return apps.unsharp_mask(w, h, tile)
+
+    def dog():
+        return apps.difference_of_gaussians(w, h, 5, 9, tile)
+
+    return {
+        "sat": (sat, 1e-9),
+        "gaussian3": (gaussian3, None),
+        "gaussian_cascaded": (gaussian_cascaded, None),
+        "bicubic": (bicubic, None),
+        "biquintic": (biquintic, None),
+        "box1": (box1, 1e-9),
+        "box3": (box3, 1e-9),
+        "usm": (usm, None),
+        "dog": (dog, 1e-9),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("apps", nargs="*", help="app names (see --list)")
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--width", "-w", type=int, default=4096)
+    p.add_argument("--tile", "-t", type=int, default=0)
+    p.add_argument(
+        "--precision", default="default",
+        choices=["default", "high", "highest"],
+        help="matmul precision (default = throughput mode, like bench.py)",
+    )
+    ns = p.parse_args()
+
+    registry = _apps(ns.width, ns.width, ns.tile)
+    if ns.list:
+        print(" ".join(registry))
+        return
+    names = list(registry) if ns.all else ns.apps
+    if not names:
+        p.error("no apps given (use --all or --list)")
+
+    import jax.numpy as jnp
+
+    from bench import slope_ms_per_iter
+    from recfilter_tpu import planner
+
+    planner.set_default_matmul_precision(ns.precision)
+
+    img = jnp.asarray(
+        np.random.default_rng(0).standard_normal((ns.width, ns.width)) * 0.01,
+        jnp.float32,
+    )
+    mpix = ns.width * ns.width / 1e6
+    for name in names:
+        build, reinject = registry[name]
+        fn = build()
+        ms = slope_ms_per_iter(fn, img, reinject=reinject, per_body=4)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_{ns.width}_mpix_s",
+                    "value": round(mpix / ms * 1000.0, 1),
+                    "unit": "Mpix/s",
+                    "ms_per_iter": round(ms, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
