@@ -45,16 +45,18 @@ def _build_filter(h, w, sigma=5.0, tile=128):
     return F
 
 
-def make_loop(fn, reinject=None, per_body=1):
+def make_loop(fn, scale=None, per_body=1):
     """One jitted chained-iteration loop; the trip count is a traced argument
     so a single (slow, remote) compile serves every measurement point.
 
-    ``reinject`` (a tiny float, e.g. 1e-9) switches the loop body to
-    ``v ← x₀ + reinject·fn(v)``: pipelines that amplify rounding noise when
-    iterated on their own output (anything with integrator stages, like the
-    box/DoG double integrals in throughput mode) stay bounded for any trip
-    count, while the loop-carried data dependence still defeats hoisting.
-    Adds one axpy read of x₀ per iteration — a conservative harness cost.
+    ``scale`` (a tiny float, e.g. 1e-7) switches the loop body to
+    ``v ← scale·fn(v)``: pipelines that GROW when iterated on their own
+    output (integrator stages — SAT, the box/DoG double integrals — or
+    rounding-noise amplification in throughput mode) stay bounded/underflow
+    to zero instead of overflowing, for any trip count. The multiply fuses
+    into the pipeline's last kernel, so unlike re-injecting the input it
+    adds no extra HBM stream; the loop-carried dependence still defeats
+    hoisting, and zeros cost the same bandwidth as data.
 
     ``per_body`` composes fn that many times per loop body: XLA inserts one
     full-size loop-carry copy per while-loop iteration (~0.09 ms at 4K,
@@ -66,7 +68,7 @@ def make_loop(fn, reinject=None, per_body=1):
     @jax.jit
     def loop(x, n):
         def one(v):
-            return fn(v) if reinject is None else x + reinject * fn(v)
+            return fn(v) if scale is None else scale * fn(v)
 
         def body(i, v):
             for _ in range(per_body):
@@ -79,7 +81,7 @@ def make_loop(fn, reinject=None, per_body=1):
     return loop
 
 
-def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3, reinject=None,
+def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3, scale=None,
                       per_body=1):
     """ms per application of fn, from the slope between two trip counts
     (tunnel dispatch/fetch constants cancel).
@@ -89,7 +91,7 @@ def slope_ms_per_iter(fn, img, min_window_ms=80.0, repeats=3, reinject=None,
     returned."""
     import jax.numpy as jnp
 
-    loop = make_loop(fn, reinject=reinject, per_body=per_body)
+    loop = make_loop(fn, scale=scale, per_body=per_body)
     float(loop(img, jnp.int32(1)))  # warm up + compile
 
     def timed(n):

@@ -21,6 +21,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .spec import BorderMode, FilterSpec
 
@@ -159,33 +160,230 @@ def apply_scan_learnable(
     return jnp.moveaxis(y, -1, axis)
 
 
+def fir_apply(x, taps, causal: bool, axis: int = -1):
+    """Differentiable FIR along ``axis``: ``u[i] = Σ_m taps[m]·x[i∓m]``
+    (− for causal, + for anticausal), zero beyond the borders.
+
+    ``taps`` is a traced (M+1,) vector — the numerator polynomial B(z) of a
+    full IIR transfer function B(z)/A(z). The reference supports only the
+    scalar b₀ (``lib/recfilter.cpp:321-342``); numerator taps extend the
+    learnable filters to true deconvolution model classes."""
+    taps = jnp.asarray(taps)
+    M = taps.shape[0]
+    x = jnp.moveaxis(x, axis, -1)
+    w = x.shape[-1]
+    u = taps[0] * x
+    for m in range(1, M):
+        pads = [(0, 0)] * (x.ndim - 1) + [(m, 0) if causal else (0, m)]
+        lo = 0 if causal else m
+        shifted = jax.lax.slice_in_dim(
+            jnp.pad(x, pads), lo, lo + w, axis=-1
+        )
+        u = u + taps[m] * shifted
+    return jnp.moveaxis(u, -1, axis)
+
+
+def _dim_mats_learnable(params, T: int, pad_slots: int = 0):
+    """Traced-coefficient twin of ``dimfuse.prepare_dim_pass`` (zero border,
+    uniform tiles): per-scan (B, RN, rows) in dimfuse's natural-order carry
+    convention, composed into Btot / Rhat / G-rows / H couplings with jnp
+    matmuls (tiny T×T work, traced once).
+
+    ``pad_slots`` builds the LAST-tile variant: each scan's B is projected
+    B·Z so trailing zero-pad positions stay algebraically zero between scans
+    (a causal scan would otherwise propagate real values into the pad that a
+    later scan must not see — same contract as dimfuse's pad projector)."""
+    Z = None
+    if pad_slots:
+        z = np.ones(T, dtype=np.float32)
+        z[T - pad_slots :] = 0.0
+        Z = jnp.asarray(z)
+    base = []
+    for causal, b0, a in params:
+        a = jnp.asarray(a)
+        k = int(a.shape[0])
+        B = impulse_matrix_jnp(b0, a, T)
+        R = state_matrix_jnp(a, T)
+        W = R[::-1][:k]  # P @ R (tail_weight_matrix): carry across one tile
+        if causal:
+            RN = R[:, ::-1]  # R @ J_k: natural ascending last-k prev carry
+            sel = lambda M, k=k: M[T - k :]
+        else:
+            B = B[::-1, ::-1]
+            RN = R[::-1, :]
+            sel = lambda M, k=k: M[:k]
+        if Z is not None:
+            # B @ Z with diagonal Z, applied in natural orientation (the
+            # pad sits at the array end regardless of scan direction)
+            B = B * Z[None, :]
+        base.append((B, RN, sel, W, k, bool(causal)))
+
+    m = len(base)
+    Rhat = [[None] * m for _ in range(m)]
+    G, H = [None] * m, [[None] * m for _ in range(m)]
+    acc = jnp.eye(T)
+    Btot = acc
+    for i, (B, RN, sel, _, _, _) in enumerate(base):
+        for j in range(i):
+            Rhat[i][j] = B @ Rhat[i - 1][j]
+        Rhat[i][i] = RN
+        acc = B @ acc
+        Btot = acc
+        G[i] = sel(acc)
+        for j in range(i):
+            H[i][j] = sel(B @ Rhat[i - 1][j])
+    return base, G, H, Btot, Rhat[m - 1]
+
+
+def _chain_solve_learnable(b, W, k: int, causal: bool):
+    """Natural-order cross-tile solve with a traced W (≙
+    ``dimfuse._chain_solve_assoc``): ``b`` is (L, n, k) local tails, returns
+    the incoming vectors N of the same shape."""
+    n = b.shape[1]
+    if causal:
+        bt = b[:, :, ::-1]  # J_k b
+    else:
+        bt = jnp.flip(b, axis=1)
+    A = jnp.broadcast_to(W, (n,) + W.shape)
+    bt_n = jnp.moveaxis(bt, 1, 0)  # (n, L, k)
+    _, s = jax.lax.associative_scan(
+        lambda c1, c2: (
+            jnp.einsum("nij,njk->nik", c2[0], c1[0]),
+            jnp.einsum("nij,nlj->nli", c2[0], c1[1]) + c2[1],
+        ),
+        (A, bt_n),
+        axis=0,
+    )
+    s = jnp.moveaxis(s, 0, 1)
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
+    return s_prev[:, :, ::-1] if causal else jnp.flip(s_prev, axis=1)
+
+
+def fused_dim_learnable(x, params, tile_width: int):
+    """All scans of one dimension with TRACED coefficients in one fused pass
+    — the differentiable twin of ``dimfuse.fused_dim_pass`` (zero border).
+
+    ``x`` is (..., w) with the scan dimension last; ``params`` is a list of
+    ``(causal, b0, a)`` with traced ``b0``/``a``. Same structure as the
+    static path: one stacked-G einsum for all local tails, per-scan
+    associative-scan solves with H-coupling corrections, one completion
+    matmul + carry injections."""
+    shape = x.shape
+    w = shape[-1]
+    kmax = max(int(jnp.asarray(a).shape[0]) for _, _, a in params)
+    if w < kmax:
+        raise ValueError(
+            f"scan order {kmax} exceeds dimension width {w}"
+        )
+    T = int(min(max(tile_width, kmax), w))
+    n = -(-w // T)
+    pad = n * T - w
+    X = x.reshape(-1, w)
+    if pad:
+        X = jnp.pad(X, ((0, 0), (0, pad)))
+    X = X.reshape(X.shape[0], n, T)
+
+    base, G, H, Btot, Rhat = _dim_mats_learnable(params, T)
+    if pad:
+        # last-tile variant (pad projector); applied as per-tile overrides
+        _, GL, HL, BtotL, RhatL = _dim_mats_learnable(params, T, pad_slots=pad)
+
+    N = [None] * len(base)
+    for i, (_, _, _, W, k, causal) in enumerate(base):
+        b = jnp.einsum("kt,lnt->lnk", G[i], X)
+        for j in range(i):
+            b = b + jnp.einsum("ko,lno->lnk", H[i][j], N[j])
+        if pad:
+            bl = jnp.einsum("kt,lt->lk", GL[i], X[:, -1])
+            for j in range(i):
+                bl = bl + jnp.einsum("ko,lo->lk", HL[i][j], N[j][:, -1])
+            b = b.at[:, -1].set(bl)
+        N[i] = _chain_solve_learnable(b, W, k, causal)
+
+    Y = jnp.einsum("ts,lns->lnt", Btot, X)
+    for j in range(len(base)):
+        Y = Y + jnp.einsum("tk,lnk->lnt", Rhat[j], N[j])
+    if pad:
+        yl = jnp.einsum("ts,ls->lt", BtotL, X[:, -1])
+        for j in range(len(base)):
+            yl = yl + jnp.einsum("tk,lk->lt", RhatL[j], N[j][:, -1])
+        Y = Y.at[:, -1].set(yl)
+    Y = Y.reshape(Y.shape[0], n * T)
+    if pad:
+        Y = Y[:, :w]
+    return Y.reshape(shape)
+
+
 class LearnableRecFilter:
     """A RecFilter whose coefficients are a trainable pytree.
 
-    ``init_params(spec)`` extracts {scan_i: {"b0": (), "a": (k,)}} from a
-    FilterSpec; ``apply(params, x)`` runs the filter differentiably. Works
-    under jit/grad/vmap and inside shard_map.
+    ``init_params()`` extracts {scan_i: {"b0": (), "a": (k,)}} from the
+    FilterSpec (plus {"b": (fir_taps+1,)} numerator taps when ``fir_taps``
+    is set — b replaces b0); ``apply(params, x)`` runs the filter
+    differentiably. Works under jit/grad/vmap and inside shard_map.
+
+    ``fused=True`` (default, zero border) groups same-dimension scans into
+    one fused traced-coefficient pass: since all scans and FIRs along one
+    axis are LTI and commute, the numerator FIRs apply first (composed
+    two-sided stencil) and every IIR runs inside ``fused_dim_learnable`` —
+    the training-time analog of the production dimfuse executor. Clamp
+    borders fall back to the per-scan blocked path.
     """
 
-    def __init__(self, spec: FilterSpec, tile_width: int = 32):
+    def __init__(self, spec: FilterSpec, tile_width: int = 32,
+                 fir_taps: int = 0, fused: bool = True):
         self.spec = spec
         self.tile_width = tile_width
+        self.fir_taps = int(fir_taps)
+        self.fused = fused
 
     def init_params(self) -> Dict[str, Dict[str, jnp.ndarray]]:
-        return {
-            f"scan{i}": {
-                "b0": jnp.asarray(s.feedfwd, dtype=jnp.float32),
-                "a": jnp.asarray(s.feedback, dtype=jnp.float32),
-            }
-            for i, s in enumerate(self.spec.scans)
-        }
+        out = {}
+        for i, s in enumerate(self.spec.scans):
+            p = {"a": jnp.asarray(s.feedback, dtype=jnp.float32)}
+            if self.fir_taps:
+                b = np.zeros(self.fir_taps + 1, dtype=np.float32)
+                b[0] = s.feedfwd
+                p["b"] = jnp.asarray(b)
+            else:
+                p["b0"] = jnp.asarray(s.feedfwd, dtype=jnp.float32)
+            out[f"scan{i}"] = p
+        return out
+
+    def _scan_param(self, params, i):
+        p = params[f"scan{i}"]
+        if "b" in p:
+            return p["b"], p["a"]
+        return jnp.reshape(p["b0"], (1,)), p["a"]
 
     def apply(self, params, x):
+        """Model semantics: per scanned axis (cross-axis LTI ops commute
+        exactly), all numerator FIRs apply first in scan order, then all IIR
+        scans in scan order. (Mixed-causality FIR/IIR pairs do not commute
+        at finite borders, so FIR placement is part of the model class
+        definition — identical in the fused and per-scan paths.) FIRs
+        always zero-extend beyond the borders."""
         x = x.astype(jnp.float32)
-        for i, s in enumerate(self.spec.scans):
-            p = params[f"scan{i}"]
-            x = apply_scan_learnable(
-                x, s.axis, s.causal, p["b0"], p["a"],
-                tile_width=self.tile_width, border=self.spec.border,
-            )
+        fused_ok = self.fused and self.spec.border == BorderMode.ZERO
+        for axis, ids in self.spec.scans_by_axis().items():
+            pl = []
+            for i in ids:
+                b, a = self._scan_param(params, i)
+                causal = self.spec.scans[i].causal
+                if b.shape[0] > 1:
+                    x = fir_apply(x, b, causal, axis)
+                    b0 = jnp.asarray(1.0)
+                else:
+                    b0 = b[0]
+                pl.append((causal, b0, a))
+            if fused_ok:
+                xm = jnp.moveaxis(x, axis, -1)
+                xm = fused_dim_learnable(xm, pl, self.tile_width)
+                x = jnp.moveaxis(xm, -1, axis)
+            else:
+                for causal, b0, a in pl:
+                    x = apply_scan_learnable(
+                        x, axis, causal, b0, a,
+                        tile_width=self.tile_width, border=self.spec.border,
+                    )
         return x

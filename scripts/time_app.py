@@ -6,9 +6,9 @@ The per-app analog of ``bench.py``: iterations run inside one jitted
 slope between two trip counts (see bench.py's docstring for why wall-clock
 around dispatched calls is meaningless on the tunneled TPU).
 
-Apps with integrator stages (box orders >= 1, DoG) amplify rounding noise
-when iterated on their own output in throughput mode, so those use the
-bounded re-injection loop (``make_loop(reinject=...)``).
+Apps with integrator stages (SAT, box, DoG) grow without bound when
+iterated on their own output, so those use the scaled loop body
+(``make_loop(scale=...)`` — fuses into the last kernel, no extra stream).
 
     python scripts/time_app.py sat gaussian3 dog          # named apps
     python scripts/time_app.py --all -w 4096
@@ -29,7 +29,7 @@ import numpy as np
 
 
 def _apps(w, h, tile):
-    """name -> (build() -> jittable fn, reinject)."""
+    """name -> (build() -> jittable fn, loop-body scale)."""
     from recfilter_tpu import apps
 
     def sat():
@@ -67,16 +67,21 @@ def _apps(w, h, tile):
     def dog():
         return apps.difference_of_gaussians(w, h, 5, 9, tile)
 
+    # Every app gets a scale: unit-DC-gain pipelines (gaussian) would
+    # survive without one, but e.g. bicubic's DC gain is ~11.5 per
+    # application and USM's ~2 — any gain > 1 overflows over a slope
+    # window. A fused scalar multiply is free (gaussian3 measured equal
+    # with scale=None and scale=0.5).
     return {
-        "sat": (sat, 1e-9),
-        "gaussian3": (gaussian3, None),
-        "gaussian_cascaded": (gaussian_cascaded, None),
-        "bicubic": (bicubic, None),
-        "biquintic": (biquintic, None),
-        "box1": (box1, 1e-9),
-        "box3": (box3, 1e-9),
-        "usm": (usm, None),
-        "dog": (dog, 1e-9),
+        "sat": (sat, 1e-7),
+        "gaussian3": (gaussian3, 0.5),
+        "gaussian_cascaded": (gaussian_cascaded, 0.5),
+        "bicubic": (bicubic, 1e-2),
+        "biquintic": (biquintic, 1e-2),
+        "box1": (box1, 1e-7),
+        "box3": (box3, 1e-7),
+        "usm": (usm, 1e-2),
+        "dog": (dog, 1e-7),
     }
 
 
@@ -115,9 +120,9 @@ def main():
     )
     mpix = ns.width * ns.width / 1e6
     for name in names:
-        build, reinject = registry[name]
+        build, scale = registry[name]
         fn = build()
-        ms = slope_ms_per_iter(fn, img, reinject=reinject, per_body=4)
+        ms = slope_ms_per_iter(fn, img, scale=scale, per_body=4)
         print(
             json.dumps(
                 {

@@ -108,3 +108,123 @@ def test_fit_coefficients_recovers_target():
     np.testing.assert_allclose(
         float(params["scan0"]["a"][0]), 0.6, atol=2e-2
     )
+
+
+def test_fused_dim_learnable_matches_oracle():
+    """The traced-coefficient fused dimension pass (multi-scan, mixed
+    causality and orders) equals the sequential oracle."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 26)).astype(np.float32)
+    scans = [
+        (True, 1.0, [0.5, 0.25]),
+        (False, 1.1, [0.4]),
+        (True, 0.9, [0.3, 0.1, -0.05]),
+    ]
+    pl = [
+        (c, jnp.asarray(b0), jnp.asarray(a, dtype=jnp.float32))
+        for c, b0, a in scans
+    ]
+    got = np.asarray(learnable.fused_dim_learnable(jnp.asarray(x), pl, 7))
+    want = x.astype(np.float64)
+    for c, b0, a in scans:
+        want = scan_core.oracle_apply_scan(want, 1, c, b0, a, BorderMode.ZERO)
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_learnable_filter_fused_matches_per_scan():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 18, 22)).astype(np.float32))
+    spec = FilterSpec(
+        "LF",
+        (Dim("c", 2), Dim("y", 18), Dim("x", 22)),
+        (
+            Scan(2, True, 1.0, (0.5, 0.2)),
+            Scan(2, False, 1.1, (0.4,)),
+            Scan(1, True, 0.9, (0.6,)),
+        ),
+    )
+    mf = learnable.LearnableRecFilter(spec, tile_width=6, fused=True)
+    ms = learnable.LearnableRecFilter(spec, tile_width=6, fused=False)
+    p = mf.init_params()
+    np.testing.assert_allclose(
+        np.asarray(mf.apply(p, x)), np.asarray(ms.apply(p, x)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_fir_apply_matches_direct():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 12)).astype(np.float32)
+    taps = np.asarray([0.8, -0.3, 0.1], dtype=np.float32)
+    for causal in (True, False):
+        got = np.asarray(
+            learnable.fir_apply(jnp.asarray(x), jnp.asarray(taps), causal, 1)
+        )
+        want = np.zeros_like(x)
+        for m, t in enumerate(taps):
+            src = np.zeros_like(x)
+            if causal:
+                src[:, m:] = x[:, : x.shape[1] - m] if m else x
+            else:
+                src[:, : x.shape[1] - m] = x[:, m:] if m else x
+            want += t * src
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fir_taps_fit_deconvolution():
+    """Numerator taps make the filter a full B(z)/A(z) model: fit it to
+    invert a known smoothing filter (deconvolution)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    spec = FilterSpec(
+        "D", (Dim("r", 8), Dim("c", 32)), (Scan(1, True, 1.0, (0.0,)),)
+    )
+    model = learnable.LearnableRecFilter(spec, tile_width=8, fir_taps=1)
+    # target: y[i] = x[i] - 0.6 x[i-1] + 0.25 y[i-1]  (an ARMA(1,1) model)
+    target_params = {
+        "scan0": {"b": jnp.asarray([1.0, -0.6]), "a": jnp.asarray([0.25])}
+    }
+    target = model.apply(target_params, x)
+
+    params = model.init_params()
+    opt = optax.adam(3e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            return ((model.apply(p, x) - target) ** 2).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for _ in range(400):
+        params, state, loss = step(params, state)
+    assert float(loss) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(params["scan0"]["b"]), [1.0, -0.6], atol=3e-2
+    )
+    np.testing.assert_allclose(
+        float(params["scan0"]["a"][0]), 0.25, atol=3e-2
+    )
+
+
+def test_fused_learnable_grad_flows():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 20)).astype(np.float32))
+    pl0 = jnp.asarray([0.5, 0.2])
+
+    def loss(a):
+        y = learnable.fused_dim_learnable(
+            x, [(True, jnp.asarray(1.0), a), (False, jnp.asarray(1.0), a)], 5
+        )
+        return (y**2).mean()
+
+    g = jax.grad(loss)(pl0)
+    eps = 1e-3
+    for i in range(2):
+        d = jnp.zeros(2).at[i].set(eps)
+        fd = (loss(pl0 + d) - loss(pl0 - d)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=1e-4)
