@@ -87,9 +87,28 @@ class RecFilter:
                 *[np.arange(d.extent) for d in dims], indexing="ij"
             )
             value = value(*grids)
-        value = np.asarray(value) if not isinstance(value, jax.Array) else value
+        tuple_width = 0
+        if isinstance(value, (tuple, list)):
+            # Tuple definition (Halide ``Tuple(expr, ...)``): components
+            # must agree in shape/dtype; stacked on a leading channel axis.
+            tuple_width = len(value)
+            comps = [np.asarray(v) for v in value]
+            if any(
+                c.shape != comps[0].shape or c.dtype != comps[0].dtype
+                for c in comps
+            ):
+                raise ValueError(
+                    "Tuple components must have identical shape and dtype"
+                )
+            value = np.stack(comps)
+        else:
+            value = (
+                np.asarray(value) if not isinstance(value, jax.Array)
+                else value
+            )
         expect = tuple(d.extent for d in dims)
-        if tuple(value.shape[: len(dims)]) != expect:
+        got = value.shape[1:] if tuple_width else value.shape
+        if tuple(got[: len(dims)]) != expect:
             raise ValueError(
                 f"Initialization shape {value.shape} does not match dim "
                 f"extents {expect} for filter {self._name}"
@@ -103,6 +122,7 @@ class RecFilter:
             border=BorderMode.CLAMP if self._clamped_border else BorderMode.ZERO,
             dtype=self._dtype,
             tile_widths=(0,) * len(dims),
+            tuple_width=tuple_width,
         )
         self._cached_fn = None
         return self
@@ -182,8 +202,30 @@ class RecFilter:
     # ------------------------------------------------------------- execution
     def as_func(self) -> Callable:
         """Jittable function array→array running the filter
-        (``RecFilter::as_func``, ``lib/recfilter.cpp:886``)."""
+        (``RecFilter::as_func``, ``lib/recfilter.cpp:886``).
+
+        For a Tuple filter (``F[x, y] = (img_a, img_b)``), the returned
+        function accepts a tuple/list of component arrays (or the stacked
+        array) and returns a tuple of component outputs — every scan applies
+        identically to each component, as Halide Tuples do
+        (``apps/DoG/diff_gauss.cpp:84``, ``demo_gaussian_filter.cpp:57``)."""
         spec = self.spec
+        if spec.tuple_width:
+            inner = self._executor(spec.stacked())
+            k = spec.tuple_width
+
+            def tuple_fn(value):
+                if isinstance(value, (tuple, list)):
+                    x = jnp.stack([jnp.asarray(v) for v in value])
+                else:
+                    x = jnp.asarray(value)
+                y = inner(x)
+                return tuple(y[i] for i in range(k))
+
+            return tuple_fn
+        return self._executor(spec)
+
+    def _executor(self, spec: FilterSpec) -> Callable:
         plan = self._plan
         backend = planner.resolve_backend(
             spec, plan, jax.default_backend()
@@ -269,7 +311,7 @@ class RecFilter:
         """Evaluate one internal stage by name for debugging
         (``RecFilter::func``, ``lib/recfilter.h:296-302``). Returns the stage's
         output array for the bound image."""
-        spec = self.spec
+        spec = self.spec.stacked()
         stages = {st.name: st for st in graph.build_graph(spec)}
         if name not in stages:
             raise KeyError(
@@ -474,6 +516,7 @@ class RecFilter:
                 border=spec.border,
                 dtype=spec.dtype,
                 tile_widths=spec.tile_widths,
+                tuple_width=spec.tuple_width,
             )
             f._plan = self._plan
             # Chain realization: each filter's input is the previous one's
@@ -533,6 +576,7 @@ class RecFilter:
             border=a.border,
             dtype=a.dtype,
             tile_widths=a.tile_widths,
+            tuple_width=a.tuple_width,
         )
         f._plan = self._plan
         return f

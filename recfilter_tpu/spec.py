@@ -110,10 +110,30 @@ class FilterSpec:
     border: str = BorderMode.ZERO
     dtype: str = "float32"
     tile_widths: Tuple[int, ...] = ()  # per-dim; () means untiled
+    tuple_width: int = 0  # >0: Tuple output with that many components
 
     def __post_init__(self):
         if self.tile_widths and len(self.tile_widths) != len(self.dims):
             raise ValueError("tile_widths must match number of dims")
+
+    def stacked(self) -> "FilterSpec":
+        """Executor view of a Tuple filter: the components ride a leading
+        channel dimension (every scan applies identically to each component,
+        as Halide Tuples do — ``RecFilter::define`` with multiple exprs,
+        ``apps/DoG/diff_gauss.cpp:84``) and scan axes shift by one."""
+        if not self.tuple_width:
+            return self
+        return FilterSpec(
+            name=self.name,
+            dims=(Dim("__tuple__", self.tuple_width),) + self.dims,
+            scans=tuple(
+                dataclasses.replace(s, axis=s.axis + 1) for s in self.scans
+            ),
+            border=self.border,
+            dtype=self.dtype,
+            tile_widths=((0,) + self.tile_widths) if self.tile_widths else (),
+            tuple_width=0,
+        )
 
     @property
     def tiled(self) -> bool:
@@ -195,6 +215,7 @@ def spec_to_json(spec: FilterSpec) -> str:
             "border": spec.border,
             "dtype": spec.dtype,
             "tile_widths": list(spec.tile_widths),
+            "tuple_width": spec.tuple_width,
         }
     )
 
@@ -214,6 +235,7 @@ def spec_from_json(text: str) -> FilterSpec:
         border=d["border"],
         dtype=d["dtype"],
         tile_widths=tuple(d["tile_widths"]),
+        tuple_width=d.get("tuple_width", 0),
     )
 
 

@@ -241,3 +241,41 @@ def test_spec_json_roundtrip():
     a = np.asarray(dimfuse.apply_filter_fused(F.spec, img))
     b = np.asarray(dimfuse.apply_filter_fused(back, img))
     np.testing.assert_array_equal(a, b)
+
+
+def test_tuple_outputs_first_class():
+    """Tuple definitions (Halide ``Tuple(expr, ...)``): every scan applies
+    to each component; as_func takes/returns component tuples."""
+    import jax.numpy as jnp
+    from recfilter_tpu import RecFilter, Dim
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((12, 16)).astype(np.float32)
+    b = rng.standard_normal((12, 16)).astype(np.float32)
+    x, y = Dim("x", 16), Dim("y", 12)
+    F = RecFilter("TupSAT")
+    F[y, x] = (a, b)
+    F.add_filter(+x, [1.0, 1.0])
+    F.add_filter(+y, [1.0, 1.0])
+    F.split(x, 4, y, 4)
+    out = F.as_func()((a, b))
+    assert isinstance(out, tuple) and len(out) == 2
+    for comp, src in zip(out, (a, b)):
+        want = src.cumsum(1).cumsum(0)
+        np.testing.assert_allclose(np.asarray(comp), want, rtol=1e-4, atol=1e-3)
+    # realize() uses the bound (stacked) tuple image
+    r = F.realize()
+    np.testing.assert_allclose(np.asarray(r[0]), out[0], rtol=1e-6)
+
+    # spec JSON round-trips tuple_width
+    from recfilter_tpu import spec_from_json, spec_to_json
+
+    back = spec_from_json(spec_to_json(F.spec))
+    assert back.tuple_width == 2
+
+    # cascade_by_dimension preserves Tuple outputs
+    fc = F.cascade_by_dimension()
+    v = (a, b)
+    for f in fc:
+        v = f.as_func()(v)
+    np.testing.assert_allclose(np.asarray(v[1]), out[1], rtol=1e-4, atol=1e-3)
