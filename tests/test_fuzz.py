@@ -53,3 +53,64 @@ def test_random_spec_matches_oracle(seed):
         got / scale, want / scale, rtol=2e-4, atol=2e-4,
         err_msg=f"spec={spec}",
     )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_streamed_matches_oracle(seed):
+    """Streaming executor property: any chunking == in-core result."""
+    from recfilter_tpu import streaming
+
+    rng = np.random.default_rng(7000 + seed)
+    spec = _random_spec(rng)
+    x = rng.standard_normal(
+        tuple(d.extent for d in spec.dims)
+    ).astype(np.float32)
+    axis = int(rng.integers(0, spec.ndim))
+    chunk = int(rng.integers(3, max(4, spec.dims[axis].extent)))
+    got = streaming.apply_filter_streamed(spec, x, chunk_axis=axis, chunk=chunk)
+    want = scan_core.oracle_apply(spec, x).astype(np.float32)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(
+        got / scale, want / scale, rtol=2e-4, atol=2e-4,
+        err_msg=f"spec={spec} chunk_axis={axis} chunk={chunk}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_rotated_chain_matches_oracle(seed):
+    """Two single-dim filters chained through rotated layouts == natural."""
+    rng = np.random.default_rng(8000 + seed)
+    h, w = int(rng.integers(6, 30)), int(rng.integers(6, 30))
+    dims = (Dim("y", h), Dim("x", w))
+    border = BorderMode.CLAMP if rng.integers(0, 2) else BorderMode.ZERO
+
+    def rand_scans(axis):
+        out = []
+        for _ in range(int(rng.integers(1, 3))):
+            order = int(rng.integers(1, 4))
+            a = rng.uniform(-0.9, 0.9, size=order)
+            a = a / max(1.0, 1.2 * np.abs(a).sum())
+            out.append(Scan(axis, bool(rng.integers(0, 2)),
+                            float(rng.uniform(0.3, 1.4)),
+                            tuple(float(v) for v in a)))
+        return tuple(out)
+
+    tiles = (int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+    fx = FilterSpec("fx", dims, rand_scans(1), border=border, tile_widths=tiles)
+    fy = FilterSpec("fy", dims, rand_scans(0), border=border, tile_widths=tiles)
+    x = rng.standard_normal((h, w)).astype(np.float32)
+
+    r = dimfuse.apply_filter_rotated(fx, x, rot_axes=2)       # (x, y)
+    r = dimfuse.apply_filter_rotated(fy, r, rot_axes=2)       # (y, x)
+
+    want = x.astype(np.float64)
+    for s in fx.scans + fy.scans:
+        want = scan_core.oracle_apply_scan(
+            want, s.axis, s.causal, s.feedfwd, s.feedback, border
+        )
+    want = want.astype(np.float32)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(
+        np.asarray(r) / scale, want / scale, rtol=2e-4, atol=2e-4,
+        err_msg=f"fx={fx} fy={fy}",
+    )
