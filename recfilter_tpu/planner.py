@@ -195,9 +195,14 @@ class RecFilterSchedule:
         return self._rec(f"reorder{vars}")
 
     def reorder_storage(self, *vars) -> "RecFilterSchedule":
+        """Storage-order directive (``lib/schedule.cpp:915-990``). The real
+        TPU layout knob is ``Plan.rotate_emit`` (rotated-emit pipeline
+        chaining, set via ``set_plan``); XLA owns intra-pass layouts."""
         return self._rec(f"reorder_storage{vars}")
 
     def storage_layout(self, *args) -> "RecFilterSchedule":
+        """``lib/schedule.cpp:835-913`` analog — see :meth:`reorder_storage`
+        and ``Plan.rotate_emit``."""
         return self._rec(f"storage_layout{args}")
 
     def __repr__(self) -> str:
