@@ -81,15 +81,22 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 0):
     y = Dim("y", height)
     coeff = integral_image_coeff(2)
 
+    # The two single-dimension integral stages chain ROTATED layouts
+    # (Plan.rotate_emit, as in the DoG app): sat_x consumes (y, x) and
+    # emits (x, y); sat_y finds its scan dim (y) on the last axis and emits
+    # (y, x) — both stages run in lanes-contraction form with zero relayout
+    # copies, and each double-differencing lands on axis 0.
     sat_x = RecFilter("Box2_Satx")
     sat_x[y, x] = np.zeros((height, width), dtype=np.float32)
     sat_x.add_filter(+x, coeff)
     sat_x.split_all_dimensions(tile_width)
+    sat_x.set_plan(rotate_emit=2)
 
     sat_y = RecFilter("Box2_Saty")
     sat_y[y, x] = np.zeros((height, width), dtype=np.float32)
     sat_y.add_filter(+y, coeff)
     sat_y.split_all_dimensions(tile_width)
+    sat_y.set_plan(rotate_emit=2)
 
     fx = sat_x.as_func()
     fy = sat_y.as_func()
@@ -108,10 +115,11 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 0):
         ) / (norm * norm)
 
     def fn(image):
-        # x: 2nd-order integral then the fused double differencing
-        # (box_filter.h:124-129)
-        a = _double_diff(fx(image), B, 1)
-        # y: same along the other dimension (box_filter.h:132-139)
+        # x: 2nd-order integral (rotated emit → (x, y)) then the fused
+        # double differencing along x = axis 0 (box_filter.h:124-129)
+        a = _double_diff(fx(image), B, 0)
+        # y: same along the other dimension; rotated emit restores (y, x)
+        # (box_filter.h:132-139)
         return _double_diff(fy(a), B, 0)
 
     return fn, (sat_x, sat_y)
