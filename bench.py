@@ -76,7 +76,9 @@ def make_loop(fn, scale=None, per_body=1):
             return v
 
         out = jax.lax.fori_loop(0, n, body, x)
-        return out[0, 0] + out[-1, -1]
+        first = out[(0,) * out.ndim]
+        last = out[(-1,) * out.ndim]
+        return first + last
 
     return loop
 

@@ -91,16 +91,24 @@ class RecFilter:
         if isinstance(value, (tuple, list)):
             # Tuple definition (Halide ``Tuple(expr, ...)``): components
             # must agree in shape/dtype; stacked on a leading channel axis.
+            # Device-resident components stay on device (jnp.stack).
             tuple_width = len(value)
-            comps = [np.asarray(v) for v in value]
+            comps = [
+                v if isinstance(v, jax.Array) else np.asarray(v)
+                for v in value
+            ]
             if any(
-                c.shape != comps[0].shape or c.dtype != comps[0].dtype
+                tuple(c.shape) != tuple(comps[0].shape)
+                or np.dtype(c.dtype) != np.dtype(comps[0].dtype)
                 for c in comps
             ):
                 raise ValueError(
                     "Tuple components must have identical shape and dtype"
                 )
-            value = np.stack(comps)
+            if any(isinstance(c, jax.Array) for c in comps):
+                value = jnp.stack(comps)
+            else:
+                value = np.stack(comps)
         else:
             value = (
                 np.asarray(value) if not isinstance(value, jax.Array)
@@ -227,6 +235,16 @@ class RecFilter:
 
     def _executor(self, spec: FilterSpec) -> Callable:
         plan = self._plan
+        if plan.rotate_emit and plan.backend != "oracle":
+            # The rotated-layout contract must survive backend fallback:
+            # apply_filter_rotated itself routes integers / untiled widths /
+            # clamp-prime cases to the right executor WITH the rotated emit.
+            from . import dimfuse
+
+            return lambda x: dimfuse.apply_filter_rotated(
+                spec, x, rot_axes=plan.rotate_emit,
+                matmul_precision=plan.matmul_precision,
+            )
         backend = planner.resolve_backend(
             spec, plan, jax.default_backend()
         )
@@ -244,11 +262,6 @@ class RecFilter:
         if backend == "einsum":
             from . import dimfuse
 
-            if plan.rotate_emit:
-                return lambda x: dimfuse.apply_filter_rotated(
-                    spec, x, rot_axes=plan.rotate_emit,
-                    matmul_precision=plan.matmul_precision,
-                )
             return lambda x: dimfuse.apply_filter_fused(
                 spec, x, matmul_precision=plan.matmul_precision
             )

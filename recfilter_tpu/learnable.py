@@ -25,6 +25,12 @@ import numpy as np
 
 from .spec import BorderMode, FilterSpec
 
+# CLAUDE.md precision invariant: XLA's default f32 dot on TPU is single-pass
+# bf16 (~1e-2 rel error); every f32 matmul in the learnable executors
+# requests HIGHEST so training optimizes the same filter production
+# inference evaluates.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def impulse_matrix_jnp(feedfwd, feedback, tile_width: int, clamp: bool = False):
     """Traced-coefficient twin of ``coeffs.impulse_matrix``.
@@ -109,11 +115,11 @@ def blocked_scan_learnable(
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     xt = xt.reshape(L, n, T)
 
-    b = jnp.einsum("kt,lnt->nlk", PB, xt)  # (n, L, k) tile-major for the scan
+    b = jnp.einsum("kt,lnt->nlk", PB, xt, precision=_PREC)  # (n, L, k) tile-major for the scan
     if clamp:
         Bf = impulse_matrix_jnp(feedfwd, a, T, clamp=True)
         PBf = Bf[T - 1 - jnp.arange(k), :]
-        b = b.at[0].set(jnp.einsum("kt,lt->lk", PBf, xt[:, 0]))
+        b = b.at[0].set(jnp.einsum("kt,lt->lk", PBf, xt[:, 0], precision=_PREC))
 
     # Completed states via associative scan over affine maps s ↦ W s + b_t.
     A_stack = jnp.broadcast_to(W, (n, k, k))
@@ -121,19 +127,19 @@ def blocked_scan_learnable(
     def combine_pairs(c1, c2):
         A1, b1 = c1
         A2, b2 = c2
-        A = jnp.einsum("n...ij,n...jk->n...ik", A2, A1)
-        bb = jnp.einsum("n...ij,n...lj->n...li", A2, b1) + b2
+        A = jnp.einsum("n...ij,n...jk->n...ik", A2, A1, precision=_PREC)
+        bb = jnp.einsum("n...ij,n...lj->n...li", A2, b1, precision=_PREC) + b2
         return A, bb
 
     _, s = jax.lax.associative_scan(combine_pairs, (A_stack, b), axis=0)
     # incoming state of tile t is the completed state of tile t-1
     s_prev = jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
 
-    y = jnp.einsum("ts,lns->lnt", B, xt) + jnp.einsum(
-        "tk,nlk->lnt", R, s_prev
+    y = jnp.einsum("ts,lns->lnt", B, xt, precision=_PREC) + jnp.einsum(
+        "tk,nlk->lnt", R, s_prev, precision=_PREC
     )
     if clamp:
-        y = y.at[:, 0].set(jnp.einsum("ts,ls->lt", Bf, xt[:, 0]))
+        y = y.at[:, 0].set(jnp.einsum("ts,ls->lt", Bf, xt[:, 0], precision=_PREC))
 
     y = y.reshape(L, n * T)
     if pad:
@@ -225,13 +231,13 @@ def _dim_mats_learnable(params, T: int, pad_slots: int = 0):
     Btot = acc
     for i, (B, RN, sel, _, _, _) in enumerate(base):
         for j in range(i):
-            Rhat[i][j] = B @ Rhat[i - 1][j]
+            Rhat[i][j] = jnp.matmul(B, Rhat[i - 1][j], precision=_PREC)
         Rhat[i][i] = RN
-        acc = B @ acc
+        acc = jnp.matmul(B, acc, precision=_PREC)
         Btot = acc
         G[i] = sel(acc)
         for j in range(i):
-            H[i][j] = sel(B @ Rhat[i - 1][j])
+            H[i][j] = sel(jnp.matmul(B, Rhat[i - 1][j], precision=_PREC))
     return base, G, H, Btot, Rhat[m - 1]
 
 
@@ -248,8 +254,8 @@ def _chain_solve_learnable(b, W, k: int, causal: bool):
     bt_n = jnp.moveaxis(bt, 1, 0)  # (n, L, k)
     _, s = jax.lax.associative_scan(
         lambda c1, c2: (
-            jnp.einsum("nij,njk->nik", c2[0], c1[0]),
-            jnp.einsum("nij,nlj->nli", c2[0], c1[1]) + c2[1],
+            jnp.einsum("nij,njk->nik", c2[0], c1[0], precision=_PREC),
+            jnp.einsum("nij,nlj->nli", c2[0], c1[1], precision=_PREC) + c2[1],
         ),
         (A, bt_n),
         axis=0,
@@ -290,23 +296,23 @@ def fused_dim_learnable(x, params, tile_width: int):
 
     N = [None] * len(base)
     for i, (_, _, _, W, k, causal) in enumerate(base):
-        b = jnp.einsum("kt,lnt->lnk", G[i], X)
+        b = jnp.einsum("kt,lnt->lnk", G[i], X, precision=_PREC)
         for j in range(i):
-            b = b + jnp.einsum("ko,lno->lnk", H[i][j], N[j])
+            b = b + jnp.einsum("ko,lno->lnk", H[i][j], N[j], precision=_PREC)
         if pad:
-            bl = jnp.einsum("kt,lt->lk", GL[i], X[:, -1])
+            bl = jnp.einsum("kt,lt->lk", GL[i], X[:, -1], precision=_PREC)
             for j in range(i):
-                bl = bl + jnp.einsum("ko,lo->lk", HL[i][j], N[j][:, -1])
+                bl = bl + jnp.einsum("ko,lo->lk", HL[i][j], N[j][:, -1], precision=_PREC)
             b = b.at[:, -1].set(bl)
         N[i] = _chain_solve_learnable(b, W, k, causal)
 
-    Y = jnp.einsum("ts,lns->lnt", Btot, X)
+    Y = jnp.einsum("ts,lns->lnt", Btot, X, precision=_PREC)
     for j in range(len(base)):
-        Y = Y + jnp.einsum("tk,lnk->lnt", Rhat[j], N[j])
+        Y = Y + jnp.einsum("tk,lnk->lnt", Rhat[j], N[j], precision=_PREC)
     if pad:
-        yl = jnp.einsum("ts,ls->lt", BtotL, X[:, -1])
+        yl = jnp.einsum("ts,ls->lt", BtotL, X[:, -1], precision=_PREC)
         for j in range(len(base)):
-            yl = yl + jnp.einsum("tk,lk->lt", RhatL[j], N[j][:, -1])
+            yl = yl + jnp.einsum("tk,lk->lt", RhatL[j], N[j][:, -1], precision=_PREC)
         Y = Y.at[:, -1].set(yl)
     Y = Y.reshape(Y.shape[0], n * T)
     if pad:

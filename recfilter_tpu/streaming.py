@@ -59,6 +59,7 @@ def apply_filter_streamed(
     dtype = jnp.dtype(spec.dtype)
     if jnp.issubdtype(dtype, jnp.integer):
         raise NotImplementedError("streaming supports float filters")
+    chunk_axis = chunk_axis % spec.ndim  # scans_by_axis keys are non-negative
     if spec.tuple_width:
         spec = spec.stacked()
         chunk_axis = chunk_axis + 1
@@ -69,6 +70,11 @@ def apply_filter_streamed(
     kmax = max(
         (spec.scans[i].order for i in groups.get(chunk_axis, [])), default=1
     )
+    if chunk < kmax:
+        raise ValueError(
+            f"chunk ({chunk}) must be >= the max scan order on the chunk "
+            f"axis ({kmax}): the cross-chunk carry needs k boundary lines"
+        )
     out = np.array(image, dtype=spec.dtype, copy=True)
     slices = _chunk_slices(out.shape[chunk_axis], chunk, min_last=kmax)
 

@@ -3,8 +3,9 @@
 
 Exercises the n-D rotation-chaining executor (all three dims scanned as
 the trailing axis group — see ``dimfuse._last_axis_pass_t``). Slope-timed
-inside one jit like ``bench.py`` (see its docstring for why).
-Measured on one v5e chip: 0.668 ms = 25.1 Gvox/s (throughput mode).
+via ``bench.slope_ms_per_iter`` (see its docstring for why wall-clock is
+meaningless on the tunnel). Measured on one v5e chip before the per-body
+harness correction: 0.668 ms = 25.1 Gvox/s (throughput mode).
 """
 import argparse
 import json
@@ -50,32 +51,15 @@ def main():
     def fn(v):
         return dimfuse.apply_filter_fused(spec, v, matmul_precision="default")
 
-    @jax.jit
-    def loop(x, k):
-        out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), x)
-        return out[0, 0, 0] + out[-1, -1, -1]
+    from bench import slope_ms_per_iter
 
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((n, n, n)) * 0.01,
         jnp.float32,
     )
     t0 = time.time()
-    float(loop(img, jnp.int32(1)))
-    print(f"compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
-
-    def timed(k):
-        t0 = time.perf_counter()
-        s = float(loop(img, jnp.int32(k)))
-        assert np.isfinite(s)
-        return (time.perf_counter() - t0) * 1000.0
-
-    rough = max((timed(64) - timed(2)) / 62.0, 1e-4)
-    spread = int(min(max(80.0 / rough, 50), 20000))
-    slopes = []
-    for _ in range(3):
-        t1, t2 = timed(2), timed(2 + spread)
-        slopes.append((t2 - t1) / spread)
-    ms = float(np.median(slopes))
+    ms = slope_ms_per_iter(fn, img, per_body=4)
+    print(f"measured (incl. compile {time.time() - t0:.0f}s)", file=sys.stderr)
     print(json.dumps({
         "metric": f"gaussian3_vol{n}_gvox_s",
         "value": round(n ** 3 / ms / 1e9 * 1e3, 2),

@@ -279,3 +279,28 @@ def test_tuple_outputs_first_class():
     for f in fc:
         v = f.as_func()(v)
     np.testing.assert_allclose(np.asarray(v[1]), out[1], rtol=1e-4, atol=1e-3)
+
+
+def test_rotate_emit_survives_backend_fallback():
+    """Plan.rotate_emit is a layout CONTRACT — it must hold even when the
+    spec is untiled or integer-typed (backend fallback paths)."""
+    from recfilter_tpu import RecFilter, Dim
+
+    x, y = Dim("x", 8), Dim("y", 6)
+    img = np.arange(48, dtype=np.float32).reshape(6, 8)
+    F = RecFilter("RotFallback")
+    F[y, x] = img  # untiled → resolve_backend would pick "scan"
+    F.add_filter(+x, [1.0, 1.0])
+    F.set_plan(rotate_emit=2)
+    out = np.asarray(F.as_func()(img))
+    assert out.shape == (8, 6)
+    np.testing.assert_allclose(out, img.cumsum(1).T, rtol=1e-5)
+
+    Fi = RecFilter("RotInt")
+    Fi[y, x] = img.astype(np.int32)
+    Fi.add_filter(+x, [1, 1])
+    Fi.split(x, 4)
+    Fi.set_plan(rotate_emit=2)
+    outi = np.asarray(Fi.as_func()(img.astype(np.int32)))
+    assert outi.shape == (8, 6)
+    np.testing.assert_array_equal(outi, img.astype(np.int32).cumsum(1).T)

@@ -70,3 +70,25 @@ def test_streamed_tuple_filter():
     want = np.asarray(dimfuse.apply_filter_fused(spec.stacked(), x))
     got = streaming.apply_filter_streamed(spec, x, chunk_axis=0, chunk=7)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_streamed_negative_chunk_axis():
+    spec = FilterSpec(
+        "SN", (Dim("y", 12), Dim("x", 50)),
+        (Scan(1, True, 1.0, (0.5,)),), tile_widths=(4, 8),
+    )
+    x = _img(12, 50, seed=4)
+    want = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    got = streaming.apply_filter_streamed(spec, x, chunk_axis=-1, chunk=9)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_streamed_chunk_smaller_than_order_rejected():
+    spec = FilterSpec(
+        "SR", (Dim("y", 20), Dim("x", 8)),
+        (Scan(0, True, 1.0, (0.3, 0.2, 0.1)),), tile_widths=(4, 4),
+    )
+    with pytest.raises(ValueError, match="max scan order"):
+        streaming.apply_filter_streamed(
+            spec, _img(20, 8, seed=5), chunk_axis=0, chunk=2
+        )
