@@ -24,6 +24,7 @@ def main():
     p.add_argument("--iter", "-i", type=int, default=1)
     p.add_argument("--B1", type=int, default=5)
     p.add_argument("--B2", type=int, default=9)
+    p.add_argument("--nocheck", action="store_true")
     ns = p.parse_args()
 
     import jax
@@ -48,6 +49,25 @@ def main():
     ms = (time.perf_counter() - t0) * 1000
     print(f"DoG: {ms:.3f} ms, "
           f"{timing.throughput(ms, w * w * ns.iter):.2f} MiP/s")
+
+    if not ns.nocheck:
+        # Oracle: DoG = box³(B1) − box³(B2), valid in the interior (borders
+        # live in the zeroed margin, ``box_filter.h:9-11``); relative to the
+        # output peak, reflecting f32 cancellation in the dual-radius
+        # subtraction (``apps/DoG/diff_gauss.cpp`` checks the same way via
+        # CheckResult).
+        import numpy as np
+
+        from recfilter_tpu.apps.box import box_oracle
+
+        got = np.asarray(out)
+        want = box_oracle(image, ns.B1, 3) - box_oracle(image, ns.B2, 3)
+        m = 3 * (max(ns.B1, ns.B2) + 1) + 3
+        scale = float(np.max(np.abs(want))) + 1e-30
+        err = np.abs(got - want)[m:-m, m:-m] / scale
+        print("Checking difference ... ")
+        print(f"Max relative error = {100 * err.max():e} %")
+        print(f"Mean relative error = {100 * err.mean():e} %")
 
 
 if __name__ == "__main__":
