@@ -157,7 +157,9 @@ def main():
             ),
         )(v)
 
-    copy_ms = slope_ms_per_iter(_copy, img)
+    # per_body=4 here too: the while-loop carry copy would otherwise
+    # deflate the measured bandwidth (and inflate vs_baseline).
+    copy_ms = slope_ms_per_iter(_copy, img, per_body=4)
     hbm_gb_s = 2.0 * h * w * 4 / (copy_ms * 1e-3) / 1e9
 
     # per_body=4 amortizes the while-loop carry-copy harness artifact
