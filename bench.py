@@ -157,9 +157,13 @@ def main():
             ),
         )(v)
 
-    # per_body=4 here too: the while-loop carry copy would otherwise
-    # deflate the measured bandwidth (and inflate vs_baseline).
-    copy_ms = slope_ms_per_iter(_copy, img, per_body=4)
+    # Calibrate with per_body=1: composing chained copies per loop body
+    # measured an unphysical 1314 GB/s (above the 819 GB/s chip spec —
+    # XLA appears to elide interior chain buffers), while the plain loop
+    # reproduces the spec (~700-800 GB/s). The plain loop may include a
+    # loop-carry copy, making this calibration conservative (reported
+    # vs_baseline is then an upper bound on the true roofline fraction).
+    copy_ms = slope_ms_per_iter(_copy, img)
     hbm_gb_s = 2.0 * h * w * 4 / (copy_ms * 1e-3) / 1e9
 
     # per_body=4 amortizes the while-loop carry-copy harness artifact
