@@ -383,15 +383,18 @@ def fused_dim_pass(
 
     # The blocked algebra needs the order-k carry to fit inside one tile,
     # and clamp needs exact tiling (no divisor ≥ kmax exists for prime-ish
-    # widths) — route such cases to the lax.scan core.
+    # widths) — route such cases to the lax.scan core. Carries always run
+    # in f32 (never the bf16 storage dtype) — same contract as
+    # scan_core.apply_filter.
     if plan is None:
         from . import scan_core
 
+        xs = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
         for s in scans:
-            x = scan_core.apply_scan(
-                x, axis, s.causal, s.feedfwd, s.feedback, border
+            xs = scan_core.apply_scan(
+                xs, axis, s.causal, s.feedfwd, s.feedback, border
             )
-        return x
+        return xs.astype(x.dtype)
 
     T, n, pad = plan
     # Non-last scan axes route through the lanes-contraction form: move the
@@ -765,11 +768,13 @@ def apply_filter_rotated(
     if plan is None:
         from . import scan_core
 
+        # f32 carries even in bf16-storage mode (scan_core contract)
+        xs = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
         for s in scans:
-            x = scan_core.apply_scan(
-                x, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
+            xs = scan_core.apply_scan(
+                xs, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
             )
-        return emit_rotated(x).astype(dtype)
+        return emit_rotated(xs).astype(dtype)
 
     y = _last_axis_pass_t(
         x, scans, plan, clamp, cdt, matmul_dtype,

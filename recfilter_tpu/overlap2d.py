@@ -109,29 +109,33 @@ def _apply_a5(Mstack, V, cdt):
     M = jnp.asarray(Mstack, dtype=cdt)
     if M.shape[0] == 1:
         return jnp.einsum("os,pasbt->paobt", M[0], V,
-                          preferred_element_type=cdt)
-    return jnp.einsum("aos,pasbt->paobt", M, V, preferred_element_type=cdt)
+                          preferred_element_type=cdt, precision=_prec(cdt))
+    return jnp.einsum("aos,pasbt->paobt", M, V, preferred_element_type=cdt,
+                      precision=_prec(cdt))
 
 
 def _apply_b5(Mstack, V, cdt):
     M = jnp.asarray(Mstack, dtype=cdt)
     if M.shape[0] == 1:
         return jnp.einsum("ot,pasbt->pasbo", M[0], V,
-                          preferred_element_type=cdt)
-    return jnp.einsum("bot,pasbt->pasbo", M, V, preferred_element_type=cdt)
+                          preferred_element_type=cdt, precision=_prec(cdt))
+    return jnp.einsum("bot,pasbt->pasbo", M, V, preferred_element_type=cdt,
+                      precision=_prec(cdt))
 
 
 def _solve_a5(b, CM, cdt):
     p, na, k, nb, t = b.shape
     lines = jnp.moveaxis(b, (1, 2), (3, 4)).reshape(-1, na * k)
-    N = (lines @ jnp.asarray(CM, dtype=cdt).T).reshape(p, nb, t, na, k)
+    N = jnp.einsum("ls,ts->lt", lines, jnp.asarray(CM, dtype=cdt),
+                   precision=_prec(cdt)).reshape(p, nb, t, na, k)
     return jnp.moveaxis(N, (3, 4), (1, 2))
 
 
 def _solve_b5(b, CM, cdt):
     p, na, s, nb, k = b.shape
     lines = b.reshape(-1, nb * k)
-    N = (lines @ jnp.asarray(CM, dtype=cdt).T).reshape(p, na, s, nb, k)
+    N = jnp.einsum("ls,ts->lt", lines, jnp.asarray(CM, dtype=cdt),
+                   precision=_prec(cdt)).reshape(p, na, s, nb, k)
     return N
 
 

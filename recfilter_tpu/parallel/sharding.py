@@ -88,7 +88,7 @@ def _apply_scan_cols(M: np.ndarray, scan, seg: int) -> np.ndarray:
 
 def _segment_dim_mats(scans, seg: int, D: int):
     """Device-level matrices for the combined exchange — the dimfuse algebra
-    with "tile" = "device segment", built column-wise (никогда a seg×seg
+    with "tile" = "device segment", built column-wise (never a seg×seg
     matrix): per-scan natural correction columns Rhat (seg, k_i) evolved
     through the later scans, cross-scan couplings H, and the combined
     block-triangular solve over devices (see dimfuse.combined_solve_matrix).
@@ -157,8 +157,12 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     rows = jax.lax.dynamic_slice_in_dim(CM, d * S, S, axis=0)  # (S, D·S)
     flat = jnp.moveaxis(allc, 0, -2)  # (..., D, S)
     flat = flat.reshape(flat.shape[:-2] + (D * S,))
-    N = jnp.einsum("sz,...z->...s", rows, flat)
-    corr = jnp.einsum("tk,...k->...t", jnp.asarray(Rcat, dtype=y.dtype), N)
+    # carry solves at true f32: XLA's default f32 dot is single-pass bf16 on
+    # TPU (~1e-2 rel err), non-decaying at segment boundaries for integrators
+    prec = jax.lax.Precision.HIGHEST
+    N = jnp.einsum("sz,...z->...s", rows, flat, precision=prec)
+    corr = jnp.einsum("tk,...k->...t", jnp.asarray(Rcat, dtype=y.dtype), N,
+                      precision=prec)
     ym = jnp.moveaxis(y, axis, -1) + corr
     return jnp.moveaxis(ym, -1, axis)
 
@@ -193,6 +197,16 @@ def sharded_apply_filter(
             "not yet supported; shard over non-scanned (line/batch) axes"
         )
 
+    int_dtype = jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer)
+    if int_dtype and seq_axis in scanned:
+        # The carry-exchange correction is float math; integer specs are
+        # exact only through the scan_core path. Shard lines/batch instead.
+        raise NotImplementedError(
+            "sharding a scanned dimension of an integer-dtype filter is not "
+            "supported (the carry correction is float); shard over "
+            "non-scanned (line/batch) axes, which run the exact integer path"
+        )
+
     ndim = x.ndim
     pspec = [None] * ndim
     shard_of = {}  # array axis -> (mesh axis name, size)
@@ -206,6 +220,19 @@ def sharded_apply_filter(
 
     tiles = spec.tile_widths or (0,) * spec.ndim
     interpret = plan.interpret or jax.default_backend() != "tpu"
+
+    if int_dtype:
+        # Exact integer local scans (data/batch sharding only).
+        from .. import scan_core
+
+        def local_int(xl):
+            return scan_core.apply_filter(spec, xl)
+
+        fn = jax.shard_map(
+            local_int, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
+            check_vma=False,
+        )
+        return fn(x)
 
     def local_fn(xl):
         y = xl.astype(jnp.float32)

@@ -128,7 +128,15 @@ def apply_filter_streamed(
                 matmul_precision=matmul_precision,
             )
             RN = jnp.asarray(mats_for(x.shape[chunk_axis]), y.dtype)
-            y = y + jnp.einsum("ck,...k->...c", RN, N)
+            # cross-chunk carry correction at the pass's matmul precision
+            # (full-magnitude across chunks for integral-image filters; the
+            # TPU default f32 dot would round it to bf16)
+            y = y + jnp.einsum(
+                "ck,...k->...c", RN, N,
+                precision=dimfuse._matmul_precision(
+                    y.dtype, None, matmul_precision
+                ),
+            )
             tail = y[..., -k:] if s.causal else y[..., :k]
             return jnp.moveaxis(y, -1, chunk_axis), tail
 

@@ -368,3 +368,45 @@ def test_apply_filter_rotated_errors():
     one = FilterSpec("F1D", dims, (Scan(1, True, 1.0, (0.5,)),))
     with pytest.raises(ValueError, match="last axis"):
         dimfuse.apply_filter_rotated(one, _img(20, 6), rot_axes=2)
+
+
+def test_bf16_storage_fallback_keeps_f32_carries():
+    """Prime-width clamp routes to the scan_core fallback; with bf16 storage
+    the recurrence must still run with f32 carries (ADVICE r1: the bf16-carry
+    fallback measured ~4-8% error vs the ~1% bf16-rounding contract)."""
+    import jax.numpy as jnp
+
+    spec = FilterSpec(
+        "BFB", (Dim("y", 4), Dim("x", 509)),
+        (Scan(1, True, 1.0, (0.5, 0.25)),),
+        dtype="bfloat16", border=BorderMode.CLAMP, tile_widths=(0, 32),
+    )
+    x = _img(4, 509, seed=13)
+    got = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(x, jnp.bfloat16)),
+        dtype=np.float32,
+    )
+    want = _oracle_dim(x, list(spec.scans), BorderMode.CLAMP)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.02 * scale
+
+
+def test_bf16_rotated_fallback_keeps_f32_carries():
+    """Same contract through apply_filter_rotated's scan_core fallback."""
+    import jax.numpy as jnp
+
+    spec = FilterSpec(
+        "BFR", (Dim("y", 4), Dim("x", 509)),
+        (Scan(1, True, 1.0, (0.5, 0.25)),),
+        dtype="bfloat16", border=BorderMode.CLAMP, tile_widths=(0, 32),
+    )
+    x = _img(4, 509, seed=14)
+    got = np.asarray(
+        dimfuse.apply_filter_rotated(
+            spec, jnp.asarray(x, jnp.bfloat16), rot_axes=1
+        ),
+        dtype=np.float32,
+    )
+    want = _oracle_dim(x, list(spec.scans), BorderMode.CLAMP)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.02 * scale

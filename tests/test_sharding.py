@@ -149,3 +149,33 @@ def test_multichannel_audio_sharded(devices):
     )
     want = scan_core.oracle_apply(spec, img).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_integer_data_parallel_exact(devices):
+    """Integer specs shard over non-scanned axes through the exact
+    scan_core path (ADVICE r1: the float round-trip truncated)."""
+    mesh = sharding.make_mesh((8,), ("data",))
+    spec = FilterSpec(
+        "IntSAT", (Dim("y", 16), Dim("x", 16)),
+        (Scan(1, True, 1, (1,)),),
+        dtype="int32",
+    )
+    rng = np.random.default_rng(7)
+    img = rng.integers(-50, 50, size=(16, 16), dtype=np.int32)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, data_axis=0)
+    )
+    want = scan_core.oracle_apply(spec, img)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_integer_seq_parallel_raises(devices):
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = FilterSpec(
+        "IntSeq", (Dim("y", 16), Dim("x", 32)),
+        (Scan(1, True, 1, (1,)),),
+        dtype="int32",
+    )
+    img = np.ones((16, 32), dtype=np.int32)
+    with pytest.raises(NotImplementedError):
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
