@@ -50,21 +50,32 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
-def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret):
-    """Device-local dimension pass with the chosen backend."""
+def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret,
+                     border: Optional[str] = None):
+    """Device-local dimension pass with the chosen backend.
+
+    ``border`` overrides ``spec.border`` — the sequence-sharded clamp path
+    runs zero-border locals on every device and injects the clamp response
+    as a rank-1 correction on the edge device only.
+    """
+    import dataclasses as _dc
+
     from .. import dimfuse, scan_core
     from ..kernels import fused
 
+    border = spec.border if border is None else border
     if backend == "pallas":
+        if border != spec.border:
+            spec = _dc.replace(spec, border=border)
         return fused.apply_dim(x, spec, axis, scan_ids, tile_width, interpret)
     if backend == "einsum" and tile_width:
         return dimfuse.fused_dim_pass(
-            x, axis, [spec.scans[i] for i in scan_ids], tile_width, spec.border
+            x, axis, [spec.scans[i] for i in scan_ids], tile_width, border
         )
     for i in scan_ids:
         s = spec.scans[i]
         x = scan_core.apply_scan(
-            x, s.axis, s.causal, s.feedfwd, s.feedback, spec.border
+            x, s.axis, s.causal, s.feedfwd, s.feedback, border
         )
     return x
 
@@ -76,54 +87,156 @@ def _local_apply_dim(x, spec, axis, scan_ids, tile_width, backend, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _apply_scan_cols(M: np.ndarray, scan, seg: int) -> np.ndarray:
-    """Apply ``scan`` (zero border) down the columns of a (seg, q) block —
-    host-side, used to evolve segment-level correction columns."""
+def _apply_scan_cols(M: np.ndarray, scan, border: str) -> np.ndarray:
+    """Apply ``scan`` down the columns of a (seg, q) block — host-side, used
+    to evolve segment-level correction columns. The clamped scan is the
+    linear map Bf, so clamped evolution of a correction column is just the
+    clamped scan applied to it."""
     from .. import scan_core
 
     return scan_core.oracle_apply_scan(
-        M, 0, scan.causal, scan.feedfwd, list(scan.feedback), "zero"
+        M, 0, scan.causal, scan.feedfwd, list(scan.feedback), border
     )
 
 
-def _segment_dim_mats(scans, seg: int, D: int):
+def _clamp_col(scan, seg: int) -> np.ndarray:
+    """v = (Bf − B)·e_edge: the segment-level clamp response column.
+
+    Every clamp contribution is proportional to the edge sample (row 0 of
+    the impulse matrix has a single nonzero column), so Bf − B = v·e_edgeᵀ
+    is rank-1 and the clamped local pass equals the zero-border local pass
+    plus ``v ⊗ x[edge]`` — the device-level form of the first/last-tile
+    matrix variants in ``lib/split.cpp:625-654``.
+    """
+    from .. import scan_core
+
+    e = np.zeros((seg, 1), dtype=np.float64)
+    e[0 if scan.causal else seg - 1, 0] = 1.0
+    vc = _apply_scan_cols(e, scan, BorderMode.CLAMP)
+    vz = _apply_scan_cols(e, scan, BorderMode.ZERO)
+    return (vc - vz)[:, 0]
+
+
+def _segment_dim_mats(scans, seg: int, D: int, clamp: bool = False):
     """Device-level matrices for the combined exchange — the dimfuse algebra
     with "tile" = "device segment", built column-wise (never a seg×seg
     matrix): per-scan natural correction columns Rhat (seg, k_i) evolved
     through the later scans, cross-scan couplings H, and the combined
     block-triangular solve over devices (see dimfuse.combined_solve_matrix).
+
+    With ``clamp``, the globally-first/last devices get distinct variants:
+    correction columns evolve through the CLAMPED scan on the scan's edge
+    device (Bf = B + v·e₀ᵀ, so the clamped evolution carries exactly the
+    edge response of the incoming corrections). Returns ``Rcats`` stacked as
+    (3, seg, ΣK) — [first, interior, last] — for per-device selection; for
+    zero borders the stack is (1, seg, ΣK).
     """
     from .. import dimfuse
 
     m = len(scans)
     orders = [s.order for s in scans]
-    cols = [None] * m  # RN_i evolved through scans applied so far
-    H = [[None] * m for _ in range(m)]
-    for i, s in enumerate(scans):
-        k = s.order
-        R = coeffs.state_matrix(s.feedback, seg)
-        Jk = coeffs.antidiagonal(k)
-        RN = R @ Jk if s.causal else R[::-1, :]
-        # evolve earlier scans' columns through scan i and record couplings
-        for j in range(i):
-            evolved = _apply_scan_cols(cols[j], s, seg)
-            if s.causal:
-                H[i][j] = evolved[seg - k :, :][None]  # (1, k_i, k_j)
-            else:
-                H[i][j] = evolved[:k, :][None]
-            cols[j] = evolved
-        cols[i] = RN
+
+    def build(dev):
+        # dev: 0 (globally first), None (interior), D-1 (globally last)
+        cols = [None] * m  # RN_i evolved through scans applied so far
+        H = [[None] * m for _ in range(m)]
+        for i, s in enumerate(scans):
+            k = s.order
+            R = coeffs.state_matrix(s.feedback, seg)
+            Jk = coeffs.antidiagonal(k)
+            RN = R @ Jk if s.causal else R[::-1, :]
+            edge = (dev == 0) if s.causal else (dev == D - 1 and dev is not None)
+            border = (
+                BorderMode.CLAMP if (clamp and dev is not None and edge)
+                else BorderMode.ZERO
+            )
+            for j in range(i):
+                evolved = _apply_scan_cols(cols[j], s, border)
+                if s.causal:
+                    H[i][j] = evolved[seg - k :, :]  # (k_i, k_j)
+                else:
+                    H[i][j] = evolved[:k, :]
+                cols[j] = evolved
+            cols[i] = RN
+        Rcat = np.concatenate(cols, axis=1)  # (seg, ΣK)
+        return H, Rcat
 
     class _Shim:
         pass
 
     shim = _Shim()
     shim.orders = orders
-    shim.H = H
     shim.CM = [dimfuse._chain_matrix(s, seg, D) for s in scans]
+
+    if not clamp:
+        H1, Rcat = build(None)
+        shim.H = [
+            [(H1[i][j][None] if j < i else None) for j in range(m)]
+            for i in range(m)
+        ]
+        CMfull = dimfuse.combined_solve_matrix(shim, D)
+        return CMfull, Rcat[None], orders
+
+    built = {0: build(0), None: build(None), D - 1: build(D - 1)}
+
+    def h_stack(i, j):
+        return np.stack(
+            [built[d if d in (0, D - 1) else None][0][i][j] for d in range(D)]
+        )
+
+    shim.H = [
+        [(h_stack(i, j) if j < i else None) for j in range(m)]
+        for i in range(m)
+    ]
     CMfull = dimfuse.combined_solve_matrix(shim, D)
-    Rcat = np.concatenate(cols, axis=1)  # (seg, ΣK) final-output corrections
-    return CMfull, Rcat, orders
+    Rcats = np.stack(
+        [built[0][1], built[None][1], built[D - 1][1]]
+    )  # (3, seg, ΣK): [first, interior, last]
+    return CMfull, Rcats, orders
+
+
+def _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D, name, backend,
+                       interpret):
+    """Zero-state local cascade on each device, scan by scan, collecting the
+    natural boundary carries. Clamped borders run zero-border locals plus
+    the rank-1 edge correction ``v ⊗ y_pre[edge]`` on the scan's edge device
+    (see :func:`_clamp_col`); the carries then match the clamped G-tails the
+    exchange matrices expect. Returns (y, ccat)."""
+    scans = [spec.scans[i] for i in scan_ids]
+    seg = y.shape[axis]
+    clamp = spec.border == BorderMode.CLAMP
+    d = jax.lax.axis_index(name)
+
+    cs = []
+    for idx, s in zip(scan_ids, scans):
+        if clamp:
+            edge_pos = 0 if s.causal else seg - 1
+            x_edge = jax.lax.slice_in_dim(y, edge_pos, edge_pos + 1, axis=axis)
+        y = _local_apply_dim(y, spec, axis, [idx], tile_width, backend,
+                             interpret, border=BorderMode.ZERO)
+        if clamp:
+            v = _clamp_col(s, seg)
+            vshape = [1] * y.ndim
+            vshape[axis] = seg
+            vj = jnp.asarray(v, dtype=y.dtype).reshape(vshape)
+            edge_dev = 0 if s.causal else D - 1
+            mask = (d == edge_dev).astype(y.dtype)
+            y = y + mask * vj * x_edge
+        ym = jnp.moveaxis(y, axis, -1)
+        k = s.order
+        c = ym[..., seg - k :] if s.causal else ym[..., :k]
+        cs.append(c)
+    return y, jnp.concatenate(cs, axis=-1)  # (..., S) natural, scan-ordered
+
+
+def _select_rcat(Rcats: np.ndarray, D: int, d, dtype):
+    """Pick this device's final-correction columns: (1|3, seg, ΣK) stacked as
+    [first, interior, last] under clamp, a single shared block otherwise."""
+    R = jnp.asarray(Rcats, dtype=dtype)
+    if R.shape[0] == 1:
+        return R[0]
+    sel = jnp.where(d == 0, 0, jnp.where(d == D - 1, 2, 1))
+    return jax.lax.dynamic_index_in_dim(R, sel, axis=0, keepdims=False)
 
 
 def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
@@ -137,18 +250,12 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     """
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
-    CMfull, Rcat, orders = _segment_dim_mats(scans, seg, D)
+    clamp = spec.border == BorderMode.CLAMP
+    CMfull, Rcats, orders = _segment_dim_mats(scans, seg, D, clamp)
     S = int(sum(orders))
 
-    cs = []
-    for idx, s in zip(scan_ids, scans):
-        y = _local_apply_dim(y, spec, axis, [idx], tile_width, backend,
-                             interpret)
-        ym = jnp.moveaxis(y, axis, -1)
-        k = s.order
-        c = ym[..., seg - k :] if s.causal else ym[..., :k]
-        cs.append(c)
-    ccat = jnp.concatenate(cs, axis=-1)  # (..., S) natural, scan-ordered
+    y, ccat = _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D,
+                                 name, backend, interpret)
 
     allc = jax.lax.all_gather(ccat, name, axis=0)  # (D, ..., S)
     d = jax.lax.axis_index(name)
@@ -161,8 +268,8 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     # TPU (~1e-2 rel err), non-decaying at segment boundaries for integrators
     prec = jax.lax.Precision.HIGHEST
     N = jnp.einsum("sz,...z->...s", rows, flat, precision=prec)
-    corr = jnp.einsum("tk,...k->...t", jnp.asarray(Rcat, dtype=y.dtype), N,
-                      precision=prec)
+    Rsel = _select_rcat(Rcats, D, d, y.dtype)
+    corr = jnp.einsum("tk,...k->...t", Rsel, N, precision=prec)
     ym = jnp.moveaxis(y, axis, -1) + corr
     return jnp.moveaxis(ym, -1, axis)
 
@@ -185,18 +292,6 @@ def sharded_apply_filter(
     dimension's extent must divide evenly across its mesh axis.
     """
     scanned = {s.axis for s in spec.scans}
-    if spec.border == BorderMode.CLAMP and (
-        seq_axis in scanned or data_axis in scanned
-    ):
-        # The edge-clamped boundary lives on the first/last device only;
-        # interior devices must run pure zero-state locals. The local
-        # executor applies clamp at every segment edge, which would be
-        # wrong — run clamped filters with non-scanned axes sharded only.
-        raise NotImplementedError(
-            "sharding a scanned dimension of a clamped-border filter is "
-            "not yet supported; shard over non-scanned (line/batch) axes"
-        )
-
     int_dtype = jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer)
     if int_dtype and seq_axis in scanned:
         # The carry-exchange correction is float math; integer specs are

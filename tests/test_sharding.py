@@ -95,15 +95,58 @@ def test_data_and_seq_2d_mesh(devices):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_seq_parallel_clamp_raises(devices):
+@pytest.mark.parametrize("causal", [True, False])
+def test_seq_parallel_clamp_single_scan(devices, causal):
+    """Clamped borders seq-shard: zero-border locals + rank-1 edge
+    correction on the edge device (VERDICT r1 item 2)."""
     mesh = sharding.make_mesh((4,), ("seq",))
     spec = _spec_2d(
-        [Scan(1, True, 1.0, (0.5,))], border=BorderMode.CLAMP, w=32
+        [Scan(1, causal, 0.9, (0.6, 0.25))], border=BorderMode.CLAMP, w=32
     )
-    with pytest.raises(NotImplementedError):
-        sharding.sharded_apply_filter(
-            spec, PLAN, mesh, _img(16, 32), seq_axis=1
-        )
+    img = _img(16, 32, seed=8)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_seq_parallel_clamp_multi_scan(devices):
+    """Gaussian-app shape: mixed causal/anticausal clamped scans on the
+    sharded dim plus a scan on the unsharded dim."""
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = _spec_2d(
+        [
+            Scan(1, True, 0.8, (0.5, 0.2)),
+            Scan(1, False, 0.8, (0.5, 0.2)),
+            Scan(0, True, 1.0, (0.3,)),
+        ],
+        border=BorderMode.CLAMP,
+        w=32,
+    )
+    img = _img(16, 32, seed=9)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_seq_parallel_clamp_integrator(devices):
+    """Clamped integrator (non-decaying carries) across 8 devices — the
+    hardest case for boundary accuracy."""
+    mesh = sharding.make_mesh((8,), ("seq",))
+    spec = _spec_2d(
+        [Scan(1, True, 1.0, (1.0,)), Scan(1, False, 1.0, (0.5,))],
+        border=BorderMode.CLAMP,
+        w=64,
+    )
+    img = _img(8, 64, seed=10)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
 def test_jitted_sharded_filter_gradient(devices):
@@ -179,3 +222,19 @@ def test_integer_seq_parallel_raises(devices):
     img = np.ones((16, 32), dtype=np.int32)
     with pytest.raises(NotImplementedError):
         sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+
+
+def test_sharded_gaussian_3xy_matches_oracle(devices):
+    """VERDICT r1 acceptance: the flagship clamped-border app seq-shards on
+    the 8-device mesh and matches the oracle."""
+    from recfilter_tpu.apps import gaussian
+
+    mesh = sharding.make_mesh((8,), ("seq",))
+    F = gaussian.gaussian_3xy(64, 16, tile_width=8, sigma=3.0)
+    spec = F.spec
+    img = _img(16, 64, seed=11)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
