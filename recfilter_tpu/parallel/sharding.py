@@ -99,7 +99,7 @@ def _apply_scan_cols(M: np.ndarray, scan, border: str) -> np.ndarray:
     )
 
 
-def _clamp_col(scan, seg: int) -> np.ndarray:
+def _clamp_col(scan, eff: int, total: int = 0) -> np.ndarray:
     """v = (Bf − B)·e_edge: the segment-level clamp response column.
 
     Every clamp contribution is proportional to the edge sample (row 0 of
@@ -107,29 +107,51 @@ def _clamp_col(scan, seg: int) -> np.ndarray:
     is rank-1 and the clamped local pass equals the zero-border local pass
     plus ``v ⊗ x[edge]`` — the device-level form of the first/last-tile
     matrix variants in ``lib/split.cpp:625-654``.
+
+    ``eff`` is the effective (unpadded) length; with ``total > eff`` the
+    column zero-extends over the padded slots of a non-dividing segment.
     """
     from .. import scan_core
 
-    e = np.zeros((seg, 1), dtype=np.float64)
-    e[0 if scan.causal else seg - 1, 0] = 1.0
+    e = np.zeros((eff, 1), dtype=np.float64)
+    e[0 if scan.causal else eff - 1, 0] = 1.0
     vc = _apply_scan_cols(e, scan, BorderMode.CLAMP)
     vz = _apply_scan_cols(e, scan, BorderMode.ZERO)
-    return (vc - vz)[:, 0]
+    v = (vc - vz)[:, 0]
+    if total > eff:
+        v = np.concatenate([v, np.zeros(total - eff)])
+    return v
 
 
-def _segment_dim_mats(scans, seg: int, D: int, clamp: bool = False):
-    """Device-level matrices for the combined exchange — the dimfuse algebra
+def _evolve_cols(M: np.ndarray, scan, clamp_edge: bool, eff: int):
+    """Evolve correction columns through one scan, clamped at the effective
+    edge when ``clamp_edge``: Bf·M = B·M + v ⊗ M[edge] (rank-1 identity)."""
+    out = _apply_scan_cols(M, scan, BorderMode.ZERO)
+    if clamp_edge:
+        v = _clamp_col(scan, eff, total=M.shape[0])
+        edge = 0 if scan.causal else eff - 1
+        out = out + v[:, None] * M[edge]
+    return out
+
+
+def _segment_exchange_mats(scans, seg: int, D: int, clamp: bool = False,
+                           pad: int = 0):
+    """Device-level matrices for the carry exchange — the dimfuse algebra
     with "tile" = "device segment", built column-wise (never a seg×seg
     matrix): per-scan natural correction columns Rhat (seg, k_i) evolved
-    through the later scans, cross-scan couplings H, and the combined
-    block-triangular solve over devices (see dimfuse.combined_solve_matrix).
+    through the later scans, cross-scan couplings H, and per-scan chain
+    matrices.
 
     With ``clamp``, the globally-first/last devices get distinct variants:
     correction columns evolve through the CLAMPED scan on the scan's edge
     device (Bf = B + v·e₀ᵀ, so the clamped evolution carries exactly the
-    edge response of the incoming corrections). Returns ``Rcats`` stacked as
-    (3, seg, ΣK) — [first, interior, last] — for per-device selection; for
-    zero borders the stack is (1, seg, ΣK).
+    edge response of the incoming corrections). ``pad`` is the zero padding
+    on the globally-last device (non-dividing extents); padded slots behave
+    exactly like zero-input samples, so only the clamp edge position moves.
+
+    Returns ``(orders, H, CMs, Rcats)``: ``H[i][j]`` is (1|D, k_i, k_j);
+    ``CMs[i]`` is the (D·k_i)² chain matrix; ``Rcats`` is stacked
+    (1|3, seg, ΣK) — [first, interior, last] under clamp.
     """
     from .. import dimfuse
 
@@ -138,6 +160,7 @@ def _segment_dim_mats(scans, seg: int, D: int, clamp: bool = False):
 
     def build(dev):
         # dev: 0 (globally first), None (interior), D-1 (globally last)
+        eff = seg - pad if dev == D - 1 else seg
         cols = [None] * m  # RN_i evolved through scans applied so far
         H = [[None] * m for _ in range(m)]
         for i, s in enumerate(scans):
@@ -145,37 +168,38 @@ def _segment_dim_mats(scans, seg: int, D: int, clamp: bool = False):
             R = coeffs.state_matrix(s.feedback, seg)
             Jk = coeffs.antidiagonal(k)
             RN = R @ Jk if s.causal else R[::-1, :]
-            edge = (dev == 0) if s.causal else (dev == D - 1 and dev is not None)
-            border = (
-                BorderMode.CLAMP if (clamp and dev is not None and edge)
-                else BorderMode.ZERO
-            )
+            edge = (dev == 0) if s.causal else (dev is not None and dev == D - 1)
+
+            def proj(M):
+                # Pad projector (dimfuse's Z at device level): zero the
+                # padded slots between scans so a later scan sees the
+                # zero-border contract there, matching the runtime zeroing
+                # in _seq_local_cascade.
+                if dev == D - 1 and pad:
+                    M = M.copy()
+                    M[eff:, :] = 0.0
+                return M
+
             for j in range(i):
-                evolved = _apply_scan_cols(cols[j], s, border)
+                evolved = proj(_evolve_cols(cols[j], s, clamp and edge, eff))
                 if s.causal:
                     H[i][j] = evolved[seg - k :, :]  # (k_i, k_j)
                 else:
                     H[i][j] = evolved[:k, :]
                 cols[j] = evolved
-            cols[i] = RN
+            cols[i] = proj(RN)
         Rcat = np.concatenate(cols, axis=1)  # (seg, ΣK)
         return H, Rcat
 
-    class _Shim:
-        pass
+    CMs = [dimfuse._chain_matrix(s, seg, D) for s in scans]
 
-    shim = _Shim()
-    shim.orders = orders
-    shim.CM = [dimfuse._chain_matrix(s, seg, D) for s in scans]
-
-    if not clamp:
+    if not clamp and not pad:
         H1, Rcat = build(None)
-        shim.H = [
+        H = [
             [(H1[i][j][None] if j < i else None) for j in range(m)]
             for i in range(m)
         ]
-        CMfull = dimfuse.combined_solve_matrix(shim, D)
-        return CMfull, Rcat[None], orders
+        return orders, H, CMs, Rcat[None]
 
     built = {0: build(0), None: build(None), D - 1: build(D - 1)}
 
@@ -184,24 +208,38 @@ def _segment_dim_mats(scans, seg: int, D: int, clamp: bool = False):
             [built[d if d in (0, D - 1) else None][0][i][j] for d in range(D)]
         )
 
-    shim.H = [
+    H = [
         [(h_stack(i, j) if j < i else None) for j in range(m)]
         for i in range(m)
     ]
-    CMfull = dimfuse.combined_solve_matrix(shim, D)
     Rcats = np.stack(
         [built[0][1], built[None][1], built[D - 1][1]]
     )  # (3, seg, ΣK): [first, interior, last]
-    return CMfull, Rcats, orders
+    return orders, H, CMs, Rcats
+
+
+def _combined_solve(orders, H, CMs, D: int) -> np.ndarray:
+    """Fold the per-scan chains + H couplings into one (D·ΣK)² matrix."""
+    from .. import dimfuse
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.orders = orders
+    shim.H = H
+    shim.CM = CMs
+    return dimfuse.combined_solve_matrix(shim, D)
 
 
 def _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D, name, backend,
-                       interpret):
+                       interpret, pad: int = 0):
     """Zero-state local cascade on each device, scan by scan, collecting the
     natural boundary carries. Clamped borders run zero-border locals plus
     the rank-1 edge correction ``v ⊗ y_pre[edge]`` on the scan's edge device
     (see :func:`_clamp_col`); the carries then match the clamped G-tails the
-    exchange matrices expect. Returns (y, ccat)."""
+    exchange matrices expect. ``pad`` is the zero padding on the last device
+    (the anticausal clamp edge sits before it). Returns (y, ccat)."""
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
     clamp = spec.border == BorderMode.CLAMP
@@ -210,18 +248,29 @@ def _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D, name, backend,
     cs = []
     for idx, s in zip(scan_ids, scans):
         if clamp:
-            edge_pos = 0 if s.causal else seg - 1
+            edge_pos = 0 if s.causal else seg - 1 - pad
             x_edge = jax.lax.slice_in_dim(y, edge_pos, edge_pos + 1, axis=axis)
         y = _local_apply_dim(y, spec, axis, [idx], tile_width, backend,
                              interpret, border=BorderMode.ZERO)
         if clamp:
-            v = _clamp_col(s, seg)
+            v = _clamp_col(s, seg if s.causal else seg - pad, total=seg)
             vshape = [1] * y.ndim
             vshape[axis] = seg
             vj = jnp.asarray(v, dtype=y.dtype).reshape(vshape)
             edge_dev = 0 if s.causal else D - 1
             mask = (d == edge_dev).astype(y.dtype)
             y = y + mask * vj * x_edge
+        if pad:
+            # Pad projector: a scan propagates real values into the padded
+            # slots of the last device; zero them so the next scan sees the
+            # zero-border contract there (matches _segment_exchange_mats).
+            vshape = [1] * y.ndim
+            vshape[axis] = seg
+            keep = np.ones(seg)
+            keep[seg - pad :] = 0.0
+            keepj = jnp.asarray(keep, dtype=y.dtype).reshape(vshape)
+            last = (d == D - 1).astype(y.dtype)
+            y = y * (1.0 - last) + y * last * keepj
         ym = jnp.moveaxis(y, axis, -1)
         k = s.order
         c = ym[..., seg - k :] if s.causal else ym[..., :k]
@@ -240,7 +289,7 @@ def _select_rcat(Rcats: np.ndarray, D: int, d, dtype):
 
 
 def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
-                           backend, interpret):
+                           backend, interpret, pad: int = 0):
     """All of one dimension's scans with a SINGLE carry exchange.
 
     Each device runs the zero-state local cascade scan by scan, recording
@@ -251,11 +300,12 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
     clamp = spec.border == BorderMode.CLAMP
-    CMfull, Rcats, orders = _segment_dim_mats(scans, seg, D, clamp)
+    orders, H, CMs, Rcats = _segment_exchange_mats(scans, seg, D, clamp, pad)
+    CMfull = _combined_solve(orders, H, CMs, D)
     S = int(sum(orders))
 
     y, ccat = _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D,
-                                 name, backend, interpret)
+                                 name, backend, interpret, pad)
 
     allc = jax.lax.all_gather(ccat, name, axis=0)  # (D, ..., S)
     d = jax.lax.axis_index(name)
@@ -274,6 +324,95 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     return jnp.moveaxis(ym, -1, axis)
 
 
+def _ks_chain(b, scan, seg: int, D: int, name: str, prec):
+    """Distributed carry-chain solve via log₂(D) ``ppermute`` doubling steps
+    (Kogge–Stone prefix over the mesh axis).
+
+    ``b`` is this device's natural local tail (..., k). The chain weight
+    ``W^{2^j}`` for each doubling step is a trace-time constant — the hop
+    length is static — so only the k-vector states move over the wire:
+    O(k·lines·log D) total traffic per device vs the all_gather's
+    O(D·ΣK·lines). Devices outside a step's source range receive ppermute's
+    zero fill, which is exactly the zero-state boundary condition.
+    Returns the natural incoming vector N (..., k) consumed by RN.
+    """
+    k = scan.order
+    W = coeffs.tail_weight_matrix(scan.feedback, seg)
+    Jk = np.asarray(coeffs.antidiagonal(k))
+
+    if scan.causal:
+        # u_d = Jk b_d ; inclusive s_d = Σ_{i≤d} W^{d-i} u_i ; N_d = Jk s_{d-1}
+        u = jnp.einsum("ij,...j->...i", jnp.asarray(Jk, b.dtype), b,
+                       precision=prec)
+        down = False  # prefix flows 0 → D-1
+    else:
+        # natural order IS W-order; inclusive from the right; N_d = s_{d+1}
+        u = b
+        down = True  # prefix flows D-1 → 0
+
+    def perm_for(shift):
+        if down:
+            return [(d, d - shift) for d in range(shift, D)]
+        return [(d, d + shift) for d in range(D - shift)]
+
+    s = u
+    shift = 1
+    Wp = W.copy()
+    while shift < D:
+        recv = jax.lax.ppermute(s, name, perm_for(shift))
+        s = s + jnp.einsum("ij,...j->...i", jnp.asarray(Wp, b.dtype), recv,
+                           precision=prec)
+        shift *= 2
+        Wp = Wp @ Wp
+    s_prev = jax.lax.ppermute(s, name, perm_for(1))  # exclusive shift
+
+    if scan.causal:
+        return jnp.einsum("ij,...j->...i", jnp.asarray(Jk, b.dtype), s_prev,
+                          precision=prec)
+    return s_prev
+
+
+def _seq_dim_pass_ring(y, axis, spec, scan_ids, tile_width, D, name,
+                       backend, interpret, pad: int = 0):
+    """All of one dimension's scans with ``ppermute`` carry exchanges.
+
+    The pod-scale alternative to :func:`_seq_dim_pass_combined`: per scan,
+    a Kogge–Stone doubling chain moves only order-k states between
+    neighbors-at-distance-2^j (log₂ D messages of O(k·lines) each) instead
+    of all-gathering every device's carries. Cross-scan H couplings and the
+    final Rcat correction are identical; each scan's chain consumes the
+    previous scans' solved states locally.
+    """
+    scans = [spec.scans[i] for i in scan_ids]
+    seg = y.shape[axis]
+    clamp = spec.border == BorderMode.CLAMP
+    orders, H, CMs, Rcats = _segment_exchange_mats(scans, seg, D, clamp, pad)
+    offs = np.cumsum([0] + orders)
+
+    y, ccat = _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D,
+                                 name, backend, interpret, pad)
+    d = jax.lax.axis_index(name)
+    prec = jax.lax.Precision.HIGHEST
+
+    Ns = []
+    for i, s in enumerate(scans):
+        b = ccat[..., offs[i] : offs[i + 1]]
+        for j in range(i):
+            Hs = jnp.asarray(H[i][j], dtype=y.dtype)  # (1|D, k_i, k_j)
+            Hsel = (
+                Hs[0] if Hs.shape[0] == 1
+                else jax.lax.dynamic_index_in_dim(Hs, d, 0, keepdims=False)
+            )
+            b = b + jnp.einsum("ok,...k->...o", Hsel, Ns[j], precision=prec)
+        Ns.append(_ks_chain(b, s, seg, D, name, prec))
+    Ncat = jnp.concatenate(Ns, axis=-1)
+
+    Rsel = _select_rcat(Rcats, D, d, y.dtype)
+    corr = jnp.einsum("tk,...k->...t", Rsel, Ncat, precision=prec)
+    ym = jnp.moveaxis(y, axis, -1) + corr
+    return jnp.moveaxis(ym, -1, axis)
+
+
 def sharded_apply_filter(
     spec: FilterSpec,
     plan: Plan,
@@ -284,12 +423,21 @@ def sharded_apply_filter(
     data_name: str = "data",
     seq_name: str = "seq",
     backend: str = "einsum",
+    exchange: str = "auto",
 ):
     """Run the filter on a mesh: lines over ``data_name``, the scan dimension
     over ``seq_name`` (either may be absent).
 
-    ``data_axis``/``seq_axis`` are array-axis indices into ``x``. The seq
-    dimension's extent must divide evenly across its mesh axis.
+    ``data_axis``/``seq_axis`` are array-axis indices into ``x``. Extents
+    need not divide the mesh axis: non-dividing axes are zero-padded (exact
+    — padded slots behave as zero-input samples in this algebra) and the
+    result is sliced back.
+
+    ``exchange`` picks the carry-exchange strategy for sharded scan
+    dimensions: ``"gather"`` (one ``all_gather`` + combined solve — minimal
+    latency at small D), ``"ring"`` (Kogge–Stone ``ppermute`` doubling —
+    O(k·log D) traffic, the pod-scale path), or ``"auto"`` (ring when the
+    axis has more than 8 devices).
     """
     scanned = {s.axis for s in spec.scans}
     int_dtype = jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer)
@@ -313,6 +461,33 @@ def sharded_apply_filter(
         shard_of[seq_axis] = (seq_name, mesh.shape[seq_name])
     pspec = P(*pspec)
 
+    if exchange not in ("auto", "gather", "ring"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+
+    # Non-dividing extents: zero-pad sharded axes to a multiple of their
+    # mesh-axis size. Padded slots are zero-input samples — exact for this
+    # algebra (the clamp edge relocation is handled inside the seq pass).
+    pads = {}  # array axis -> pad amount on the last device
+    orig_shape = x.shape
+    padspec = [(0, 0)] * ndim
+    for ax, (nm, D) in shard_of.items():
+        rem = x.shape[ax] % D
+        if rem:
+            pads[ax] = D - rem
+            padspec[ax] = (0, D - rem)
+    if pads:
+        for ax, p in pads.items():
+            seg_after = (x.shape[ax] + p) // shard_of[ax][1]
+            if ax in scanned and p >= seg_after:
+                # The exchange algebra models padding on the globally-last
+                # device only; entirely-padded devices are supported for
+                # non-scanned (line/batch) axes.
+                raise ValueError(
+                    f"scan axis {ax} extent {x.shape[ax]} leaves whole "
+                    f"devices empty on a {shard_of[ax][1]}-way mesh axis"
+                )
+        x = jnp.pad(jnp.asarray(x), padspec)
+
     tiles = spec.tile_widths or (0,) * spec.ndim
     interpret = plan.interpret or jax.default_backend() != "tpu"
 
@@ -327,7 +502,10 @@ def sharded_apply_filter(
             local_int, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
             check_vma=False,
         )
-        return fn(x)
+        out = fn(x)
+        if pads:
+            out = out[tuple(slice(0, n) for n in orig_shape)]
+        return out
 
     def local_fn(xl):
         y = xl.astype(jnp.float32)
@@ -338,10 +516,16 @@ def sharded_apply_filter(
             if D > 1:
                 # Scanned axis is sharded: one combined carry exchange
                 # completes ALL of the dimension's scans (the dimfuse
-                # algebra at device level; one all_gather instead of one
-                # per scan).
-                y = _seq_dim_pass_combined(
-                    y, ax, spec, ids, T, D, name, backend, interpret
+                # algebra at device level).
+                use_ring = exchange == "ring" or (
+                    exchange == "auto" and D > 8
+                )
+                seq_pass = (
+                    _seq_dim_pass_ring if use_ring else _seq_dim_pass_combined
+                )
+                y = seq_pass(
+                    y, ax, spec, ids, T, D, name, backend, interpret,
+                    pad=pads.get(ax, 0),
                 )
             else:
                 y = _local_apply_dim(y, spec, ax, ids, T, backend, interpret)
@@ -351,7 +535,10 @@ def sharded_apply_filter(
         local_fn, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
         check_vma=False,
     )
-    return fn(x)
+    out = fn(x)
+    if pads:
+        out = out[tuple(slice(0, n) for n in orig_shape)]
+    return out
 
 
 def make_sharded_filter(
@@ -361,6 +548,7 @@ def make_sharded_filter(
     data_axis: Optional[int] = None,
     seq_axis: Optional[int] = None,
     backend: str = "einsum",
+    exchange: str = "auto",
 ):
     """Jitted closure over (mesh, spec, plan) taking the global array."""
 
@@ -369,6 +557,7 @@ def make_sharded_filter(
         return sharded_apply_filter(
             spec, plan, mesh, x,
             data_axis=data_axis, seq_axis=seq_axis, backend=backend,
+            exchange=exchange,
         )
 
     return fn

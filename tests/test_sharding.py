@@ -238,3 +238,115 @@ def test_sharded_gaussian_3xy_matches_oracle(devices):
     )
     want = scan_core.oracle_apply(spec, img).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_exchange_single_scan(devices, causal):
+    """Kogge-Stone ppermute exchange matches the all_gather path."""
+    mesh = sharding.make_mesh((8,), ("seq",))
+    spec = _spec_2d([Scan(1, causal, 0.9, (0.6, 0.25, -0.1))], w=64)
+    img = _img(16, 64, seed=30)
+    got = np.asarray(
+        sharding.sharded_apply_filter(
+            spec, PLAN, mesh, img, seq_axis=1, exchange="ring"
+        )
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_exchange_multi_scan_clamp(devices):
+    """ppermute exchange with H couplings and clamped borders."""
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = _spec_2d(
+        [
+            Scan(1, True, 0.8, (0.5, 0.2)),
+            Scan(1, False, 0.8, (0.5, 0.2)),
+        ],
+        border=BorderMode.CLAMP,
+        w=32,
+    )
+    img = _img(16, 32, seed=31)
+    got = np.asarray(
+        sharding.sharded_apply_filter(
+            spec, PLAN, mesh, img, seq_axis=1, exchange="ring"
+        )
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_exchange_integrator_sat(devices):
+    """SAT carries (non-decaying) through the doubling chain."""
+    mesh = sharding.make_mesh((8,), ("seq",))
+    spec = _spec_2d(
+        [Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))], w=64
+    )
+    img = _img(16, 64, seed=32)
+    got = np.asarray(
+        sharding.sharded_apply_filter(
+            spec, PLAN, mesh, img, seq_axis=1, exchange="ring"
+        )
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("exchange", ["gather", "ring"])
+@pytest.mark.parametrize("w", [27, 61])
+def test_seq_non_dividing_extent(devices, exchange, w):
+    """Non-dividing seq extents zero-pad exactly (padded slots are
+    zero-input samples in this algebra)."""
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = _spec_2d(
+        [Scan(1, True, 1.0, (0.5, 0.25)), Scan(1, False, 1.0, (0.4,))],
+        tiles=(4, 4), w=w,
+    )
+    img = _img(8, w, seed=33)
+    got = np.asarray(
+        sharding.sharded_apply_filter(
+            spec, PLAN, mesh, img, seq_axis=1, exchange=exchange
+        )
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_seq_non_dividing_clamp(devices, causal):
+    """Clamp + padding: the anticausal clamp edge sits before the pad."""
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = _spec_2d(
+        [Scan(1, causal, 0.9, (0.6, 0.25))],
+        border=BorderMode.CLAMP, tiles=(4, 4), w=29,
+    )
+    img = _img(8, 29, seed=34)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, seq_axis=1)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_data_non_dividing_extent(devices):
+    mesh = sharding.make_mesh((8,), ("data",))
+    spec = _spec_2d([Scan(1, True, 1.0, (0.5, 0.25))], h=13)
+    img = _img(13, 16, seed=35)
+    got = np.asarray(
+        sharding.sharded_apply_filter(spec, PLAN, mesh, img, data_axis=0)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_helpers(devices):
+    """Single-process degradation of the pod entry points."""
+    from recfilter_tpu.parallel import distributed
+
+    assert distributed.initialize() in (False, True)
+    mesh = distributed.pod_mesh(data=2, seq=4)
+    assert mesh.shape == {"data": 2, "seq": 4}
+    mesh = distributed.pod_mesh()  # auto-solve covers all devices
+    assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices())
+    with pytest.raises(ValueError):
+        distributed.pod_mesh(data=3, seq=5)
