@@ -288,8 +288,102 @@ def _matmul_precision(cdt, mmd, choice: str = "highest"):
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
+        # Compensated split-bf16 modes: the image-sized matmuls run as
+        # explicit hi/lo bf16 products (_split_einsum); everything ELSE
+        # (carry solves, injections — tiny FLOPs, error-dominant) stays
+        # at true-f32 HIGHEST.
+        "f32x6": jax.lax.Precision.HIGHEST,
+        "f32x4": jax.lax.Precision.HIGHEST,
+        "f32x3": jax.lax.Precision.HIGHEST,
         "default": None,
     }[choice]
+
+
+def _split_passes(cdt, mmd, choice: str) -> int:
+    """Number of single-pass bf16 products for the compensated modes.
+
+    0 disables the split path (bf16 storage/matmul modes, or the plain
+    precision choices). The split applies only to f32 compute with no
+    bf16 matmul_dtype override.
+    """
+    if mmd is not None or cdt != jnp.float32:
+        return 0
+    return {"f32x3": 3, "f32x4": 4, "f32x6": 6}.get(choice, 0)
+
+
+def _split_chunks(npasses: int) -> int:
+    """Chunks per operand for a pass budget: 2 for f32x3/f32x4, 3 for f32x6."""
+    return 3 if npasses >= 6 else 2
+
+
+def _split_input(X, nchunks: int = 2):
+    """Exact bf16 chunk decomposition of f32 data: X = Σ chunks, chunk i
+    carrying mantissa bits [8i, 8i+8). Two chunks represent X to ~2^-17
+    relative; three chunks are EXACT (bf16 keeps 8 of f32's 24 mantissa
+    bits, and each residual subtraction is exact in f32). Reading (hi, lo)
+    costs the same HBM traffic as reading X in f32."""
+    chunks = []
+    rem = X
+    for _ in range(nchunks - 1):
+        c = rem.astype(jnp.bfloat16)
+        chunks.append(c)
+        rem = rem - c.astype(jnp.float32)
+    chunks.append(rem.astype(jnp.bfloat16))
+    return tuple(chunks)
+
+
+def _split_const(M, nchunks: int = 2):
+    """Trace-time bf16 chunk split of a matrix constant (free at runtime);
+    computed from float64 so three chunks carry the full f32 mantissa."""
+    import ml_dtypes
+
+    M64 = np.asarray(M, np.float64)
+    chunks = []
+    rem = M64
+    for _ in range(nchunks):
+        c = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
+        chunks.append(c)
+        rem = rem - c.astype(np.float64)
+    return tuple(chunks)
+
+
+def _split_einsum(eq, M, Xs, npasses, acc):
+    """Compensated f32 matmul from single-pass bf16 MXU products.
+
+    With M = Σ Mi and X = Σ Xj (each chunk bf16-exact, so XLA's default
+    single-pass bf16 lowering rounds nothing), the product sums the
+    largest ``npasses`` cross terms Mi·Xj in f32 (term magnitude level is
+    i+j, each level down ~2^-8):
+
+      3 passes: levels 0,1          (drops ~2^-16 — max rel err ~2e-5)
+      4 passes: + M1·X1             (representation-limited, ~2^-17)
+      6 passes: 3-chunk operands, levels 0,1,2   (drops ~2^-24 — true f32)
+
+    This is XLA's own HIGH/HIGHEST decomposition done by hand — but applied
+    ONLY to the image-sized completion matmuls, with the operand splits
+    shared across all of a pass's einsums instead of re-split per dot, and
+    with the carry solves kept at true-f32 HIGHEST. f32x6 matches the
+    float32 SNR bar of the reference's CheckResult
+    (``lib/recfilter.h:793-855``); f32x3/f32x4 trade ~2e-5 worst-case
+    relative error for 3-4 MXU passes instead of 6.
+
+    Terms are summed smallest level first to minimise accumulation rounding.
+    """
+    nc = _split_chunks(npasses)
+    Ms = _split_const(M, nc)
+    assert len(Xs) == nc
+    if npasses >= 6:
+        idx = [(0, 2), (1, 1), (2, 0), (0, 1), (1, 0), (0, 0)]
+    elif npasses >= 4:
+        idx = [(1, 1), (0, 1), (1, 0), (0, 0)]
+    else:
+        idx = [(0, 1), (1, 0), (0, 0)]
+    out = None
+    for i, j in idx:
+        t = jnp.einsum(eq, jnp.asarray(Ms[i]), Xs[j],
+                       preferred_element_type=acc)
+        out = t if out is None else out + t
+    return out
 
 
 def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
@@ -444,15 +538,26 @@ def fused_dim_pass(
     # Accumulate matmuls in f32 even when storage/compute is bf16.
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
+    nsp = _split_passes(cdt, mmd, matmul_precision)
+    # Operand split shared by the G and B matmuls.
+    Xs = _split_input(X, _split_chunks(nsp)) if nsp else None
 
     def tile_mat_apply(Mstack, V, vdim_in, fast=False):
         """einsum over the tile axis: Mstack (n|1, out, in) × V.
 
         ``fast`` ops (the T-wide B/G matmuls on image-sized data) may run
-        with bf16 inputs when matmul_dtype requests it; carry-sized ops
-        always stay in the compute dtype. Accumulation is always f32."""
+        with bf16 inputs when matmul_dtype requests it, or as compensated
+        hi/lo bf16 splits in the f32x3/f32x4 modes; carry-sized ops always
+        stay in the compute dtype. Accumulation is always f32."""
+        M0 = np.asarray(Mstack)
+        if fast and nsp and V is X:
+            if M0.shape[0] == 1:
+                eq = "os,ans->ano" if last else "os,ansb->anob"
+                return _split_einsum(eq, M0[0], Xs, nsp, acc)
+            eq = "nos,ans->ano" if last else "nos,ansb->anob"
+            return _split_einsum(eq, M0, Xs, nsp, acc)
         dt = mmd if (fast and mmd is not None) else cdt
-        M = jnp.asarray(np.asarray(Mstack), dtype=dt)
+        M = jnp.asarray(M0, dtype=dt)
         Vc = V.astype(dt)
         if M.shape[0] == 1:
             eq = "os,ans->ano" if last else "os,ansb->anob"
@@ -562,12 +667,20 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     X = x.reshape((P,) + tuple(rows) + (n, T)).astype(cdt)
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
+    nsp = _split_passes(cdt, mmd, matmul_precision)
+    # Operand split shared by the G and B matmuls.
+    Xs = _split_input(X, _split_chunks(nsp)) if nsp else None
 
     def apply(Mstack, V, fast=False, out_t=False):
-        dt = mmd if (fast and mmd is not None) else cdt
-        M = jnp.asarray(np.asarray(Mstack), dtype=dt)
-        Vc = V.astype(dt)
         out = f"pno{rl}" if out_t else f"p{rl}no"
+        M0 = np.asarray(Mstack)
+        if fast and nsp and V is X:
+            if M0.shape[0] == 1:
+                return _split_einsum(f"os,p{rl}ns->{out}", M0[0], Xs, nsp, acc)
+            return _split_einsum(f"nos,p{rl}ns->{out}", M0, Xs, nsp, acc)
+        dt = mmd if (fast and mmd is not None) else cdt
+        M = jnp.asarray(M0, dtype=dt)
+        Vc = V.astype(dt)
         if M.shape[0] == 1:
             return jnp.einsum(
                 f"os,p{rl}ns->{out}", M[0], Vc, preferred_element_type=acc,

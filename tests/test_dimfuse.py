@@ -410,3 +410,41 @@ def test_bf16_rotated_fallback_keeps_f32_carries():
     want = _oracle_dim(x, list(spec.scans), BorderMode.CLAMP)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 0.02 * scale
+
+
+@pytest.mark.parametrize(
+    "mode,bound",
+    [("f32x3", 1e-4), ("f32x4", 8e-5), ("f32x6", 1e-5)],
+)
+def test_compensated_split_precision_modes(mode, bound):
+    """The compensated split-bf16 modes (VERDICT r1 #1) must hold their
+    documented error bounds against the float64 oracle. On CPU the bf16
+    chunk einsums upcast-and-accumulate in f32 — the same arithmetic the
+    single-pass bf16 MXU performs on bf16-exact operands — so the chunk
+    representation error (the dominant term) is faithfully measured here;
+    the on-chip sweep (scripts/precision_sweep.py) confirms the same
+    bounds on the TPU."""
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+        Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+    ]
+    x = _img(64, 256, seed=7)
+    got = np.asarray(
+        dimfuse.fused_dim_pass(
+            x, 1, scans, 32, BorderMode.CLAMP, matmul_precision=mode
+        )
+    )
+    want = _oracle_dim(x, scans, BorderMode.CLAMP)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= bound * scale
+
+
+def test_split_input_three_chunks_exact():
+    """Three bf16 chunks must reconstruct f32 exactly (24 = 3x8 mantissa
+    bits; each residual subtraction is exact)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_img(8, 128, seed=9))
+    chunks = dimfuse._split_input(x, 3)
+    back = sum(c.astype(jnp.float32) for c in chunks)
+    assert np.array_equal(np.asarray(back), np.asarray(x))
