@@ -40,11 +40,17 @@ def _shift_clamped(f, offset, axis):
     return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
 
 
-def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 0):
+def box_filter_order_1(width: int, height: int, B: int, tile_width: int = 0,
+                       variant: str = "auto"):
     """One box iteration: SAT + 4-corner differencing (``box_filter.h:21-103``).
 
-    Returns (fn, sat_filter); ``fn(image)`` is jittable.
+    Returns (fn, sat_filter); ``fn(image)`` is jittable. ``variant="fir"``
+    (default when the 2B+1 taps fit the tile band) runs the box directly as
+    two banded tile-matmul passes — no SAT filter is built (second element
+    is None).
     """
+    if _box_variant(variant, B, 1, tile_width, width, height) == "fir":
+        return _box_fir(width, height, B, 1, tile_width), None
     tile_width = tile_width or auto_tile_width(min(width, height))
     x = Dim("x", width)
     y = Dim("y", height)
@@ -125,8 +131,38 @@ def box_filter_order_2(width: int, height: int, B: int, tile_width: int = 0):
     return fn, (sat_x, sat_y)
 
 
-def box_filter_3(width: int, height: int, B: int, tile_width: int = 0):
-    """Three iterations = order-1 ∘ order-2 (``box_filter_3.cpp:37-41``)."""
+def _box_fir(width, height, B, iterations, tile_width):
+    """TPU-first iterated box: the n-fold box is a (2nB+1)-tap FIR — two
+    banded tile-matmul passes instead of 2n integral+differencing streams
+    (see fir.py). Exact full-convolution (zero-pad) semantics — the
+    reference's zeroed-margin contract (``box_filter.h:9-11``)."""
+    from .. import fir
+
+    taps = fir.box_taps(B, iterations)
+    tw = tile_width or auto_tile_width(min(width, height))
+
+    def fn(image):
+        return fir.fir_separable_2d(
+            image.astype(jnp.float32), [taps], tile_width=tw
+        )
+
+    return fn
+
+
+def _box_variant(variant, B, iterations, tile_width, width, height):
+    if variant != "auto":
+        return variant
+    tw = tile_width or auto_tile_width(min(width, height))
+    return "fir" if 2 * iterations * B + 1 <= 2 * tw else "sat"
+
+
+def box_filter_3(width: int, height: int, B: int, tile_width: int = 0,
+                 variant: str = "auto"):
+    """Three iterations = order-1 ∘ order-2 (``box_filter_3.cpp:37-41``);
+    ``variant="fir"`` runs the equivalent 6B+1-tap FIR in two tile-matmul
+    passes (the default when it fits the tile band)."""
+    if _box_variant(variant, B, 3, tile_width, width, height) == "fir":
+        return _box_fir(width, height, B, 3, tile_width)
     f1, _ = box_filter_order_1(width, height, B, tile_width)
     f2, _ = box_filter_order_2(width, height, B, tile_width)
 
@@ -136,9 +172,13 @@ def box_filter_3(width: int, height: int, B: int, tile_width: int = 0):
     return fn
 
 
-def box_filter_6(width: int, height: int, B: int, tile_width: int = 0):
+def box_filter_6(width: int, height: int, B: int, tile_width: int = 0,
+                 variant: str = "auto"):
     """Six iterations = order-2 ∘ order-2 ∘ order-2
-    (``box_filter_6.cpp:40-46``)."""
+    (``box_filter_6.cpp:40-46``); ``variant="fir"`` runs the equivalent
+    12B+1-tap FIR in two tile-matmul passes."""
+    if _box_variant(variant, B, 6, tile_width, width, height) == "fir":
+        return _box_fir(width, height, B, 6, tile_width)
     f2a, _ = box_filter_order_2(width, height, B, tile_width)
 
     def fn(image):

@@ -50,12 +50,42 @@ def difference_of_gaussians(
     B1: int = 5,
     B2: int = 9,
     tile_width: int = 0,
+    variant: str = "auto",
 ):
     """Return jittable ``fn(image_gray) -> DoG``.
 
-    Tuple outputs (dual radius) ride a leading channel axis of size 2 — the
-    channel-parallel analog of Halide Tuples (``diff_gauss.cpp:84-103``).
+    ``variant="fir"`` (the TPU-first default whenever both box³ supports fit
+    a tile): the whole six-stage pipeline collapses to TWO banded tile-FIR
+    matmul passes (see ``fir.py``) — the dual radius rides the einsum
+    channel axis and the final subtraction contracts away inside the y-pass
+    matmul, so none of the differencing/stacking streams of the SAT
+    formulation exist at all. Matches the reference's zero-padded-margin
+    contract exactly at every pixel (``diff_gauss.cpp:57-66``).
+
+    ``variant="sat"``: the reference's own formulation — SAT + dual-radius
+    box differencing + two 2nd-order integral/differencing stages
+    (``diff_gauss.cpp:72-110``), Tuple outputs as a stacked channel axis.
+    Needed when the radii outgrow the tile width (FIR cost grows with B;
+    the integral-image pipeline is O(1) in B).
     """
+    tile_width_resolved = tile_width or auto_tile_width(min(width, height))
+    support = 6 * max(B1, B2) + 1
+    if variant == "auto":
+        variant = "fir" if support <= 2 * tile_width_resolved else "sat"
+    if variant == "fir":
+        from .. import fir
+
+        t1 = fir.box_taps(B1, 3)
+        t2 = fir.box_taps(B2, 3)
+
+        def fn(image):
+            return fir.fir_separable_2d(
+                image.astype(jnp.float32), [t1, t2], signs=[1.0, -1.0],
+                tile_width=tile_width_resolved,
+            )
+
+        return jax.jit(fn)
+    assert variant == "sat", variant
     tile_width = tile_width or auto_tile_width(min(width, height))
     x = Dim("x", width)
     y = Dim("y", height)
