@@ -208,7 +208,7 @@ class RecFilter:
         return self
 
     # ------------------------------------------------------------- execution
-    def as_func(self) -> Callable:
+    def as_func(self, epilogue: Optional[Callable] = None) -> Callable:
         """Jittable function array→array running the filter
         (``RecFilter::as_func``, ``lib/recfilter.cpp:886``).
 
@@ -216,9 +216,19 @@ class RecFilter:
         function accepts a tuple/list of component arrays (or the stacked
         array) and returns a tuple of component outputs — every scan applies
         identically to each component, as Halide Tuples do
-        (``apps/DoG/diff_gauss.cpp:84``, ``demo_gaussian_filter.cpp:57``)."""
+        (``apps/DoG/diff_gauss.cpp:84``, ``demo_gaussian_filter.cpp:57``).
+
+        ``epilogue(out, *eaux)`` — optional elementwise combine; the
+        returned function then takes ``(x, *eaux)`` and the combine is fused
+        into the filter's final completion matmul on the einsum backends —
+        the TPU analog of the reference's ``compute_at`` fusion of a
+        pointwise consumer into the filter's last CUDA kernel
+        (``apps/usm/unsharp_mask_optimized.cpp:61-71``). eaux arrays share
+        the OUTPUT layout (rotated when ``Plan.rotate_emit`` is set)."""
         spec = self.spec
         if spec.tuple_width:
+            if epilogue is not None:
+                raise ValueError("epilogue is not supported on Tuple filters")
             inner = self._executor(spec.stacked())
             k = spec.tuple_width
 
@@ -231,9 +241,9 @@ class RecFilter:
                 return tuple(y[i] for i in range(k))
 
             return tuple_fn
-        return self._executor(spec)
+        return self._executor(spec, epilogue)
 
-    def _executor(self, spec: FilterSpec) -> Callable:
+    def _executor(self, spec: FilterSpec, epilogue=None) -> Callable:
         plan = self._plan
         if plan.rotate_emit and plan.backend != "oracle":
             # The rotated-layout contract must survive backend fallback:
@@ -241,13 +251,27 @@ class RecFilter:
             # clamp-prime cases to the right executor WITH the rotated emit.
             from . import dimfuse
 
-            return lambda x: dimfuse.apply_filter_rotated(
+            return lambda x, *eaux: dimfuse.apply_filter_rotated(
                 spec, x, rot_axes=plan.rotate_emit,
                 matmul_precision=plan.matmul_precision,
+                epilogue=epilogue, eaux=eaux,
             )
         backend = planner.resolve_backend(
             spec, plan, jax.default_backend()
         )
+        if backend == "einsum":
+            from . import dimfuse
+
+            return lambda x, *eaux: dimfuse.apply_filter_fused(
+                spec, x, matmul_precision=plan.matmul_precision,
+                epilogue=epilogue, eaux=eaux,
+            )
+        if epilogue is not None:
+            # Non-einsum backends: run the combine after the filter (one jit
+            # program — XLA still fuses the elementwise stream, just not
+            # into the completion matmul's output tiles).
+            inner = self._executor(spec)
+            return lambda x, *eaux: epilogue(inner(x), *eaux)
         if backend == "oracle":
             return lambda x: scan_core.oracle_apply(spec, np.asarray(x))
         if backend == "scan":
@@ -259,12 +283,11 @@ class RecFilter:
                 return lambda x: _fused.apply_filter(spec, plan, x)
             except ImportError:
                 backend = "einsum"
-        if backend == "einsum":
-            from . import dimfuse
+                from . import dimfuse
 
-            return lambda x: dimfuse.apply_filter_fused(
-                spec, x, matmul_precision=plan.matmul_precision
-            )
+                return lambda x: dimfuse.apply_filter_fused(
+                    spec, x, matmul_precision=plan.matmul_precision
+                )
         if backend in ("overlap", "overlap_k"):
             from . import overlap2d
 

@@ -386,6 +386,26 @@ def _split_einsum(eq, M, Xs, npasses, acc):
     return out
 
 
+def _retile_aux(a, Ydtype, nat_axis, pad, tile_shape):
+    """Reshape an epilogue aux array from the pass's natural output layout
+    into the completion matmul's tile layout: pad the scanned axis like the
+    pass input, then reshape to ``tile_shape`` (which splits that axis into
+    (n, T) at the right spot).
+
+    Applying an ELEMENTWISE epilogue in the tile layout lets XLA fuse it
+    into the dot's output instead of spending a separate full-size HBM
+    stream on it — the TPU analog of the reference's ``compute_at`` fusion
+    of a pointwise consumer into the filter's last kernel
+    (``apps/usm/unsharp_mask_optimized.cpp:61-71``). The epilogue must be
+    position-independent (pure elementwise over same-shape arrays)."""
+    a = jnp.asarray(a).astype(Ydtype)
+    if pad:
+        cfg = [(0, 0)] * a.ndim
+        cfg[nat_axis] = (0, pad)
+        a = jnp.pad(a, cfg)
+    return a.reshape(tile_shape)
+
+
 def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
     """Resolve (T, n, pad) for one dimension, or None when the blocked
     algebra cannot apply (order exceeds any legal tile; clamp with no exact
@@ -463,13 +483,19 @@ def fused_dim_pass(
     compute_dtype=jnp.float32,
     matmul_dtype=None,
     matmul_precision: str = "highest",
+    epilogue=None,
+    eaux=(),
 ):
     """Apply all ``scans`` (same dimension) to ``x`` along ``axis``.
 
     ``matmul_dtype=jnp.bfloat16`` casts the LARGE matmuls' inputs (X, B, G)
     to bf16 with f32 accumulation — the carry solves and injections stay in
     ``compute_dtype``. ~1e-3 relative input rounding for several-fold MXU
-    throughput."""
+    throughput.
+
+    ``epilogue(out, *eaux)`` — optional elementwise combine applied in the
+    completion matmul's tile layout (see _retile_aux); eaux arrays share
+    the pass's natural output shape."""
     clamp = border == BorderMode.CLAMP
     w = x.shape[axis]
     kmax = max(s.order for s in scans)
@@ -488,6 +514,8 @@ def fused_dim_pass(
             xs = scan_core.apply_scan(
                 xs, axis, s.causal, s.feedfwd, s.feedback, border
             )
+        if epilogue is not None:
+            xs = epilogue(xs, *(jnp.asarray(a).astype(xs.dtype) for a in eaux))
         return xs.astype(x.dtype)
 
     T, n, pad = plan
@@ -499,9 +527,11 @@ def fused_dim_pass(
     if axis != x.ndim - 1 and x.ndim - axis <= 6:
         xm = jnp.moveaxis(x, axis, -1)
         # the rotated emit puts the scan axis straight back at ``axis``
+        # (so the FINAL natural layout equals x's — eaux pass through)
         return _last_axis_pass_t(
             xm, scans, plan, clamp, compute_dtype, matmul_dtype,
             rot_axes=x.ndim - axis, matmul_precision=matmul_precision,
+            epilogue=epilogue, eaux=eaux,
         )
     mats = prepare_dim_pass(
         scans, T, n, clamp, pad_slots=pad,
@@ -623,6 +653,10 @@ def fused_dim_pass(
         for j in range(m):
             Y = Y + tile_mat_apply(mats.Rhat[j], N[j], mats.orders[j])
 
+    if epilogue is not None:
+        tshape = (lead, n, T) if last else (lead, n, T, trail)
+        Y = epilogue(Y, *(_retile_aux(a, Y.dtype, axis, pad, tshape)
+                          for a in eaux))
     y = Y.reshape(shape[:axis] + (n * T,) + shape[axis + 1 :])
     if pad:
         y = jax.lax.slice_in_dim(y, 0, w, axis=axis)
@@ -632,7 +666,8 @@ def fused_dim_pass(
 
 
 def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
-                      matmul_precision: str = "highest"):
+                      matmul_precision: str = "highest",
+                      epilogue=None, eaux=()):
     """One dimension pass along the LAST axis, optionally emitting the result
     with the trailing ``rot_axes`` axes rotated one step: the scanned axis
     moves to position ``-rot_axes`` and the other trailing axes shift right.
@@ -731,6 +766,16 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     Y = apply(mats.Btot, X, fast=True, out_t=rot)
     Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=rot)
 
+    if epilogue is not None:
+        # Natural output layout: rot → lead + (nT,) + rows (scanned axis at
+        # len(lead)); in-place → lead + rows + (nT,).
+        if rot:
+            nat_ax, tshape = len(lead), (P, n, T) + tuple(rows)
+        else:
+            nat_ax, tshape = -1, (P,) + tuple(rows) + (n, T)
+        Y = epilogue(Y, *(_retile_aux(a, Y.dtype, nat_ax, pad, tshape)
+                          for a in eaux))
+
     if rot:
         y = Y.reshape(lead + (n * T,) + tuple(rows))
         if pad:
@@ -742,13 +787,23 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     return y
 
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
-                       matmul_dtype=None, matmul_precision: str = "highest"):
-    """Whole-filter executor: one fused pass per scanned dimension."""
+                       matmul_dtype=None, matmul_precision: str = "highest",
+                       epilogue=None, eaux=()):
+    """Whole-filter executor: one fused pass per scanned dimension.
+
+    ``epilogue(out, *eaux)`` — optional elementwise combine fused into the
+    LAST dimension pass's completion matmul (eaux arrays share the filter's
+    output shape/layout); the TPU analog of the reference's ``compute_at``
+    of a pointwise consumer into the filter's final kernel
+    (``apps/usm/unsharp_mask_optimized.cpp:61-71``)."""
     from . import scan_core
 
     dtype = jnp.dtype(spec.dtype)
     if jnp.issubdtype(dtype, jnp.integer):
-        return scan_core.apply_filter(spec, x)
+        y = scan_core.apply_filter(spec, x)
+        if epilogue is not None:
+            y = epilogue(y, *eaux)
+        return y
     if dtype == jnp.bfloat16:
         # Production bf16 mode: bf16 storage between passes (half the HBM
         # traffic), bf16 MXU matmuls, f32 accumulation and carry solves.
@@ -783,16 +838,25 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             )
             ok = ok and plans[ax] is not None
         if ok:
-            for ax in order:
+            # After D rotated passes the axis order is restored, so the last
+            # pass's natural output layout equals the input's — eaux arrays
+            # in the filter's own layout fuse straight into its emit.
+            for i, ax in enumerate(order):
                 sc = [spec.scans[i] for i in groups[ax]]
+                final = i == len(order) - 1
                 x = _last_axis_pass_t(
                     x, sc, plans[ax], clamp, cdt, matmul_dtype,
                     rot_axes=Ds, matmul_precision=matmul_precision,
+                    epilogue=epilogue if final else None,
+                    eaux=eaux if final else (),
                 )
             return x.astype(dtype)
 
-    for axis, ids in groups.items():
+    axes = list(groups)
+    for axis in axes:
+        ids = groups[axis]
         T = tiles[axis] or tile_default
+        final = axis == axes[-1]
         x = fused_dim_pass(
             x,
             axis,
@@ -802,6 +866,8 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             compute_dtype=cdt,
             matmul_dtype=matmul_dtype,
             matmul_precision=matmul_precision,
+            epilogue=epilogue if final else None,
+            eaux=eaux if final else (),
         )
     return x.astype(dtype)
 
@@ -813,6 +879,8 @@ def apply_filter_rotated(
     tile_default: int = 32,
     matmul_dtype=None,
     matmul_precision: str = "highest",
+    epilogue=None,
+    eaux=(),
 ):
     """Layout-chained executor for SINGLE-dimension filters.
 
@@ -830,6 +898,9 @@ def apply_filter_rotated(
     differencing (``apps/DoG/diff_gauss.cpp:72-110``).
 
     ``rot_axes=1`` emits in place (scanned axis stays last).
+
+    ``epilogue(out, *eaux)`` — optional elementwise combine fused into the
+    pass's emit; eaux arrays must be given in the ROTATED output layout.
     """
     groups = spec.scans_by_axis()
     if len(groups) != 1:
@@ -854,7 +925,10 @@ def apply_filter_rotated(
             x = scan_core.apply_scan(
                 x, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
             )
-        return emit_rotated(x)
+        y = emit_rotated(x)
+        if epilogue is not None:
+            y = epilogue(y, *eaux)
+        return y
 
     if dtype == jnp.bfloat16:
         cdt = jnp.bfloat16
@@ -874,6 +948,7 @@ def apply_filter_rotated(
         return fused_dim_pass(
             x, 0, scans, T, spec.border, compute_dtype=cdt,
             matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
+            epilogue=epilogue, eaux=eaux,
         ).astype(dtype)
     clamp = spec.border == BorderMode.CLAMP
     kmax = max(s.order for s in scans)
@@ -887,10 +962,14 @@ def apply_filter_rotated(
             xs = scan_core.apply_scan(
                 xs, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
             )
-        return emit_rotated(xs).astype(dtype)
+        y = emit_rotated(xs)
+        if epilogue is not None:
+            y = epilogue(y, *(jnp.asarray(a).astype(y.dtype) for a in eaux))
+        return y.astype(dtype)
 
     y = _last_axis_pass_t(
         x, scans, plan, clamp, cdt, matmul_dtype,
         rot_axes=rot_axes, matmul_precision=matmul_precision,
+        epilogue=epilogue, eaux=eaux,
     )
     return y.astype(dtype)

@@ -304,3 +304,45 @@ def test_rotate_emit_survives_backend_fallback():
     outi = np.asarray(Fi.as_func()(img.astype(np.int32)))
     assert outi.shape == (8, 6)
     np.testing.assert_array_equal(outi, img.astype(np.int32).cumsum(1).T)
+
+
+def test_as_func_epilogue_fuses_elementwise():
+    """as_func(epilogue=...) — the combine lands inside the last dim pass
+    (einsum backend) and must be exact on every path: tiled 2-D with
+    non-dividing width (pad projector), rotated emit, and scan fallback."""
+    from recfilter_tpu import RecFilter, Dim
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 21  # 21 does not divide by 8 → pad path
+    img = rng.standard_normal((h, w)).astype(np.float32)
+    aux = rng.standard_normal((h, w)).astype(np.float32)
+
+    x, y = Dim("x", w), Dim("y", h)
+    F = RecFilter("EpiSAT")
+    F[y, x] = img
+    F.add_filter(+x, [1.0, 1.0])
+    F.add_filter(+y, [1.0, 1.0])
+    F.split(x, 8, y, 8)
+    base = np.asarray(F.as_func()(img))
+    out = np.asarray(F.as_func(lambda o, a: o * 0.5 + a)(img, aux))
+    np.testing.assert_array_equal(out, base * 0.5 + aux)
+
+    # rotated emit: aux must be supplied in the rotated (transposed) layout
+    Fx = RecFilter("EpiRot")
+    Fx[y, x] = img
+    Fx.add_filter(+x, [1.0, 0.5])
+    Fx.split(x, 8)
+    Fx.set_plan(rotate_emit=2)
+    base_r = np.asarray(Fx.as_func()(img))           # (w, h)
+    auxr = rng.standard_normal((w, h)).astype(np.float32)
+    out_r = np.asarray(Fx.as_func(lambda o, a: o - a)(img, auxr))
+    np.testing.assert_array_equal(out_r, base_r - auxr)
+
+    # integer / scan-backend fallback still applies the combine
+    Fi = RecFilter("EpiInt")
+    Fi[y, x] = img.astype(np.int32)
+    Fi.add_filter(+x, [1, 1])
+    outi = np.asarray(Fi.as_func(lambda o, a: o + a)(
+        img.astype(np.int32), aux.astype(np.int32)))
+    ref = img.astype(np.int32).cumsum(1) + aux.astype(np.int32)
+    np.testing.assert_array_equal(outi, ref)

@@ -155,6 +155,17 @@ def test_unsharp_mask():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_unsharp_mask_fused_equals_naive():
+    """The fused-epilogue variant (combine inside the last filter's
+    completion matmul) must match the naive post-combine bit-for-bit on
+    CPU — same arithmetic, different fusion point."""
+    w = 40
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=9)
+    a = np.asarray(unsharp_mask(w, w, 8, sigma=2.0)(img))
+    b = np.asarray(unsharp_mask(w, w, 8, sigma=2.0, fused=False)(img))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dog_matches_triple_box_oracle_interior():
     """DoG = box³(B1) - box³(B2) in the interior (borders are undefined by
     the apps' zeroed-margin contract, ``box_filter.h:9-11``; the tolerance
