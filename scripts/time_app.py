@@ -61,11 +61,22 @@ def _apps(w, h, tile):
     def box3():
         return apps.box_filter_3(w, h, 5, tile)
 
+    def box3_sat():
+        return apps.box_filter_3(w, h, 5, tile, variant="sat")
+
     def usm():
         return apps.unsharp_mask(w, h, tile)
 
+    def usm_naive():
+        import jax
+
+        return jax.jit(apps.unsharp_mask(w, h, tile, fused=False))
+
     def dog():
         return apps.difference_of_gaussians(w, h, 5, 9, tile)
+
+    def dog_sat():
+        return apps.difference_of_gaussians(w, h, 5, 9, tile, variant="sat")
 
     # Every app gets a scale: unit-DC-gain pipelines (gaussian) would
     # survive without one, but e.g. bicubic's DC gain is ~11.5 per
@@ -80,8 +91,11 @@ def _apps(w, h, tile):
         "biquintic": (biquintic, 1e-2),
         "box1": (box1, 1e-7),
         "box3": (box3, 1e-7),
+        "box3_sat": (box3_sat, 1e-7),
         "usm": (usm, 1e-2),
+        "usm_naive": (usm_naive, 1e-2),
         "dog": (dog, 1e-7),
+        "dog_sat": (dog_sat, 1e-7),
     }
 
 
@@ -94,7 +108,7 @@ def main():
     p.add_argument("--tile", "-t", type=int, default=0)
     p.add_argument(
         "--precision", default="default",
-        choices=["default", "high", "highest"],
+        choices=["default", "high", "highest", "f32x3", "f32x4", "f32x6"],
         help="matmul precision (default = throughput mode, like bench.py)",
     )
     ns = p.parse_args()
