@@ -115,7 +115,7 @@ def _dim_pass_mats(spec: FilterSpec, scan_ids: Sequence[int], tile_width: int):
 
 
 def _apply_scans_row(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
-                     Lb, w_real):
+                     Lb, w_real, unroll=1):
     """Apply every scan (static unroll) to the (Lb, n*T) strip in ``o_ref``,
     scanning along lanes. ``w_real`` < n*T means the tail is zero padding:
     it must be re-zeroed after each scan so later scans still see a zero
@@ -141,7 +141,8 @@ def _apply_scans_row(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
             return jnp.dot(y, Sel, preferred_element_type=jnp.float32)
 
         jax.lax.fori_loop(
-            0, n, body, jnp.zeros((Lb, K), dtype=jnp.float32)
+            0, n, body, jnp.zeros((Lb, K), dtype=jnp.float32),
+            unroll=min(unroll, n),
         )
         if w_real < n * T and si + 1 < len(mats):
             # Re-zero the padding via an iota mask (unaligned lane slices
@@ -151,7 +152,7 @@ def _apply_scans_row(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
 
 
 def _apply_scans_col(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
-                     Lb, w_real):
+                     Lb, w_real, unroll=1):
     """Same, for a (n*T, Lb) strip scanning along sublanes."""
     for si, m in enumerate(mats):
         Bm = B_ref[si]
@@ -172,7 +173,8 @@ def _apply_scans_col(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
             return jnp.dot(Sel.T, y, preferred_element_type=jnp.float32)
 
         jax.lax.fori_loop(
-            0, n, body, jnp.zeros((K, Lb), dtype=jnp.float32)
+            0, n, body, jnp.zeros((K, Lb), dtype=jnp.float32),
+            unroll=min(unroll, n),
         )
         if w_real < n * T and si + 1 < len(mats):
             rows = jax.lax.broadcasted_iota(jnp.int32, (n * T, Lb), 0)
@@ -180,24 +182,31 @@ def _apply_scans_col(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
 
 
 def _row_pass_kernel(B_ref, Be_ref, RN_ref, Sel_ref, x_ref, o_ref, *, mats,
-                     n, T, K, Lb, w_real):
+                     n, T, K, Lb, w_real, unroll):
     o_ref[:] = x_ref[:].astype(jnp.float32)
     _apply_scans_row(
-        o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K, Lb, w_real
+        o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K, Lb, w_real,
+        unroll=unroll,
     )
 
 
 def _col_pass_kernel(B_ref, Be_ref, RN_ref, Sel_ref, x_ref, o_ref, *, mats,
-                     n, T, K, Lb, w_real):
+                     n, T, K, Lb, w_real, unroll):
     o_ref[:] = x_ref[:].astype(jnp.float32)
     _apply_scans_col(
-        o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K, Lb, w_real
+        o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K, Lb, w_real,
+        unroll=unroll,
     )
 
 
-def _pick_line_block(w: int, quantum: int, limit: int) -> int:
+def _pick_line_block(w: int, quantum: int, limit: int, request: int = 0) -> int:
+    """Strip height in lines. ``request`` (Plan.line_block, via ``vectorize``)
+    overrides the auto choice but is still quantized to the layout's
+    alignment and clamped to the VMEM budget."""
     per_line = w * 4 * 2  # two f32 strip buffers
     lb = _VMEM_BUDGET // max(per_line, 1)
+    if request:
+        lb = min(lb, request)
     lb = max(quantum, (lb // quantum) * quantum)
     return int(min(lb, 1024, limit))
 
@@ -211,7 +220,7 @@ def _stack_mats(mats: List[ScanMats]):
 
 
 def dim_pass_rows(x, mats: List[ScanMats], tile_width: int, interpret: bool,
-                  w_real: int = 0):
+                  w_real: int = 0, line_block: int = 0, unroll: int = 1):
     """All scans of one dimension along the LAST axis of a 2-D array (L, w)."""
     L, w = x.shape
     w_real = w_real or w
@@ -219,10 +228,11 @@ def dim_pass_rows(x, mats: List[ScanMats], tile_width: int, interpret: bool,
     n = w // T
     assert n * T == w, "caller must pad the scan axis to a tile multiple"
     K = mats[0].RN.shape[1]
-    Lb = _pick_line_block(w, quantum=8, limit=L)
+    Lb = _pick_line_block(w, quantum=8, limit=L, request=line_block)
     B, Be, RN, Sel = _stack_mats(mats)
     kernel = partial(
-        _row_pass_kernel, mats=mats, n=n, T=T, K=K, Lb=Lb, w_real=w_real
+        _row_pass_kernel, mats=mats, n=n, T=T, K=K, Lb=Lb, w_real=w_real,
+        unroll=max(int(unroll), 1),
     )
     return pl.pallas_call(
         kernel,
@@ -241,7 +251,7 @@ def dim_pass_rows(x, mats: List[ScanMats], tile_width: int, interpret: bool,
 
 
 def dim_pass_cols(x, mats: List[ScanMats], tile_width: int, interpret: bool,
-                  w_real: int = 0):
+                  w_real: int = 0, line_block: int = 0, unroll: int = 1):
     """All scans of one dimension along axis -2 of a 3-D array (outer, h, L)."""
     outer, h, L = x.shape
     w_real = w_real or h
@@ -249,11 +259,12 @@ def dim_pass_cols(x, mats: List[ScanMats], tile_width: int, interpret: bool,
     n = h // T
     assert n * T == h, "caller must pad the scan axis to a tile multiple"
     K = mats[0].RN.shape[1]
-    Lb = _pick_line_block(h, quantum=128, limit=max(L, 128))
+    Lb = _pick_line_block(h, quantum=128, limit=max(L, 128), request=line_block)
     Lb = min(Lb, _round_up(L, 128)) if L >= 128 else L
     B, Be, RN, Sel = _stack_mats(mats)
     kernel = partial(
-        _col_pass_kernel, mats=mats, n=n, T=T, K=K, Lb=Lb, w_real=w_real
+        _col_pass_kernel, mats=mats, n=n, T=T, K=K, Lb=Lb, w_real=w_real,
+        unroll=max(int(unroll), 1),
     )
     return pl.pallas_call(
         kernel,
@@ -280,7 +291,7 @@ def _round_up(v: int, q: int) -> int:
 
 
 def apply_dim(x, spec: FilterSpec, axis: int, scan_ids, tile_width: int,
-              interpret: bool):
+              interpret: bool, line_block: int = 0, unroll: int = 1):
     """Apply all scans of one dimension to an arbitrary-rank array.
 
     Non-dividing extents are zero-padded at the end, which is exact for ZERO
@@ -323,14 +334,16 @@ def apply_dim(x, spec: FilterSpec, axis: int, scan_ids, tile_width: int,
     if axis == nd - 1:
         shape = x.shape
         y = dim_pass_rows(
-            x.reshape(-1, shape[-1]), mats, T, interpret, w_real=w
+            x.reshape(-1, shape[-1]), mats, T, interpret, w_real=w,
+            line_block=line_block, unroll=unroll,
         ).reshape(shape)
     else:
         lead = int(np.prod(x.shape[:axis], dtype=np.int64)) if axis else 1
         trail = int(np.prod(x.shape[axis + 1 :], dtype=np.int64))
         shape = x.shape
         y = dim_pass_cols(
-            x.reshape(lead, shape[axis], trail), mats, T, interpret, w_real=w
+            x.reshape(lead, shape[axis], trail), mats, T, interpret, w_real=w,
+            line_block=line_block, unroll=unroll,
         ).reshape(shape)
 
     if pad:
@@ -359,5 +372,6 @@ def apply_filter(spec: FilterSpec, plan: Plan, x):
             from ..planner import default_tile_width
 
             T = default_tile_width(spec.dims[axis].extent, jax.default_backend())
-        x = apply_dim(x, spec, axis, ids, T, interpret)
+        x = apply_dim(x, spec, axis, ids, T, interpret,
+                      line_block=plan.line_block, unroll=plan.unroll)
     return x.astype(dtype)

@@ -49,8 +49,12 @@ class Plan:
     """Static execution plan for a filter (hashable; jit-static)."""
 
     backend: str = "auto"  # auto | einsum | pallas | scan | oracle
-    line_block: int = 256  # lines processed per kernel block (lane packing)
-    unroll: int = 1  # in-kernel unroll of the tile loop
+    line_block: int = 0  # pallas strip height in lines; 0 = auto from the
+    # VMEM budget (kernels/fused._pick_line_block); a request is quantized
+    # to the layout alignment and clamped to the budget. Set via
+    # ``schedule.vectorize(var, width)``.
+    unroll: int = 1  # pallas in-kernel unroll of the tile-carry loop
+    # (lax.fori_loop unroll). Set via ``schedule.unroll(var, factor)``.
     mesh_axes: Tuple[str, ...] = ()  # e.g. ("data",) or ("data", "seq")
     mesh_shape: Tuple[int, ...] = ()
     data_axis: Optional[int] = None  # array axis sharded over "data"

@@ -137,3 +137,28 @@ def test_matches_einsum_backend():
     got = np.asarray(fused.apply_filter(spec, PLAN, img))
     want = np.asarray(tiling.apply_filter(spec, img))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_knobs_line_block_and_unroll():
+    """Plan.line_block and Plan.unroll are live knobs on the pallas path:
+    results stay exact and the strip picker honors the request."""
+    spec = FilterSpec(
+        "K5", (Dim("y", 24), Dim("x", 16)),
+        (
+            Scan(1, True, 0.9, (0.6, 0.25)),
+            Scan(1, False, 1.1, (0.5, 0.2)),
+        ),
+        tile_widths=(0, 4),
+    )
+    img = _img(24, 16, seed=7)
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    for lb, un in [(8, 1), (16, 4), (0, 100)]:
+        plan = Plan(backend="pallas", interpret=True, line_block=lb, unroll=un)
+        got = np.asarray(fused.apply_filter(spec, plan, img))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # The picker respects a request (quantized to the sublane alignment).
+    assert fused._pick_line_block(1024, quantum=8, limit=4096, request=24) == 24
+    assert fused._pick_line_block(1024, quantum=8, limit=4096, request=30) == 24
+    # ... but never exceeds the VMEM budget.
+    auto = fused._pick_line_block(8192, quantum=8, limit=4096)
+    assert fused._pick_line_block(8192, quantum=8, limit=4096, request=10**6) == auto
