@@ -189,16 +189,23 @@ def fir_apply(x, taps, causal: bool, axis: int = -1):
     return jnp.moveaxis(u, -1, axis)
 
 
-def _dim_mats_learnable(params, T: int, pad_slots: int = 0):
-    """Traced-coefficient twin of ``dimfuse.prepare_dim_pass`` (zero border,
-    uniform tiles): per-scan (B, RN, rows) in dimfuse's natural-order carry
+def _dim_mats_learnable(params, T: int, pad_slots: int = 0,
+                        clamp_edges: tuple = ()):
+    """Traced-coefficient twin of ``dimfuse.prepare_dim_pass`` for ONE tile
+    variant: per-scan (B, RN, rows) in dimfuse's natural-order carry
     convention, composed into Btot / Rhat / G-rows / H couplings with jnp
     matmuls (tiny T×T work, traced once).
 
     ``pad_slots`` builds the LAST-tile variant: each scan's B is projected
     B·Z so trailing zero-pad positions stay algebraically zero between scans
     (a causal scan would otherwise propagate real values into the pad that a
-    later scan must not see — same contract as dimfuse's pad projector)."""
+    later scan must not see — same contract as dimfuse's pad projector).
+
+    ``clamp_edges`` ⊆ {"first", "last"} marks which global image edges this
+    tile touches for a CLAMP border: a causal scan is clamped at the first
+    tile, an anticausal one at the last (the anti-diagonal flip moves the
+    clamped edge to the tile end — ``dimfuse._scan_base_mats`` analog of the
+    reference's first/last-tile selects, ``lib/split.cpp:625-654``)."""
     Z = None
     if pad_slots:
         z = np.ones(T, dtype=np.float32)
@@ -208,7 +215,10 @@ def _dim_mats_learnable(params, T: int, pad_slots: int = 0):
     for causal, b0, a in params:
         a = jnp.asarray(a)
         k = int(a.shape[0])
-        B = impulse_matrix_jnp(b0, a, T)
+        use_clamp = ("first" in clamp_edges and causal) or (
+            "last" in clamp_edges and not causal
+        )
+        B = impulse_matrix_jnp(b0, a, T, clamp=use_clamp)
         R = state_matrix_jnp(a, T)
         W = R[::-1][:k]  # P @ R (tail_weight_matrix): carry across one tile
         if causal:
@@ -265,15 +275,19 @@ def _chain_solve_learnable(b, W, k: int, causal: bool):
     return s_prev[:, :, ::-1] if causal else jnp.flip(s_prev, axis=1)
 
 
-def fused_dim_learnable(x, params, tile_width: int):
+def fused_dim_learnable(x, params, tile_width: int, clamp: bool = False):
     """All scans of one dimension with TRACED coefficients in one fused pass
-    — the differentiable twin of ``dimfuse.fused_dim_pass`` (zero border).
+    — the differentiable twin of ``dimfuse.fused_dim_pass``.
 
     ``x`` is (..., w) with the scan dimension last; ``params`` is a list of
     ``(causal, b0, a)`` with traced ``b0``/``a``. Same structure as the
     static path: one stacked-G einsum for all local tails, per-scan
     associative-scan solves with H-coupling corrections, one completion
-    matmul + carry injections."""
+    matmul + carry injections. CLAMP borders use first/last-tile matrix
+    variants (≙ ``lib/split.cpp:625-654``) and require a tile width dividing
+    ``w`` (the clamped edge must sit at a tile boundary); raises ValueError
+    when no divisor ≥ the max order exists — callers fall back to the
+    per-scan blocked path."""
     shape = x.shape
     w = shape[-1]
     kmax = max(int(jnp.asarray(a).shape[0]) for _, _, a in params)
@@ -284,36 +298,60 @@ def fused_dim_learnable(x, params, tile_width: int):
     T = int(min(max(tile_width, kmax), w))
     n = -(-w // T)
     pad = n * T - w
+    if clamp and pad:
+        # The last-tile clamp variant assumes the image edge at the tile
+        # end, so clamp needs T | w (dimfuse._plan_tiles analog).
+        for t in range(T, kmax - 1, -1):
+            if w % t == 0:
+                T, n, pad = t, w // t, 0
+                break
+        else:
+            raise ValueError(
+                f"no tile width in [{kmax}, {T}] divides w={w} (clamp)"
+            )
     X = x.reshape(-1, w)
     if pad:
         X = jnp.pad(X, ((0, 0), (0, pad)))
     X = X.reshape(X.shape[0], n, T)
 
     base, G, H, Btot, Rhat = _dim_mats_learnable(params, T)
-    if pad:
-        # last-tile variant (pad projector); applied as per-tile overrides
-        _, GL, HL, BtotL, RhatL = _dim_mats_learnable(params, T, pad_slots=pad)
+    # Per-tile overrides: (tile index, mats) for the tiles whose matrices
+    # differ from the interior — first/last for clamp, last for padding.
+    overrides = []
+    if clamp:
+        if n == 1:
+            overrides.append((0, _dim_mats_learnable(
+                params, T, clamp_edges=("first", "last"))))
+        else:
+            overrides.append((0, _dim_mats_learnable(
+                params, T, clamp_edges=("first",))))
+            overrides.append((n - 1, _dim_mats_learnable(
+                params, T, pad_slots=pad, clamp_edges=("last",))))
+    elif pad:
+        overrides.append((n - 1, _dim_mats_learnable(params, T, pad_slots=pad)))
 
     N = [None] * len(base)
     for i, (_, _, _, W, k, causal) in enumerate(base):
         b = jnp.einsum("kt,lnt->lnk", G[i], X, precision=_PREC)
         for j in range(i):
             b = b + jnp.einsum("ko,lno->lnk", H[i][j], N[j], precision=_PREC)
-        if pad:
-            bl = jnp.einsum("kt,lt->lk", GL[i], X[:, -1], precision=_PREC)
+        for t, (_, Gv, Hv, _, _) in overrides:
+            bl = jnp.einsum("kt,lt->lk", Gv[i], X[:, t], precision=_PREC)
             for j in range(i):
-                bl = bl + jnp.einsum("ko,lo->lk", HL[i][j], N[j][:, -1], precision=_PREC)
-            b = b.at[:, -1].set(bl)
+                bl = bl + jnp.einsum("ko,lo->lk", Hv[i][j], N[j][:, t],
+                                     precision=_PREC)
+            b = b.at[:, t].set(bl)
         N[i] = _chain_solve_learnable(b, W, k, causal)
 
     Y = jnp.einsum("ts,lns->lnt", Btot, X, precision=_PREC)
     for j in range(len(base)):
         Y = Y + jnp.einsum("tk,lnk->lnt", Rhat[j], N[j], precision=_PREC)
-    if pad:
-        yl = jnp.einsum("ts,ls->lt", BtotL, X[:, -1], precision=_PREC)
+    for t, (_, _, _, Btv, Rhv) in overrides:
+        yl = jnp.einsum("ts,ls->lt", Btv, X[:, t], precision=_PREC)
         for j in range(len(base)):
-            yl = yl + jnp.einsum("tk,lk->lt", RhatL[j], N[j][:, -1], precision=_PREC)
-        Y = Y.at[:, -1].set(yl)
+            yl = yl + jnp.einsum("tk,lk->lt", Rhv[j], N[j][:, t],
+                                 precision=_PREC)
+        Y = Y.at[:, t].set(yl)
     Y = Y.reshape(Y.shape[0], n * T)
     if pad:
         Y = Y[:, :w]
@@ -328,12 +366,14 @@ class LearnableRecFilter:
     is set — b replaces b0); ``apply(params, x)`` runs the filter
     differentiably. Works under jit/grad/vmap and inside shard_map.
 
-    ``fused=True`` (default, zero border) groups same-dimension scans into
-    one fused traced-coefficient pass: since all scans and FIRs along one
-    axis are LTI and commute, the numerator FIRs apply first (composed
-    two-sided stencil) and every IIR runs inside ``fused_dim_learnable`` —
-    the training-time analog of the production dimfuse executor. Clamp
-    borders fall back to the per-scan blocked path.
+    ``fused=True`` (default) groups same-dimension scans into one fused
+    traced-coefficient pass: since all scans and FIRs along one axis are LTI
+    and commute, the numerator FIRs apply first (composed two-sided stencil)
+    and every IIR runs inside ``fused_dim_learnable`` — the training-time
+    analog of the production dimfuse executor. CLAMP borders use first/
+    last-tile matrix variants (so training parity covers the clamped
+    Gaussian apps); only when no tile width divides the extent (clamp with
+    prime-ish width) does an axis fall back to the per-scan blocked path.
     """
 
     def __init__(self, spec: FilterSpec, tile_width: int = 32,
@@ -370,7 +410,7 @@ class LearnableRecFilter:
         definition — identical in the fused and per-scan paths.) FIRs
         always zero-extend beyond the borders."""
         x = x.astype(jnp.float32)
-        fused_ok = self.fused and self.spec.border == BorderMode.ZERO
+        clamp = self.spec.border == BorderMode.CLAMP
         for axis, ids in self.spec.scans_by_axis().items():
             pl = []
             for i in ids:
@@ -382,10 +422,17 @@ class LearnableRecFilter:
                 else:
                     b0 = b[0]
                 pl.append((causal, b0, a))
-            if fused_ok:
+            ym = None
+            if self.fused:
                 xm = jnp.moveaxis(x, axis, -1)
-                xm = fused_dim_learnable(xm, pl, self.tile_width)
-                x = jnp.moveaxis(xm, -1, axis)
+                try:
+                    ym = fused_dim_learnable(
+                        xm, pl, self.tile_width, clamp=clamp
+                    )
+                except ValueError:
+                    ym = None  # clamp with no dividing tile width
+            if ym is not None:
+                x = jnp.moveaxis(ym, -1, axis)
             else:
                 for causal, b0, a in pl:
                     x = apply_scan_learnable(

@@ -228,3 +228,93 @@ def test_fused_learnable_grad_flows():
         d = jnp.zeros(2).at[i].set(eps)
         fd = (loss(pl0 + d) - loss(pl0 - d)) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=1e-4)
+
+
+def test_fused_dim_learnable_clamp_matches_oracle():
+    """CLAMP border through the fused traced-coefficient pass (first/last
+    tile matrix variants), mixed causality, dividing width."""
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((5, 24)).astype(np.float32)
+    scans = [
+        (True, 1.0, [0.5, 0.25]),
+        (False, 1.1, [0.4]),
+        (True, 0.9, [0.3, 0.1]),
+    ]
+    pl = [
+        (c, jnp.asarray(b0), jnp.asarray(a, dtype=jnp.float32))
+        for c, b0, a in scans
+    ]
+    got = np.asarray(
+        learnable.fused_dim_learnable(jnp.asarray(x), pl, 6, clamp=True)
+    )
+    want = x.astype(np.float64)
+    for c, b0, a in scans:
+        want = scan_core.oracle_apply_scan(want, 1, c, b0, a, BorderMode.CLAMP)
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_learnable_filter_fused_clamp_matches_per_scan():
+    """Training parity for the clamped (Gaussian-app-style) filters: the
+    fused path equals the per-scan blocked path under CLAMP."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((18, 24)).astype(np.float32))
+    spec = FilterSpec(
+        "LC",
+        (Dim("y", 18), Dim("x", 24)),
+        (
+            Scan(1, True, 1.0, (0.5, 0.2)),
+            Scan(1, False, 1.1, (0.4,)),
+            Scan(0, True, 0.9, (0.6,)),
+            Scan(0, False, 0.9, (0.3, 0.1)),
+        ),
+        border=BorderMode.CLAMP,
+    )
+    mf = learnable.LearnableRecFilter(spec, tile_width=6, fused=True)
+    ms = learnable.LearnableRecFilter(spec, tile_width=6, fused=False)
+    p = mf.init_params()
+    np.testing.assert_allclose(
+        np.asarray(mf.apply(p, x)), np.asarray(ms.apply(p, x)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_fused_learnable_clamp_nondividing_falls_back():
+    """Prime-ish width with CLAMP: no dividing tile width ≥ order exists
+    above, so apply() falls back per-scan — and stays correct."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((4, 23)).astype(np.float32))
+    spec = FilterSpec(
+        "LP", (Dim("r", 4), Dim("c", 23)),
+        (Scan(1, True, 1.0, (0.5, 0.2)), Scan(1, False, 1.1, (0.4,))),
+        border=BorderMode.CLAMP,
+    )
+    m = learnable.LearnableRecFilter(spec, tile_width=4, fused=True)
+    got = np.asarray(m.apply(m.init_params(), x))
+    want = np.asarray(x, dtype=np.float64)
+    for s in spec.scans:
+        want = scan_core.oracle_apply_scan(
+            want, s.axis, s.causal, s.feedfwd, s.feedback, BorderMode.CLAMP
+        )
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_learnable_clamp_grad_flows():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 20)).astype(np.float32))
+    a0 = jnp.asarray([0.5, 0.2])
+
+    def loss(a):
+        y = learnable.fused_dim_learnable(
+            x, [(True, jnp.asarray(1.0), a), (False, jnp.asarray(1.0), a)],
+            5, clamp=True,
+        )
+        return (y**2).mean()
+
+    g = jax.grad(loss)(a0)
+    eps = 1e-3
+    for i in range(2):
+        d = jnp.zeros(2).at[i].set(eps)
+        fd = (loss(a0 + d) - loss(a0 - d)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=1e-4)
