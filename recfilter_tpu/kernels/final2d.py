@@ -49,17 +49,21 @@ def _final2d_kernel(Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, NA_ref, NB_ref,
     # one (Ta,Ta)@(Ta,W) matmul keeps the MXU pipeline full.
     x = x_ref[:].astype(mm_dtype)
     z = jnp.dot(Ba_ref[:].astype(mm_dtype), x,
-                preferred_element_type=jnp.float32)
-    z = z + jnp.dot(Ra_ref[:], NA_ref[:], preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    z = z + jnp.dot(Ra_ref[:], NA_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     zc = z.astype(mm_dtype)
     # dim-B completion per sub-tile (pass 3)
     for tb in range(nb):
         sl = slice(tb * Tb, (tb + 1) * Tb)
         bi = tb if b_stacked else 0
         y = jnp.dot(zc[:, sl], Bb_ref[bi].astype(mm_dtype).T,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         y = y + jnp.dot(NB_ref[tb], Rb_ref[bi].T,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         o_ref[:, sl] = y
 
 
@@ -122,10 +126,12 @@ def _moments_kernel(Ga_ref, Gb_ref, x_ref, ba_ref, u_ref, *, nb, Tb,
     for tb in range(nb):
         sl = slice(tb * Tb, (tb + 1) * Tb)
         xt = x_ref[:, sl]
-        ba_ref[:, sl] = jnp.dot(Ga, xt, preferred_element_type=jnp.float32)
+        ba_ref[:, sl] = jnp.dot(Ga, xt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         gi = tb if b_stacked else 0
         u_ref[tb] = jnp.dot(xt, Gb_ref[gi].T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
 
 def moments2d(x, G_a_cat, G_b_cat, interpret: bool):

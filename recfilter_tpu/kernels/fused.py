@@ -133,12 +133,15 @@ def _apply_scans_row(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
             off = pl.multiple_of(t * T, T)
             Bt = jnp.where(t == edge_tile, Be, Bm) if m.has_edge else Bm
             xt = o_ref[:, pl.ds(off, T)]
-            y = jnp.dot(xt, Bt.T, preferred_element_type=jnp.float32)
-            y = y + jnp.dot(carry, RN.T, preferred_element_type=jnp.float32)
+            y = jnp.dot(xt, Bt.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            y = y + jnp.dot(carry, RN.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             o_ref[:, pl.ds(off, T)] = y
             # Carry via selector matmul: Mosaic cannot slice the lane axis
             # at unaligned static offsets like T-K.
-            return jnp.dot(y, Sel, preferred_element_type=jnp.float32)
+            return jnp.dot(y, Sel, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
         jax.lax.fori_loop(
             0, n, body, jnp.zeros((Lb, K), dtype=jnp.float32),
@@ -167,10 +170,13 @@ def _apply_scans_col(o_ref, B_ref, Be_ref, RN_ref, Sel_ref, mats, n, T, K,
             off = pl.multiple_of(t * T, T)
             Bt = jnp.where(t == edge_tile, Be, Bm) if m.has_edge else Bm
             xt = o_ref[pl.ds(off, T), :]
-            y = jnp.dot(Bt, xt, preferred_element_type=jnp.float32)
-            y = y + jnp.dot(RN, carry, preferred_element_type=jnp.float32)
+            y = jnp.dot(Bt, xt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            y = y + jnp.dot(RN, carry, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             o_ref[pl.ds(off, T), :] = y
-            return jnp.dot(Sel.T, y, preferred_element_type=jnp.float32)
+            return jnp.dot(Sel.T, y, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
         jax.lax.fori_loop(
             0, n, body, jnp.zeros((K, Lb), dtype=jnp.float32),

@@ -1,0 +1,78 @@
+"""On-chip smoke tests for the Pallas kernels (Mosaic alignment paths).
+
+The CPU suite exercises these kernels in interpret mode only; Mosaic's
+lane/sublane alignment constraints (128-wide lane tiles, 8-aligned sublane
+slices, scoped-VMEM limits) exist only on real hardware. Run once per round:
+
+    RECFILTER_TEST_TPU=1 python -m pytest tests -m tpu -q
+
+Each test is one distinct remote compile (minutes over the tunnel), so the
+suite is deliberately tiny: one 2-D filter through the fused row+col Pallas
+kernels, and one through the overlap_k (final2d) 3-touch pipeline.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend available")
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((h, w)) * 0.01).astype(np.float32)
+
+
+def test_pallas_fused_row_col_on_chip():
+    """Row (lane-scan) + col (sublane-scan) fused kernels, mixed causality,
+    vs the numpy oracle — exercises the T=128 lane-tile override, selector
+    matmuls, and the strip pipeline on real Mosaic."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import scan_core
+    from recfilter_tpu.kernels import fused
+    from recfilter_tpu.planner import Plan
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKE1",
+        (Dim("y", 256), Dim("x", 512)),
+        (
+            Scan(1, True, 0.9, (0.6, 0.25)),
+            Scan(1, False, 1.1, (0.5,)),
+            Scan(0, True, 1.0, (0.5, 0.2)),
+        ),
+        tile_widths=(64, 128),
+    )
+    img = _img(256, 512)
+    got = np.asarray(fused.apply_filter(spec, Plan(backend="pallas"), img))
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_overlap_k_final2d_on_chip():
+    """The overlap_k backend's Pallas final2d kernel (cross-dimension
+    2-D completion) on real Mosaic vs the oracle."""
+    _require_tpu()
+    from recfilter_tpu import overlap2d, scan_core
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKE2",
+        (Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 1.0, (0.5, 0.2)), Scan(0, True, 1.0, (0.4,))),
+        tile_widths=(128, 128),
+    )
+    img = _img(256, 256, seed=1)
+    got = np.asarray(
+        overlap2d.apply_filter_overlap(spec, img, use_kernels=True)
+    )
+    want = scan_core.oracle_apply(spec, img).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
