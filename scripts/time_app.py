@@ -78,6 +78,22 @@ def _apps(w, h, tile):
     def dog_sat():
         return apps.difference_of_gaussians(w, h, 5, 9, tile, variant="sat")
 
+    # Backend-comparison variants (VERDICT r1 #6): same gaussian_3xy filter
+    # through each executor so the bench table carries a measured decision.
+    def _gaussian3_backend(backend):
+        F = apps.gaussian_3xy(w, h, tile)
+        F.set_plan(backend=backend)
+        return F.as_func()
+
+    def gaussian3_pallas():
+        return _gaussian3_backend("pallas")
+
+    def gaussian3_overlap():
+        return _gaussian3_backend("overlap")
+
+    def gaussian3_overlap_k():
+        return _gaussian3_backend("overlap_k")
+
     # Every app gets a scale: unit-DC-gain pipelines (gaussian) would
     # survive without one, but e.g. bicubic's DC gain is ~11.5 per
     # application and USM's ~2 — any gain > 1 overflows over a slope
@@ -96,6 +112,10 @@ def _apps(w, h, tile):
         "usm_naive": (usm_naive, 1e-2),
         "dog": (dog, 1e-7),
         "dog_sat": (dog_sat, 1e-7),
+        # not in --all: backend-comparison variants (run by name)
+        "gaussian3_pallas": (gaussian3_pallas, 0.5, False),
+        "gaussian3_overlap": (gaussian3_overlap, 0.5, False),
+        "gaussian3_overlap_k": (gaussian3_overlap_k, 0.5, False),
     }
 
 
@@ -117,7 +137,11 @@ def main():
     if ns.list:
         print(" ".join(registry))
         return
-    names = list(registry) if ns.all else ns.apps
+    names = (
+        [k for k, v in registry.items() if len(v) == 2 or v[2]]
+        if ns.all
+        else ns.apps
+    )
     if not names:
         p.error("no apps given (use --all or --list)")
 
@@ -134,7 +158,7 @@ def main():
     )
     mpix = ns.width * ns.width / 1e6
     for name in names:
-        build, scale = registry[name]
+        build, scale = registry[name][:2]
         fn = build()
         ms = slope_ms_per_iter(fn, img, scale=scale, per_body=4)
         print(
