@@ -97,7 +97,7 @@ def oracle_apply(spec: FilterSpec, x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _scan_last_axis(x, feedfwd, feedback, clamp: bool):
+def _scan_last_axis(x, feedfwd, feedback, clamp: bool, init_state=None):
     """Causal scan along the last axis of ``x`` (any leading batch dims).
 
     State is the shift register s[j] = y[x-1-j] (k most recent outputs,
@@ -105,12 +105,36 @@ def _scan_last_axis(x, feedfwd, feedback, clamp: bool):
     ``select(rx>j, …, 0)`` exactly. For clamped borders the first k outputs
     are peeled off and unrolled (k is tiny and static), after which the
     steady-state recurrence needs no clamping.
+
+    ``init_state`` ((k, *batch), same shift-register convention) seeds the
+    recurrence with real incoming outputs instead of zeros — the exact
+    (dtype-preserving) continuation used by the streaming executor across
+    chunks; mutually exclusive with ``clamp`` (a mid-sequence chunk has no
+    border).
     """
     k = len(feedback)
     w = x.shape[-1]
     dtype = x.dtype
     a = [jnp.asarray(c, dtype=dtype) for c in feedback]
     b0 = jnp.asarray(feedfwd, dtype=dtype)
+
+    if init_state is not None:
+        assert not clamp, "init_state seeds a mid-sequence chunk (no border)"
+        xs = jnp.moveaxis(x, -1, 0)
+
+        def step_c(s, u):
+            y = b0 * u
+            for j in range(k):
+                y = y + a[j] * s[j]
+            s = (
+                jnp.concatenate([y[None], s[:-1]], axis=0)
+                if k > 1
+                else y[None]
+            )
+            return s, y
+
+        _, ys_c = jax.lax.scan(step_c, init_state.astype(dtype), xs)
+        return jnp.moveaxis(ys_c, 0, -1)
 
     # Peel the first min(k, w) outputs when clamping (taps reach off-edge).
     n_peel = min(k, w) if clamp else 0

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import dimfuse, coeffs
+from . import dimfuse, coeffs, scan_core
 from .spec import BorderMode, FilterSpec
 
 
@@ -58,7 +58,7 @@ def apply_filter_streamed(
     """
     dtype = jnp.dtype(spec.dtype)
     if jnp.issubdtype(dtype, jnp.integer):
-        raise NotImplementedError("streaming supports float filters")
+        return _apply_filter_streamed_int(spec, image, chunk_axis, chunk)
     chunk_axis = chunk_axis % spec.ndim  # scans_by_axis keys are non-negative
     if spec.tuple_width:
         spec = spec.stacked()
@@ -147,6 +147,86 @@ def apply_filter_streamed(
         for j, sl in enumerate(order):
             x = jnp.asarray(out[take(sl)])
             y, N = sweep_chunk(x, N, clamp and j == 0)
+            out[take(sl)] = np.asarray(y)
+
+    return out
+
+
+def _apply_filter_streamed_int(
+    spec: FilterSpec, image: np.ndarray, chunk_axis: int, chunk: int
+) -> np.ndarray:
+    """Exact integer streaming: the float path's rank-k carry CORRECTION
+    would round through floats, so integer chunks instead seed the next
+    chunk's ``lax.scan`` with the real shift-register state (the previous
+    chunk's last k outputs) — bit-exact, same as the unstreamed scan path."""
+    chunk_axis = chunk_axis % spec.ndim
+    if spec.tuple_width:
+        spec = spec.stacked()
+        chunk_axis = chunk_axis + 1
+    clamp = spec.border == BorderMode.CLAMP
+    groups = spec.scans_by_axis()
+    kmax = max(
+        (spec.scans[i].order for i in groups.get(chunk_axis, [])), default=1
+    )
+    if chunk < kmax:
+        raise ValueError(
+            f"chunk ({chunk}) must be >= the max scan order on the chunk "
+            f"axis ({kmax}): the cross-chunk carry needs k boundary lines"
+        )
+    ity = np.dtype(spec.dtype).type
+    out = np.array(image, dtype=spec.dtype, copy=True)
+    slices = _chunk_slices(out.shape[chunk_axis], chunk, min_last=kmax)
+
+    def take(sl):
+        idx = [slice(None)] * out.ndim
+        idx[chunk_axis] = sl
+        return tuple(idx)
+
+    other = [(ax, ids) for ax, ids in groups.items() if ax != chunk_axis]
+    if other:
+
+        @jax.jit
+        def run_other(x):
+            for ax, ids in other:
+                for i in ids:
+                    s = spec.scans[i]
+                    x = scan_core.apply_scan(
+                        x, ax, s.causal, ity(s.feedfwd),
+                        [ity(c) for c in s.feedback], spec.border,
+                    )
+            return x
+
+        for sl in slices:
+            out[take(sl)] = np.asarray(run_other(jnp.asarray(out[take(sl)])))
+
+    for sid in groups.get(chunk_axis, []):
+        s = spec.scans[sid]
+        k = s.order
+        ff = ity(s.feedfwd)
+        fb = [ity(c) for c in s.feedback]
+        order = slices if s.causal else slices[::-1]
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def sweep_chunk(x, state, first, s=s, ff=ff, fb=fb, k=k):
+            xm = jnp.moveaxis(x, chunk_axis, -1)
+            if not s.causal:
+                xm = jnp.flip(xm, axis=-1)
+            y = scan_core._scan_last_axis(
+                xm, ff, fb, clamp and first,
+                init_state=None if first else state,
+            )
+            # next chunk's shift register: s[j] = y[end-1-j]
+            st = jnp.stack([y[..., -1 - j] for j in range(k)], axis=0)
+            if not s.causal:
+                y = jnp.flip(y, axis=-1)
+            return jnp.moveaxis(y, -1, chunk_axis), st
+
+        state = None
+        for j, sl in enumerate(order):
+            x = jnp.asarray(out[take(sl)])
+            y, state = sweep_chunk(x, state, j == 0)
             out[take(sl)] = np.asarray(y)
 
     return out

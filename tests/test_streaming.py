@@ -92,3 +92,50 @@ def test_streamed_chunk_smaller_than_order_rejected():
         streaming.apply_filter_streamed(
             spec, _img(20, 8, seed=5), chunk_axis=0, chunk=2
         )
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+@pytest.mark.parametrize("chunk", [7, 16])
+def test_streamed_integer_exact(border, chunk):
+    """Integer dtypes stream bit-exactly: the carry is the real shift-
+    register state, not a float rank-k correction (SAT-style int32)."""
+    from recfilter_tpu import scan_core
+
+    spec = FilterSpec(
+        "SI",
+        (Dim("y", 40), Dim("x", 24)),
+        (
+            Scan(1, True, 1, (1,)),
+            Scan(0, True, 1, (1,)),
+            Scan(0, False, 1, (1,)),
+        ),
+        dtype="int32",
+        border=border,
+        tile_widths=(8, 8),
+    )
+    x = np.asarray(
+        np.random.default_rng(3).integers(-9, 9, size=(40, 24)), np.int32
+    )
+    want = scan_core.oracle_apply(spec, x)
+    got = streaming.apply_filter_streamed(spec, x, chunk_axis=0, chunk=chunk)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_integer_second_order_chunk_axis():
+    """Order-2 integer scan along the chunk axis (k-deep carry state)."""
+    from recfilter_tpu import scan_core
+
+    spec = FilterSpec(
+        "SI2",
+        (Dim("y", 33), Dim("x", 16)),
+        (Scan(0, True, 1, (2, -1)),),  # second-order integral image column
+        dtype="int64",
+        tile_widths=(8, 8),
+    )
+    x = np.asarray(
+        np.random.default_rng(4).integers(-3, 4, size=(33, 16)), np.int64
+    )
+    want = scan_core.oracle_apply(spec, x)
+    got = streaming.apply_filter_streamed(spec, x, chunk_axis=0, chunk=5)
+    np.testing.assert_array_equal(got, want)
