@@ -295,6 +295,11 @@ def _matmul_precision(cdt, mmd, choice: str = "highest"):
         "f32x6": jax.lax.Precision.HIGHEST,
         "f32x4": jax.lax.Precision.HIGHEST,
         "f32x3": jax.lax.Precision.HIGHEST,
+        # Pallas completion-kernel modes (kernels/completion.py): the
+        # split-bf16 products happen in VMEM (no HBM chunk materialization,
+        # no HIGHEST operand copies); every non-kernel matmul stays HIGHEST.
+        "px3": jax.lax.Precision.HIGHEST,
+        "px4": jax.lax.Precision.HIGHEST,
         "default": None,
     }[choice]
 
@@ -519,13 +524,16 @@ def fused_dim_pass(
         return xs.astype(x.dtype)
 
     T, n, pad = plan
-    # Non-last scan axes route through the lanes-contraction form: move the
-    # scan axis last (one relayout) and emit rotated back into place — free
-    # in the completion matmuls' output ordering. The direct "ansb" einsums
-    # below contract over a non-lane axis and XLA lowers them to convolutions
-    # at ~4x off bandwidth on TPU (xplane-measured in the DoG pipeline).
-    if axis != x.ndim - 1 and x.ndim - axis <= 6:
-        xm = jnp.moveaxis(x, axis, -1)
+    # Scan axes within reach of the trailing group route through the
+    # lanes-contraction form: move the scan axis last (one relayout for
+    # non-last axes; free for the last) and emit rotated back into place —
+    # free in the completion matmuls' output ordering. The direct "ansb"
+    # einsums below contract over a non-lane axis and XLA lowers them to
+    # convolutions at ~4x off bandwidth on TPU (xplane-measured in the DoG
+    # pipeline); the last-axis case (rot_axes=1, in-place emit) shares the
+    # same code so the px completion-kernel modes apply everywhere hot.
+    if x.ndim >= 2 and x.ndim - axis <= 6:
+        xm = jnp.moveaxis(x, axis, -1) if axis != x.ndim - 1 else x
         # the rotated emit puts the scan axis straight back at ``axis``
         # (so the FINAL natural layout equals x's — eaux pass through)
         return _last_axis_pass_t(
@@ -763,8 +771,27 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
 
     Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
     rot = rot_axes >= 2
-    Y = apply(mats.Btot, X, fast=True, out_t=rot)
-    Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=rot)
+    Y = None
+    nprod_k = {"px3": 3, "px4": 4}.get(matmul_precision, 0)
+    if nprod_k and cdt == jnp.float32 and mmd is None and (P == 1 or not rot):
+        from .kernels import completion as _completion
+
+        interp = jax.default_backend() != "tpu"
+        if _completion.completion_ok(T, PR, n, S, interp):
+            Yk = _completion.completion_pass(
+                X.reshape(PR, n, T), np.asarray(mats.Btot), Rcat,
+                Ncat.reshape(PR, n, S), rot=rot, nprod=nprod_k,
+                interpret=interp,
+            )
+            if rot:
+                Y = Yk.reshape((P, n, T) + tuple(rows))
+            else:
+                Y = Yk.reshape((P,) + tuple(rows) + (n, T))
+    if Y is None:
+        # px modes fall back to true-f32 HIGHEST einsums when the kernel's
+        # static constraints don't hold (non-128 tile, tiny strips, P>1 rot).
+        Y = apply(mats.Btot, X, fast=True, out_t=rot)
+        Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=rot)
 
     if epilogue is not None:
         # Natural output layout: rot → lead + (nT,) + rows (scanned axis at

@@ -36,11 +36,12 @@ _DEFAULT_MATMUL_PRECISION = ["highest"]
 
 def set_default_matmul_precision(p: str) -> None:
     """Process-wide default for Plan.matmul_precision
-    ("highest" | "high" | "f32x6" | "f32x4" | "f32x3" | "default").
-    Composite apps build internal filters with fresh Plans; this is how a
-    benchmark or serving config switches them all to the fast modes at
-    once."""
-    assert p in ("highest", "high", "f32x6", "f32x4", "f32x3", "default")
+    ("highest" | "high" | "f32x6" | "f32x4" | "f32x3" | "px3" | "px4" |
+    "default"). Composite apps build internal filters with fresh Plans;
+    this is how a benchmark or serving config switches them all to the
+    fast modes at once."""
+    assert p in ("highest", "high", "f32x6", "f32x4", "f32x3",
+                 "px3", "px4", "default")
     _DEFAULT_MATMUL_PRECISION[0] = p
 
 
@@ -63,12 +64,13 @@ class Plan:
     matmul_dtype: str = "float32"  # bfloat16 = fast B matmuls, f32 accumulate
     matmul_precision: str = dataclasses.field(
         default_factory=lambda: _DEFAULT_MATMUL_PRECISION[0]
-    )  # highest | high | f32x6 | f32x4 | f32x3 | default (TPU f32 dots
-    # default to single-pass bf16 at ~1e-2 rel error; highest restores true
-    # f32 at ~2.7x matmul cost; f32x6/f32x4/f32x3 are the compensated
-    # split-bf16 modes — explicit chunked operand splits on ONLY the
-    # image-sized completion matmuls, small solves at HIGHEST; f32x6 is
-    # true-f32 accurate — see dimfuse._split_einsum)
+    )  # highest | high | f32x6 | f32x4 | f32x3 | px3 | px4 | default
+    # (TPU f32 dots default to single-pass bf16 at ~1e-2 rel error; highest
+    # restores true f32 at ~2.7x matmul cost; f32x6/f32x4/f32x3 are the
+    # compensated split-bf16 einsum modes — see dimfuse._split_einsum;
+    # px3/px4 run the split products inside the Pallas completion kernel
+    # (kernels/completion.py) with VMEM-resident chunking — accurate mode
+    # at near-throughput cost)
     rotate_emit: int = 0
     # Layout chaining for single-dimension filters (the TPU meaning of the
     # reference's ``storage_layout`` directive, ``lib/schedule.cpp:835-913``):

@@ -448,3 +448,50 @@ def test_split_input_three_chunks_exact():
     chunks = dimfuse._split_input(x, 3)
     back = sum(c.astype(jnp.float32) for c in chunks)
     assert np.array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px4", 8e-5)])
+@pytest.mark.parametrize("rot_axes", [1, 2])
+def test_pallas_completion_precision_modes(mode, bound, rot_axes):
+    """The px3/px4 modes (VMEM-split completion kernel) hold their error
+    bounds and match the einsum path's layouts for both in-place and
+    rotated emits (interpret mode on CPU; on-chip parity in pytest -m tpu)."""
+    import jax.numpy as jnp
+
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+        Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+    ]
+    spec = FilterSpec(
+        "PX", (Dim("y", 64), Dim("x", 256)), tuple(scans),
+        tile_widths=(0, 128),  # T=128: the kernel's Mosaic lane tile
+    )
+    x = _img(64, 256, seed=7)
+    got = np.asarray(
+        dimfuse.apply_filter_rotated(
+            spec, jnp.asarray(x), rot_axes=rot_axes,
+            matmul_precision=mode,
+        )
+    )
+    if rot_axes == 2:
+        got = np.moveaxis(got, 0, 1)  # undo the rotated emit (y,x)->(x,y)
+    want = _oracle_dim(x, scans, BorderMode.ZERO)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= bound * scale
+
+
+@pytest.mark.parametrize("mode", ["px3", "px4"])
+def test_pallas_completion_clamp_pad_variants(mode):
+    """px modes with per-tile matrix variants: clamp border (exact tiling)
+    and zero border with a non-dividing extent (pad projector)."""
+    scans = [Scan(1, True, 1.0, (0.5, 0.25)), Scan(1, False, 1.1, (0.4,))]
+    for border, w in [(BorderMode.CLAMP, 256), (BorderMode.ZERO, 250)]:
+        x = _img(24, w, seed=11)
+        got = np.asarray(
+            dimfuse.fused_dim_pass(
+                x, 1, scans, 128, border, matmul_precision=mode
+            )
+        )
+        want = _oracle_dim(x, scans, border)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 1e-4 * scale

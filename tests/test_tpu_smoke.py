@@ -76,3 +76,34 @@ def test_overlap_k_final2d_on_chip():
     )
     want = scan_core.oracle_apply(spec, img).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_px4_completion_kernel_on_chip():
+    """The split-bf16 completion kernel (px4 precision mode) must hold its
+    ~1e-5 error bound with real Mosaic lowering — in-VMEM bf16 chunking,
+    per-tile variant indexing, rotated emit."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, scan_core
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKE3",
+        (Dim("y", 256), Dim("x", 512)),
+        (
+            Scan(1, True, 0.9, (0.6, 0.25, -0.1)),
+            Scan(1, False, 1.1, (0.5, 0.2, 0.05)),
+            Scan(0, True, 1.0, (0.5, 0.2)),
+            Scan(0, False, 1.0, (0.4,)),
+        ),
+        tile_widths=(128, 128),
+    )
+    img = _img(256, 512, seed=2)
+    got = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(img),
+                                   matmul_precision="px4")
+    )
+    want = scan_core.oracle_apply(spec, img)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 8e-5 * scale
