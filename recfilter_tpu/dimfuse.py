@@ -300,6 +300,7 @@ def _matmul_precision(cdt, mmd, choice: str = "highest"):
         # no HIGHEST operand copies); every non-kernel matmul stays HIGHEST.
         "px3": jax.lax.Precision.HIGHEST,
         "px4": jax.lax.Precision.HIGHEST,
+        "px6": jax.lax.Precision.HIGHEST,
         "default": None,
     }[choice]
 
@@ -736,6 +737,62 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
 
     Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
     S = int(sum(mats.orders))
+
+    # --- px kernel fast path: tails + solve + completion all via the
+    # split-bf16 kernels (2 image touches + a read; no HIGHEST einsum
+    # copies anywhere). Falls through to the einsum path when the static
+    # gates don't hold.
+    nprod_k = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+    rot = rot_axes >= 2
+    if (nprod_k and cdt == jnp.float32 and mmd is None
+            and (P == 1 or not rot) and n <= _CHAIN_MATMUL_MAX_TILES):
+        from .kernels import completion as _completion
+
+        interp = jax.default_backend() != "tpu"
+        if _completion.completion_ok(T, PR, n, S, interp):
+            Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+            xq = X.reshape(PR, n, T)
+            braw_t = _completion.tails_pass(
+                xq, Gcat, nprod=nprod_k, interpret=interp
+            )  # (n, 8, PR) slot-padded transposed tails
+            CMp = jnp.asarray(
+                _completion.pad_solve_matrix(
+                    combined_solve_matrix(mats, n), n, S
+                ),
+                dtype=acc,
+            )
+            Nt8 = jnp.einsum(
+                "ts,sl->tl", CMp, braw_t.reshape(n * 8, PR),
+                preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(n, 8, PR)
+            Yk = _completion.completion_pass(
+                xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
+                nprod=nprod_k, interpret=interp, carries_transposed=True,
+            )
+            if rot:
+                Y = Yk.reshape((P, n, T) + tuple(rows))
+            else:
+                Y = Yk.reshape((P,) + tuple(rows) + (n, T))
+            if epilogue is not None:
+                if rot:
+                    nat_ax, tshape = len(lead), (P, n, T) + tuple(rows)
+                else:
+                    nat_ax, tshape = -1, (P,) + tuple(rows) + (n, T)
+                Y = epilogue(Y, *(_retile_aux(a, Y.dtype, nat_ax, pad, tshape)
+                                  for a in eaux))
+            if rot:
+                y = Y.reshape(lead + (n * T,) + tuple(rows))
+                if pad:
+                    y = jax.lax.slice_in_dim(
+                        y, 0, n * T - pad, axis=-1 - nrow
+                    )
+            else:
+                y = Y.reshape(lead + tuple(rows) + (n * T,))
+                if pad:
+                    y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
+            return y
+
     if Gcat.shape[1] < 8:
         padg = np.zeros((Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2]))
         Gcat = np.concatenate([Gcat, padg], axis=1)
@@ -772,7 +829,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
     rot = rot_axes >= 2
     Y = None
-    nprod_k = {"px3": 3, "px4": 4}.get(matmul_precision, 0)
+    nprod_k = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
     if nprod_k and cdt == jnp.float32 and mmd is None and (P == 1 or not rot):
         from .kernels import completion as _completion
 

@@ -15,10 +15,13 @@ kept at true-f32 HIGHEST) is added in-register, and the block is emitted
 directly in the rotated layout. HBM traffic: read X + read the (tiny)
 carries + write Y — the same two image touches as the throughput mode.
 
-Accuracy (max rel err vs the f64 oracle, microbenchmarked):
-  * 3 products (``px3``):  ~6e-6  — dropped terms at 2^-16
-  * 4 products (``px4``):  ~2e-6  — representation-limited (2-chunk = 2^-17)
-Both sit within the float32-SNR bar the oracle suite enforces (the
+Accuracy (max rel err vs the f64 oracle; single pass microbench / full
+gaussian3 4K pipeline):
+  * 3 products (``px3``):  ~6e-6 / ~5e-5  — dropped terms at 2^-16
+  * 4 products (``px4``):  ~2e-6 / ~5e-5  — 2-chunk representation (2^-17)
+  * 6 products (``px6``):  3-chunk operands — true-f32 grade (~2e-6
+    pipeline), at 6 MXU products
+All sit within the float32-SNR bar the oracle suite enforces (the
 reference's CheckResult, ``lib/recfilter.h:793-855``).
 
 Mosaic layout notes: T must be the 128-lane tile; the carries ride a
@@ -42,90 +45,101 @@ _VMEM_BUDGET = 6 * 1024 * 1024
 _SLOTS = 8  # carry slots per tile (sublane quantum); max ΣK supported
 
 
-def _split_const_pair(M):
-    """Trace-time 2-chunk bf16 split of a matrix stack (float64-exact)."""
+def _split_const(M, nchunks: int):
+    """Trace-time bf16 chunk split of a matrix stack (float64-exact);
+    3 chunks carry the full f32 mantissa."""
     import ml_dtypes
 
-    M64 = np.asarray(M, np.float64)
-    hi = M64.astype(np.float32).astype(ml_dtypes.bfloat16)
-    lo = (M64 - hi.astype(np.float64)).astype(np.float32).astype(
-        ml_dtypes.bfloat16
-    )
-    return jnp.asarray(hi), jnp.asarray(lo)
+    rem = np.asarray(M, np.float64)
+    out = []
+    for _ in range(nchunks):
+        c = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
+        out.append(jnp.asarray(c))
+        rem = rem - c.astype(np.float64)
+    return out
 
 
-def _completion_kernel(Bh_ref, Bm_ref, Rh_ref, Rm_ref, N_ref, x_ref, o_ref,
-                       *, nprod: int, rot: bool):
+def _split_vmem(x, nchunks: int):
+    """In-register bf16 chunk split of an f32 array (VMEM, no HBM cost)."""
+    out = []
+    rem = x
+    for _ in range(nchunks - 1):
+        c = rem.astype(jnp.bfloat16)
+        out.append(c)
+        rem = rem - c.astype(jnp.float32)
+    out.append(rem.astype(jnp.bfloat16))
+    return out
+
+
+def _prods(nprod: int):
+    """(i, j) chunk-product index pairs, smallest-magnitude first."""
+    if nprod >= 6:
+        return [(0, 2), (1, 1), (2, 0), (0, 1), (1, 0), (0, 0)]
+    if nprod >= 4:
+        return [(1, 1), (0, 1), (1, 0), (0, 0)]
+    return [(0, 1), (1, 0), (0, 0)]
+
+
+def _nchunks(nprod: int) -> int:
+    return 3 if nprod >= 6 else 2
+
+
+def _completion_kernel(*refs, nprod: int, rot: bool):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
     (Lb, T) out-block. The carry injection uses the same split-bf16
     compensation as the B products (a HIGHEST skinny dot measured ~0.08 ms
     per pass in Mosaic's multi-pass lowering — the splits are cheaper)."""
-    x = x_ref[:]
-    xh = x.astype(jnp.bfloat16)
-    xm = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    Bh = Bh_ref[0]
-    Bm = Bm_ref[0]
-    Nt = N_ref[0]  # (8, Lb) f32
-    nh = Nt.astype(jnp.bfloat16)
-    nm = (Nt - nh.astype(jnp.float32)).astype(jnp.bfloat16)
+    nc = _nchunks(nprod)
+    B_refs = refs[:nc]
+    R_refs = refs[nc:2 * nc]
+    N_ref, x_ref, o_ref = refs[2 * nc:]
+    xs = _split_vmem(x_ref[:], nc)
+    ns = _split_vmem(N_ref[0], nc)  # (8, Lb) carries
+    acc = None
     if rot:
-        # (T,T)x(Lb,T) -> (T,Lb): contract both operands' axis 1.
-        dn = (((1,), (1,)), ((), ()))
-        acc = jax.lax.dot_general(Bh, xh, dn,
-                                  preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(Bh, xm, dn,
+        dn = (((1,), (1,)), ((), ()))  # (T,T)x(Lb,T) -> (T,Lb)
+        dc = (((1,), (0,)), ((), ()))  # (T,8)x(8,Lb) -> (T,Lb)
+        for i, j in _prods(nprod):
+            t = jax.lax.dot_general(B_refs[i][0], xs[j], dn,
+                                    preferred_element_type=jnp.float32)
+            t = t + jax.lax.dot_general(R_refs[i][0], ns[j], dc,
                                         preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(Bm, xh, dn,
-                                        preferred_element_type=jnp.float32)
-        if nprod >= 4:
-            acc = acc + jax.lax.dot_general(
-                Bm, xm, dn, preferred_element_type=jnp.float32)
-        # carry injection: (T,8)x(8,Lb) -> (T,Lb), compensated
-        dc = (((1,), (0,)), ((), ()))
-        acc = acc + jax.lax.dot_general(
-            Rh_ref[0], nh, dc, preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            Rh_ref[0], nm, dc, preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            Rm_ref[0], nh, dc, preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
     else:
-        acc = jnp.dot(xh, Bh.T, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(xm, Bh.T, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(xh, Bm.T, preferred_element_type=jnp.float32)
-        if nprod >= 4:
-            acc = acc + jnp.dot(xm, Bm.T,
-                                preferred_element_type=jnp.float32)
-        # (Lb,8)x(8,T) via contracting Nt's sublanes against R's slots
-        dc = (((0,), (1,)), ((), ()))
-        acc = acc + jax.lax.dot_general(
-            nh, Rh_ref[0], dc, preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            nm, Rh_ref[0], dc, preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            nh, Rm_ref[0], dc, preferred_element_type=jnp.float32)
+        dc = (((0,), (1,)), ((), ()))  # (8,Lb)x(T,8) -> (Lb,T)
+        for i, j in _prods(nprod):
+            t = jnp.dot(xs[j], B_refs[i][0].T,
+                        preferred_element_type=jnp.float32)
+            t = t + jax.lax.dot_general(ns[j], R_refs[i][0], dc,
+                                        preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
     o_ref[:] = acc
 
 
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    carries_transposed: bool = False):
     """Split-bf16 completion over a (q, n, T) array.
 
     ``x``: (q, n, T) f32 (rows, tiles, tile width); ``Btot``: (nv, T, T)
     with nv in {1, n} (per-tile variant stack for clamp/pad); ``Rcat``:
-    (nv, T, S); ``Ncat``: (q, n, S) f32 incoming carries (S = ΣK ≤ 8).
+    (nv, T, S); ``Ncat``: (q, n, S) f32 incoming carries (S = ΣK ≤ 8) — or,
+    with ``carries_transposed``, already in the kernel's slot-padded
+    (n, 8, q) layout (as :func:`tails_pass`/``pad_solve_matrix`` produce).
     Returns (n, T, q) when ``rot`` else (q, n, T).
     """
     q, n, T = x.shape
-    S = Ncat.shape[-1]
+    S = np.asarray(Rcat).shape[-1]
     assert S <= _SLOTS, "carry slots exceed the kernel's sublane quantum"
     nv = np.asarray(Btot).shape[0]
     assert nv in (1, n), "Btot stack must be uniform or per-tile"
-    Bh, Bm = _split_const_pair(Btot)
+    nc = _nchunks(nprod)
+    Bs = _split_const(Btot, nc)
     Rp = np.zeros((max(nv, n), T, _SLOTS), np.float64)
     Rp[:, :, :S] = np.asarray(Rcat, np.float64)[
         np.minimum(np.arange(n), nv - 1)
     ]
-    Rh, Rm = _split_const_pair(Rp)
+    Rs = _split_const(Rp, nc)
 
     per_line = T * 4 * 2
     Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, 2048))
@@ -135,13 +149,19 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         qp = -(-q // Lb) * Lb
     if qp != q:
         x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
-        Ncat = jnp.pad(Ncat, ((0, qp - q), (0, 0), (0, 0)))
 
     xf = x.reshape(qp, n * T)
-    # Carries transposed to (n, 8, qp): slot-padded sublane layout.
-    Nt = jnp.transpose(Ncat.astype(jnp.float32), (1, 2, 0))  # (n, S, qp)
-    if S < _SLOTS:
-        Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
+    if carries_transposed:
+        Nt = Ncat.astype(jnp.float32)  # (n, 8, q)
+        if qp != q:
+            Nt = jnp.pad(Nt, ((0, 0), (0, 0), (0, qp - q)))
+    else:
+        if qp != q:
+            Ncat = jnp.pad(Ncat, ((0, qp - q), (0, 0), (0, 0)))
+        # Carries transposed to (n, 8, qp): slot-padded sublane layout.
+        Nt = jnp.transpose(Ncat.astype(jnp.float32), (1, 2, 0))  # (n, S, qp)
+        if S < _SLOTS:
+            Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
     bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
     kern = partial(_completion_kernel, nprod=nprod, rot=rot)
     out_shape = (
@@ -159,26 +179,103 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         kern,
         out_shape=out_shape,
         grid=(n, qp // Lb),
-        in_specs=[
-            pl.BlockSpec((1, T, T), bidx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, T), bidx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, _SLOTS), lambda t, l: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, _SLOTS), lambda t, l: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec((1, T, T), bidx, memory_space=pltpu.VMEM)] * nc
+            + [pl.BlockSpec((1, T, _SLOTS), lambda t, l: (t, 0, 0),
+                            memory_space=pltpu.VMEM)] * nc
+            + [
+                pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
         out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
-    )(Bh, Bm, Rh, Rm, Nt, xf)
+    )(*Bs, *Rs, Nt, xf)
     if rot:
         y = y.reshape(n, T, qp)
         return y[..., :q] if qp != q else y
     y = y.reshape(qp, n, T)
     return y[:q] if qp != q else y
+
+
+def _tails_kernel(*refs, nprod: int):
+    """One (Lb, T) x-block -> (8, Lb) slot-padded transposed tails block."""
+    nc = _nchunks(nprod)
+    G_refs = refs[:nc]
+    x_ref, o_ref = refs[nc:]
+    xs = _split_vmem(x_ref[:], nc)
+    dn = (((1,), (1,)), ((), ()))  # (8,T)x(Lb,T) -> (8,Lb)
+    acc = None
+    for i, j in _prods(nprod):
+        t = jax.lax.dot_general(G_refs[i][0], xs[j], dn,
+                                preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    o_ref[:] = acc
+
+
+def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
+    """Split-bf16 local-tails extraction over a (q, n, T) array.
+
+    ``Gcat``: (nv, S, T) stacked per-scan tail rows (nv in {1, n}).
+    Returns the transposed slot-padded layout (n, 8, q) that
+    :func:`pad_solve_matrix`'s solve and :func:`completion_pass`'s carry
+    input consume directly — one read of X, no HIGHEST einsum copies.
+    """
+    q, n, T = x.shape
+    nv, S, _ = np.asarray(Gcat).shape
+    assert S <= _SLOTS and nv in (1, n)
+    nc = _nchunks(nprod)
+    Gp = np.zeros((max(nv, n), _SLOTS, T), np.float64)
+    Gp[:, :S] = np.asarray(Gcat, np.float64)[np.minimum(np.arange(n), nv - 1)]
+    Gs = _split_const(Gp, nc)
+
+    per_line = T * 4 * 2
+    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, 2048))
+    if q < Lb:
+        Lb = max(8, min(((q + 7) // 8) * 8, Lb))
+    qp = -(-q // Lb) * Lb
+    if qp != q:
+        x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
+    xf = x.reshape(qp, n * T)
+    y = pl.pallas_call(
+        partial(_tails_kernel, nprod=nprod),
+        out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
+        grid=(n, qp // Lb),
+        in_specs=(
+            [pl.BlockSpec((1, _SLOTS, T), lambda t, l: (t, 0, 0),
+                          memory_space=pltpu.VMEM)] * nc
+            + [pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                            memory_space=pltpu.VMEM)]
+        ),
+        out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(*Gs, xf)
+    y = y.reshape(n, _SLOTS, qp)
+    return y[..., :q] if qp != q else y
+
+
+def pad_solve_matrix(CMfull, n: int, S: int) -> np.ndarray:
+    """Embed the (n·S, n·S) combined-solve matrix into the 8-slot padded
+    layout: (n·8, n·8), zero rows/cols on the pad slots — so the solve can
+    run directly on :func:`tails_pass` output and feed
+    :func:`completion_pass` without any slot repacking."""
+    CM = np.asarray(CMfull)
+    out = np.zeros((n * _SLOTS, n * _SLOTS), CM.dtype)
+    for t in range(n):
+        for u in range(n):
+            out[t * _SLOTS:t * _SLOTS + S, u * _SLOTS:u * _SLOTS + S] = (
+                CM[t * S:(t + 1) * S, u * S:(u + 1) * S]
+            )
+    return out
 
 
 def completion_ok(T: int, q: int, n: int, S: int, interpret: bool) -> bool:

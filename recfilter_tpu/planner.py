@@ -36,12 +36,12 @@ _DEFAULT_MATMUL_PRECISION = ["highest"]
 
 def set_default_matmul_precision(p: str) -> None:
     """Process-wide default for Plan.matmul_precision
-    ("highest" | "high" | "f32x6" | "f32x4" | "f32x3" | "px3" | "px4" |
+    ("highest" | "high" | "f32x6" | "f32x4" | "f32x3" | "px3" | "px4" | "px6" |
     "default"). Composite apps build internal filters with fresh Plans;
     this is how a benchmark or serving config switches them all to the
     fast modes at once."""
     assert p in ("highest", "high", "f32x6", "f32x4", "f32x3",
-                 "px3", "px4", "default")
+                 "px3", "px4", "px6", "default")
     _DEFAULT_MATMUL_PRECISION[0] = p
 
 
@@ -68,7 +68,7 @@ class Plan:
     # (TPU f32 dots default to single-pass bf16 at ~1e-2 rel error; highest
     # restores true f32 at ~2.7x matmul cost; f32x6/f32x4/f32x3 are the
     # compensated split-bf16 einsum modes — see dimfuse._split_einsum;
-    # px3/px4 run the split products inside the Pallas completion kernel
+    # px3/px4/px6 run the split products inside the Pallas completion kernel
     # (kernels/completion.py) with VMEM-resident chunking — accurate mode
     # at near-throughput cost)
     rotate_emit: int = 0

@@ -128,7 +128,8 @@ def main():
     p.add_argument("--tile", "-t", type=int, default=0)
     p.add_argument(
         "--precision", default="default",
-        choices=["default", "high", "highest", "f32x3", "f32x4", "f32x6"],
+        choices=["default", "high", "highest", "f32x3", "f32x4",
+                 "f32x6", "px3", "px4", "px6"],
         help="matmul precision (default = throughput mode, like bench.py)",
     )
     ns = p.parse_args()

@@ -450,7 +450,8 @@ def test_split_input_three_chunks_exact():
     assert np.array_equal(np.asarray(back), np.asarray(x))
 
 
-@pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px4", 8e-5)])
+@pytest.mark.parametrize("mode,bound",
+                         [("px3", 1e-4), ("px4", 8e-5), ("px6", 2e-6)])
 @pytest.mark.parametrize("rot_axes", [1, 2])
 def test_pallas_completion_precision_modes(mode, bound, rot_axes):
     """The px3/px4 modes (VMEM-split completion kernel) hold their error
