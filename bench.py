@@ -121,13 +121,17 @@ def main():
 
     h = w = 4096
     F = _build_filter(h, w, tile=128)
-    # Throughput mode: fast matmuls. The shipping DEFAULT is
-    # Precision.HIGHEST (true-f32, 2e-7 vs the oracle, ~2.7x slower);
-    # BASELINE.md's correctness target is enforced by the test suite, and
-    # this benchmark measures the production-serving configuration — see
-    # README's precision/perf matrix for all modes.
-    F.set_plan(matmul_precision="default")
+    # The headline measures the SHIPPING DEFAULT configuration: px6 —
+    # true-f32 accuracy (1.4e-6 max rel err vs the f64 oracle at 4K,
+    # matching the reference's float32 SNR bar) through the VMEM-split
+    # completion/tails kernels. Round 1 benchmarked the loose throughput
+    # mode (matmul_precision="default", ~5e-2 err — would fail the
+    # reference's own CheckResult); that mode remains available and is
+    # reported on stderr for context. See README's precision matrix.
     fn = F.as_func()
+    F_fast = _build_filter(h, w, tile=128)
+    F_fast.set_plan(matmul_precision="default")
+    fn_fast = F_fast.as_func()
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((h, w)) * 0.01,
         dtype=jnp.float32,
@@ -172,6 +176,7 @@ def main():
     pixels = h * w
     mpix_s = timing.mpix_per_sec(ms, pixels)
     mip_s = timing.throughput(ms, pixels)
+    ms_fast = slope_ms_per_iter(fn_fast, img, per_body=4)
 
     # Roofline: 2 dimension passes × (read + write) × 4 B = 16 B/pixel.
     roofline_mpix_s = hbm_gb_s * 1e9 / 16.0 / 1e6
@@ -179,9 +184,10 @@ def main():
 
     print(
         f"[bench] platform={jax.default_backend()} {h}x{w} gaussian3 "
-        f"{ms:.3f} ms/iter  {mpix_s:.1f} Mpix/s ({mip_s:.1f} MiP/s)  "
-        f"measured-BW {hbm_gb_s:.0f} GB/s  roofline {roofline_mpix_s:.0f} "
-        f"Mpix/s",
+        f"default(px6, true-f32) {ms:.3f} ms/iter  {mpix_s:.1f} Mpix/s "
+        f"({mip_s:.1f} MiP/s)  [throughput mode: {ms_fast:.3f} ms = "
+        f"{pixels / ms_fast / 1e3:.0f} Mpix/s]  measured-BW "
+        f"{hbm_gb_s:.0f} GB/s  roofline {roofline_mpix_s:.0f} Mpix/s",
         file=sys.stderr,
     )
     print(
@@ -191,6 +197,12 @@ def main():
                 "value": round(mpix_s, 1),
                 "unit": "Mpix/s",
                 "vs_baseline": round(vs, 4),
+                # Round 2 changed what the headline measures: the SHIPPING
+                # DEFAULT (px6, true-f32 — 1.4e-6 max rel err, the
+                # reference's correctness bar), not round 1's loose
+                # throughput mode (~5e-2 err, reported here for context).
+                "precision_mode": "px6 (true-f32 default)",
+                "throughput_mode_mpix_s": round(pixels / ms_fast / 1e3, 1),
             }
         )
     )

@@ -31,7 +31,14 @@ from typing import List, Optional, Tuple
 from .spec import FilterSpec
 
 
-_DEFAULT_MATMUL_PRECISION = ["highest"]
+# Shipping default: px6 — true-f32 accuracy (1.4e-6 max rel err at 4K,
+# marginally better than Precision.HIGHEST's 1.6e-6) via the VMEM-split
+# completion/tails kernels at 1.6x HIGHEST's speed (0.94 vs 1.47 ms,
+# gaussian3 4K measured). Where the kernels' static gates don't apply
+# (non-128 tiles, CPU, audio-scale tile counts) px6 degrades to HIGHEST
+# einsums — same accuracy, the round-1 default. Opt-outs: "px3" (~5e-5,
+# 0.62 ms), "default" (1-pass bf16 dots, ~5e-2, 0.40 ms), bf16 storage.
+_DEFAULT_MATMUL_PRECISION = ["px6"]
 
 
 def set_default_matmul_precision(p: str) -> None:
