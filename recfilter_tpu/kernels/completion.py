@@ -84,35 +84,39 @@ def _nchunks(nprod: int) -> int:
     return 3 if nprod >= 6 else 2
 
 
-def _completion_kernel(*refs, nprod: int, rot: bool):
+def _completion_kernel(B_ref, R_ref, N_ref, x_ref, o_ref, *, nprod: int,
+                       rot: bool):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
-    (Lb, T) out-block. The carry injection uses the same split-bf16
-    compensation as the B products (a HIGHEST skinny dot measured ~0.08 ms
-    per pass in Mosaic's multi-pass lowering — the splits are cheaper)."""
+    (Lb, T) out-block.
+
+    Stacked-contraction formulation: the ``nprod`` compensated chunk
+    products run as ONE MXU dot over a ``nprod*T`` contraction axis —
+    B chunks pre-concatenated at trace time (``B_ref``: (T, nprod*T)),
+    x chunks concatenated in VMEM — measured ~10% faster than ``nprod``
+    separate dots (better MXU pipelining, one accumulator pass;
+    ``scripts/px6_stack_exp.py``). The carry injection is a second stacked
+    dot over ``nprod*8`` (a HIGHEST skinny dot costs ~0.08 ms/pass in
+    Mosaic's multi-pass lowering — the splits are cheaper)."""
     nc = _nchunks(nprod)
-    B_refs = refs[:nc]
-    R_refs = refs[nc:2 * nc]
-    N_ref, x_ref, o_ref = refs[2 * nc:]
+    pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
     ns = _split_vmem(N_ref[0], nc)  # (8, Lb) carries
-    acc = None
+    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=1)  # (Lb, np*T)
+    ncat = jnp.concatenate([ns[j] for _, j in pairs], axis=0)  # (np*8, Lb)
     if rot:
-        dn = (((1,), (1,)), ((), ()))  # (T,T)x(Lb,T) -> (T,Lb)
-        dc = (((1,), (0,)), ((), ()))  # (T,8)x(8,Lb) -> (T,Lb)
-        for i, j in _prods(nprod):
-            t = jax.lax.dot_general(B_refs[i][0], xs[j], dn,
-                                    preferred_element_type=jnp.float32)
-            t = t + jax.lax.dot_general(R_refs[i][0], ns[j], dc,
+        dn = (((1,), (1,)), ((), ()))  # (T,np*T)x(Lb,np*T) -> (T,Lb)
+        dc = (((1,), (0,)), ((), ()))  # (T,np*8)x(np*8,Lb) -> (T,Lb)
+        acc = jax.lax.dot_general(B_ref[0], xcat, dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(R_ref[0], ncat, dc,
                                         preferred_element_type=jnp.float32)
-            acc = t if acc is None else acc + t
     else:
-        dc = (((0,), (1,)), ((), ()))  # (8,Lb)x(T,8) -> (Lb,T)
-        for i, j in _prods(nprod):
-            t = jnp.dot(xs[j], B_refs[i][0].T,
-                        preferred_element_type=jnp.float32)
-            t = t + jax.lax.dot_general(ns[j], R_refs[i][0], dc,
+        dn = (((1,), (1,)), ((), ()))  # (Lb,np*T)x(T,np*T) -> (Lb,T)
+        dc = (((0,), (1,)), ((), ()))  # (np*8,Lb)x(T,np*8) -> (Lb,T)
+        acc = jax.lax.dot_general(xcat, B_ref[0], dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(ncat, R_ref[0], dc,
                                         preferred_element_type=jnp.float32)
-            acc = t if acc is None else acc + t
     o_ref[:] = acc
 
 
@@ -134,15 +138,23 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     nv = np.asarray(Btot).shape[0]
     assert nv in (1, n), "Btot stack must be uniform or per-tile"
     nc = _nchunks(nprod)
+    pairs = _prods(nprod)
     Bs = _split_const(Btot, nc)
+    # Stacked contraction: B chunks tiled along one nprod*T axis (and R
+    # chunks along nprod*8), matching the kernel's in-VMEM x/carry concat.
+    Bcat_k = jnp.concatenate([Bs[i] for i, _ in pairs], axis=-1)
     Rp = np.zeros((max(nv, n), T, _SLOTS), np.float64)
     Rp[:, :, :S] = np.asarray(Rcat, np.float64)[
         np.minimum(np.arange(n), nv - 1)
     ]
     Rs = _split_const(Rp, nc)
+    Rcat_k = jnp.concatenate([Rs[i] for i, _ in pairs], axis=-1)
 
+    # Lb=1024 measured fastest for the 6-product stacked dot (529 GB/s vs
+    # 486 at 2048 — scripts/px6_stack_exp.py); smaller stacks keep 2048.
     per_line = T * 4 * 2
-    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, 2048))
+    lb_cap = 1024 if nprod >= 6 else 2048
+    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
     qp = -(-q // Lb) * Lb if q > Lb else Lb
     if q < Lb:
         Lb = max(8, min(((q + 7) // 8) * 8, Lb))
@@ -180,10 +192,11 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         out_shape=out_shape,
         grid=(n, qp // Lb),
         in_specs=(
-            [pl.BlockSpec((1, T, T), bidx, memory_space=pltpu.VMEM)] * nc
-            + [pl.BlockSpec((1, T, _SLOTS), lambda t, l: (t, 0, 0),
-                            memory_space=pltpu.VMEM)] * nc
-            + [
+            [
+                pl.BlockSpec((1, T, nprod * T), bidx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lb, T), lambda t, l: (l, t),
@@ -195,7 +208,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
-    )(*Bs, *Rs, Nt, xf)
+    )(Bcat_k, Rcat_k, Nt, xf)
     if rot:
         y = y.reshape(n, T, qp)
         return y[..., :q] if qp != q else y
@@ -203,19 +216,16 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     return y[:q] if qp != q else y
 
 
-def _tails_kernel(*refs, nprod: int):
-    """One (Lb, T) x-block -> (8, Lb) slot-padded transposed tails block."""
+def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int):
+    """One (Lb, T) x-block -> (8, Lb) slot-padded transposed tails block.
+    Same stacked-contraction form as :func:`_completion_kernel`."""
     nc = _nchunks(nprod)
-    G_refs = refs[:nc]
-    x_ref, o_ref = refs[nc:]
+    pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
-    dn = (((1,), (1,)), ((), ()))  # (8,T)x(Lb,T) -> (8,Lb)
-    acc = None
-    for i, j in _prods(nprod):
-        t = jax.lax.dot_general(G_refs[i][0], xs[j], dn,
-                                preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    o_ref[:] = acc
+    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=1)
+    dn = (((1,), (1,)), ((), ()))  # (8,np*T)x(Lb,np*T) -> (8,Lb)
+    o_ref[:] = jax.lax.dot_general(G_ref[0], xcat, dn,
+                                   preferred_element_type=jnp.float32)
 
 
 def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
@@ -230,12 +240,15 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
     nv, S, _ = np.asarray(Gcat).shape
     assert S <= _SLOTS and nv in (1, n)
     nc = _nchunks(nprod)
+    pairs = _prods(nprod)
     Gp = np.zeros((max(nv, n), _SLOTS, T), np.float64)
     Gp[:, :S] = np.asarray(Gcat, np.float64)[np.minimum(np.arange(n), nv - 1)]
     Gs = _split_const(Gp, nc)
+    Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)
 
     per_line = T * 4 * 2
-    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, 2048))
+    lb_cap = 1024 if nprod >= 6 else 2048
+    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
     if q < Lb:
         Lb = max(8, min(((q + 7) // 8) * 8, Lb))
     qp = -(-q // Lb) * Lb
@@ -247,10 +260,10 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
         grid=(n, qp // Lb),
         in_specs=(
-            [pl.BlockSpec((1, _SLOTS, T), lambda t, l: (t, 0, 0),
-                          memory_space=pltpu.VMEM)] * nc
-            + [pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                            memory_space=pltpu.VMEM)]
+            [pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (t, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                          memory_space=pltpu.VMEM)]
         ),
         out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
                                memory_space=pltpu.VMEM),
@@ -258,7 +271,7 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
-    )(*Gs, xf)
+    )(Gcat_k, xf)
     y = y.reshape(n, _SLOTS, qp)
     return y[..., :q] if qp != q else y
 
