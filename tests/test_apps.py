@@ -189,6 +189,83 @@ def test_dog_matches_triple_box_oracle_interior():
     )
 
 
+def test_dog_fir_matches_triple_box_oracle_full_image():
+    """FULL-image check, borders included, for the FIR variant.
+
+    With the input margin zeroed wider than the pipeline's total reach
+    (3·(B2+1) for three box stages), the banded tile-FIR path's clipped
+    windows equal zero-fill convolution at EVERY pixel — including the
+    tile-edge and array-edge paths, which the interior test above cannot
+    see."""
+    from recfilter_tpu.apps.box import box_oracle
+
+    w, B1, B2 = 160, 5, 9
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=22)
+    pad = 3 * (B2 + 1) + 2
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    fn = difference_of_gaussians(w, w, B1, B2, tile_width=32,
+                                 variant="fir")
+    got = np.asarray(fn(img))
+    want = box_oracle(img, B1, 3) - box_oracle(img, B2, 3)
+    scale = np.max(np.abs(want)) + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=1e-2)
+
+
+def test_dog_sat_matches_untiled_oracle_full_image():
+    """FULL-image check, borders included, for the SAT variant.
+
+    Near the far edge the clamped reads of the GROWING 2nd-order integral
+    are not zero-fill convolution — they are the reference formulation's
+    own clamp semantics (``diff_gauss.cpp:29-38`` x_clamp). So the border
+    oracle is the same six-stage math run UNTILED in f64 (oracle scans +
+    numpy clamped shifts); the test pins the tiled/rotated machinery to
+    the definitional semantics at every pixel."""
+    w, B1, B2 = 96, 3, 5
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=23)
+    pad = 2 * (B2 + 1) + 1
+    img[:pad] = img[-pad:] = 0
+    img[:, :pad] = 0
+    img[:, -pad:] = 0
+    fn = difference_of_gaussians(w, w, B1, B2, tile_width=16,
+                                 variant="sat")
+    got = np.asarray(fn(img))
+
+    def shift_clamped(f, off, ax):
+        idx = np.clip(np.arange(f.shape[ax]) + off, 0, f.shape[ax] - 1)
+        return np.take(f, idx, axis=ax)
+
+    def diff_xy(f, B):
+        g = shift_clamped(f, B, 0) - shift_clamped(f, -B - 1, 0)
+        return (shift_clamped(g, B, 1) - shift_clamped(g, -B - 1, 1)) / (
+            (2 * B + 1) ** 2
+        )
+
+    def ddiff(f, B, ax):
+        n = float(2 * B + 1)
+        return (
+            shift_clamped(f, 2 * B, ax)
+            - 2.0 * shift_clamped(f, -1, ax)
+            + shift_clamped(f, -2 * B - 2, ax)
+        ) / (n * n)
+
+    v = img.astype(np.float64)
+    s = v.cumsum(1).cumsum(0)
+    g = []
+    for B in (B1, B2):
+        b = diff_xy(s, B)
+        # coeff [1,2,-1] is the 2nd-order integrator == double cumsum
+        s2x = b.cumsum(1).cumsum(1)
+        b2 = ddiff(s2x, B, 1)
+        s2y = b2.cumsum(0).cumsum(0)
+        b3 = ddiff(s2y, B, 0)
+        g.append(b3)
+    want = g[0] - g[1]
+    scale = np.max(np.abs(want)) + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=1e-2)
+
+
 def test_dog_runs_and_is_finite():
     w = 64
     fn = difference_of_gaussians(w, w, B1=2, B2=4, tile_width=8)
