@@ -676,7 +676,8 @@ def fused_dim_pass(
 
 def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                       matmul_precision: str = "highest",
-                      epilogue=None, eaux=()):
+                      epilogue=None, eaux=(),
+                      tails_in=None, next_tails=None):
     """One dimension pass along the LAST axis, optionally emitting the result
     with the trailing ``rot_axes`` axes rotated one step: the scanned axis
     moves to position ``-rot_axes`` and the other trailing axes shift right.
@@ -689,6 +690,15 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     :func:`apply_filter_fused` for images (D=2) and volumes (D=3).
 
     ``rot_axes=1`` emits in place (no rotation).
+
+    Cross-pass tails chaining (px kernel path only): ``tails_in`` is this
+    pass's slot-padded transposed tails (n, 8, PR) as produced by the
+    PREVIOUS pass's fused completion kernel — when given, the tails read
+    of x is skipped entirely (2 HBM touches for this pass). ``next_tails``
+    = (Gcat2, n2, T2) asks this pass's completion kernel to extract the
+    NEXT pass's tails from the blocks it emits. When ``next_tails`` is not
+    None the function returns ``(y, tails_out)`` with ``tails_out`` None
+    whenever any static gate kept the fusion off.
     """
     T, n, pad = plan
     m = len(scans)
@@ -752,9 +762,12 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         if _completion.completion_ok(T, PR, n, S, interp):
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
             xq = X.reshape(PR, n, T)
-            braw_t = _completion.tails_pass(
-                xq, Gcat, nprod=nprod_k, interpret=interp
-            )  # (n, 8, PR) slot-padded transposed tails
+            if tails_in is not None:
+                braw_t = tails_in  # extracted by the previous pass's kernel
+            else:
+                braw_t = _completion.tails_pass(
+                    xq, Gcat, nprod=nprod_k, interpret=interp
+                )  # (n, 8, PR) slot-padded transposed tails
             CMp = jnp.asarray(
                 _completion.pad_solve_matrix(
                     combined_solve_matrix(mats, n), n, S
@@ -769,7 +782,15 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             Yk = _completion.completion_pass(
                 xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
                 nprod=nprod_k, interpret=interp, carries_transposed=True,
+                next_tails=next_tails,
             )
+            tails_out = None
+            if next_tails is not None:
+                Yk, tails_out = Yk
+                if tails_out is not None and pad:
+                    # the padded scan-axis columns are sliced off y below;
+                    # the next pass's line count PR' excludes them too
+                    tails_out = tails_out[..., : n * T - pad]
             if rot:
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
@@ -791,7 +812,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 y = Y.reshape(lead + tuple(rows) + (n * T,))
                 if pad:
                     y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
-            return y
+            return (y, tails_out) if next_tails is not None else y
 
     if Gcat.shape[1] < 8:
         padg = np.zeros((Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2]))
@@ -829,6 +850,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
     rot = rot_axes >= 2
     Y = None
+    tails_out = None
     nprod_k = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
     if nprod_k and cdt == jnp.float32 and mmd is None and (P == 1 or not rot):
         from .kernels import completion as _completion
@@ -838,8 +860,12 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             Yk = _completion.completion_pass(
                 X.reshape(PR, n, T), np.asarray(mats.Btot), Rcat,
                 Ncat.reshape(PR, n, S), rot=rot, nprod=nprod_k,
-                interpret=interp,
+                interpret=interp, next_tails=next_tails,
             )
+            if next_tails is not None:
+                Yk, tails_out = Yk
+                if tails_out is not None and pad:
+                    tails_out = tails_out[..., : n * T - pad]
             if rot:
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
@@ -868,7 +894,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         y = Y.reshape(lead + tuple(rows) + (n * T,))
         if pad:
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
-    return y
+    return (y, tails_out) if next_tails is not None else y
 
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                        matmul_dtype=None, matmul_precision: str = "highest",
@@ -925,15 +951,41 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             # After D rotated passes the axis order is restored, so the last
             # pass's natural output layout equals the input's — eaux arrays
             # in the filter's own layout fuse straight into its emit.
+            #
+            # px tails chaining (images, D=2): each non-final pass's fused
+            # completion kernel extracts the NEXT pass's local tails from
+            # the blocks it emits, so every pass after the first touches
+            # HBM only twice (read x, write y) — the reference's
+            # shared-memory-residency analog in the shipping backend.
+            px = matmul_precision in ("px3", "px4", "px6")
+            fuse_tails = (px and Ds == 2 and cdt == jnp.float32
+                          and matmul_dtype is None)
+            tails_next = None
             for i, ax in enumerate(order):
-                sc = [spec.scans[i] for i in groups[ax]]
+                sc = [spec.scans[j] for j in groups[ax]]
                 final = i == len(order) - 1
-                x = _last_axis_pass_t(
+                nt = None
+                if fuse_tails and not final:
+                    ax2 = order[i + 1]
+                    sc2 = [spec.scans[j] for j in groups[ax2]]
+                    T2, n2, pad2 = plans[ax2]
+                    S2 = sum(s.order for s in sc2)
+                    if pad2 == 0 and T2 == 128 and S2 <= 8 and n2 <= 512:
+                        mats2 = prepare_dim_pass(
+                            sc2, T2, n2, clamp, pad_slots=0, build_cm=False
+                        )
+                        Gcat2 = np.concatenate(
+                            [np.asarray(g) for g in mats2.G], axis=1
+                        )
+                        nt = (Gcat2, n2, T2)
+                r = _last_axis_pass_t(
                     x, sc, plans[ax], clamp, cdt, matmul_dtype,
                     rot_axes=Ds, matmul_precision=matmul_precision,
                     epilogue=epilogue if final else None,
                     eaux=eaux if final else (),
+                    tails_in=tails_next, next_tails=nt,
                 )
+                x, tails_next = r if nt is not None else (r, None)
             return x.astype(dtype)
 
     axes = list(groups)

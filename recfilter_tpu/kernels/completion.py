@@ -84,8 +84,8 @@ def _nchunks(nprod: int) -> int:
     return 3 if nprod >= 6 else 2
 
 
-def _completion_kernel(B_ref, R_ref, N_ref, x_ref, o_ref, *, nprod: int,
-                       rot: bool):
+def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
+                       t2: int = 0):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
     (Lb, T) out-block.
 
@@ -96,7 +96,19 @@ def _completion_kernel(B_ref, R_ref, N_ref, x_ref, o_ref, *, nprod: int,
     separate dots (better MXU pipelining, one accumulator pass;
     ``scripts/px6_stack_exp.py``). The carry injection is a second stacked
     dot over ``nprod*8`` (a HIGHEST skinny dot costs ~0.08 ms/pass in
-    Mosaic's multi-pass lowering — the splits are cheaper)."""
+    Mosaic's multi-pass lowering — the splits are cheaper).
+
+    With ``kt`` > 0 (rot only) the kernel ALSO extracts the next
+    dimension's local tails from the block it is about to emit: the rot
+    block's lanes are the next scanned axis, split into ``kt`` sub-tiles
+    of width ``t2``, each contracted against its tile's split G rows —
+    the next pass then starts at its solve with one whole HBM read of the
+    image saved (the fused analog of the reference's shared-memory
+    residency, ``lib/schedule.cpp:219-293``)."""
+    if kt:
+        B_ref, R_ref, N_ref, x_ref, G2_ref, o_ref, o2_ref = refs
+    else:
+        B_ref, R_ref, N_ref, x_ref, o_ref = refs
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
@@ -118,11 +130,23 @@ def _completion_kernel(B_ref, R_ref, N_ref, x_ref, o_ref, *, nprod: int,
         acc = acc + jax.lax.dot_general(ncat, R_ref[0], dc,
                                         preferred_element_type=jnp.float32)
     o_ref[:] = acc
+    if kt:
+        accs = _split_vmem(acc, nc)
+        dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
+        for c in range(kt):
+            xc = jnp.concatenate(
+                [accs[j][:, c * t2:(c + 1) * t2] for _, j in pairs], axis=1
+            )
+            g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
+            o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
+                g, xc, dg, preferred_element_type=jnp.float32
+            )
 
 
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                     interpret: bool = False,
-                    carries_transposed: bool = False):
+                    carries_transposed: bool = False,
+                    next_tails=None):
     """Split-bf16 completion over a (q, n, T) array.
 
     ``x``: (q, n, T) f32 (rows, tiles, tile width); ``Btot``: (nv, T, T)
@@ -131,6 +155,14 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     with ``carries_transposed``, already in the kernel's slot-padded
     (n, 8, q) layout (as :func:`tails_pass`/``pad_solve_matrix`` produce).
     Returns (n, T, q) when ``rot`` else (q, n, T).
+
+    ``next_tails=(Gcat2, n2, T2)`` (rot only): also extract the NEXT
+    dimension pass's local tails from the emitted blocks — ``Gcat2``:
+    (nv2, S2, T2) per-scan tail rows of the next pass, whose scan axis is
+    this pass's lane axis (q == n2·T2). Returns ``(y, braw2)`` where
+    ``braw2`` is the (n2, 8, n·T) slot-padded transposed tails the next
+    pass's solve consumes — or ``(y, None)`` when the static geometry
+    gates fail (caller falls back to :func:`tails_pass`).
     """
     q, n, T = x.shape
     S = np.asarray(Rcat).shape[-1]
@@ -175,7 +207,16 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         if S < _SLOTS:
             Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
     bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
-    kern = partial(_completion_kernel, nprod=nprod, rot=rot)
+    # Next-dim tails fusion: static geometry gates — rot emit, no lane
+    # padding, the lane axis is exactly the next pass's tiled scan axis,
+    # and lane blocks hold whole next-dim tiles.
+    kt = 0
+    if next_tails is not None:
+        Gcat2, n2, T2 = next_tails
+        if rot and qp == q and q == n2 * T2 and Lb % T2 == 0:
+            kt = Lb // T2
+    kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
+                   t2=(T2 if kt else 0))
     out_shape = (
         jax.ShapeDtypeStruct((n * T, qp), jnp.float32)
         if rot
@@ -187,33 +228,65 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         else pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                           memory_space=pltpu.VMEM)
     )
+    in_specs = [
+        pl.BlockSpec((1, T, nprod * T), bidx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [Bcat_k, Rcat_k, Nt, xf]
+    if kt:
+        nv2, S2, _ = np.asarray(Gcat2).shape
+        Gp2 = np.zeros((n2, _SLOTS, T2), np.float64)
+        Gp2[:, :S2] = np.asarray(Gcat2, np.float64)[
+            np.minimum(np.arange(n2), nv2 - 1)
+        ]
+        Gs2 = _split_const(Gp2, nc)
+        G2k = jnp.concatenate(
+            [Gs2[i] for i, _ in pairs], axis=-1
+        ).reshape(n2 * _SLOTS, nprod * T2)
+        in_specs.append(
+            pl.BlockSpec((kt * _SLOTS, nprod * T2), lambda t, l: (l, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(G2k)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n2 * _SLOTS, n * T), jnp.float32),
+        )
+        out_spec = (
+            out_spec,
+            pl.BlockSpec((kt * _SLOTS, T), lambda t, l: (l, t),
+                         memory_space=pltpu.VMEM),
+        )
     y = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=(n, qp // Lb),
-        in_specs=(
-            [
-                pl.BlockSpec((1, T, nprod * T), bidx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                             memory_space=pltpu.VMEM),
-            ]
-        ),
+        in_specs=in_specs,
         out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
-    )(Bcat_k, Rcat_k, Nt, xf)
+    )(*operands)
+    braw2 = None
+    if kt:
+        y, y2 = y
+        braw2 = y2.reshape(n2, _SLOTS, n * T)
     if rot:
         y = y.reshape(n, T, qp)
-        return y[..., :q] if qp != q else y
-    y = y.reshape(qp, n, T)
-    return y[:q] if qp != q else y
+        y = y[..., :q] if qp != q else y
+    else:
+        y = y.reshape(qp, n, T)
+        y = y[:q] if qp != q else y
+    if next_tails is not None:
+        return y, braw2
+    return y
 
 
 def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int):

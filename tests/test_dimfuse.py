@@ -481,6 +481,52 @@ def test_pallas_completion_precision_modes(mode, bound, rot_axes):
     assert np.abs(got - want).max() <= bound * scale
 
 
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+@pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
+def test_px_tails_chaining_two_dims(mode, bound, border):
+    """The 2-D px chain: the first pass's completion kernel extracts the
+    second pass's tails from the blocks it emits (``next_tails``), and the
+    second pass consumes them via ``tails_in`` — 2 HBM touches for pass 2.
+    Must match the per-pass oracle to the mode's bound (interpret mode)."""
+    import jax.numpy as jnp
+
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.2)),
+        Scan(0, False, 1.05, (0.4, 0.15)),
+    ]
+    spec = FilterSpec(
+        "PXCHAIN", (Dim("y", 256), Dim("x", 384)), tuple(scans),
+        tile_widths=(128, 128), border=border,
+    )
+    x = _img(256, 384, seed=13)
+    from recfilter_tpu.kernels import completion as _completion
+
+    calls = []
+    orig = _completion.tails_pass
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    _completion.tails_pass = counting
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x), matmul_precision=mode
+            )
+        )
+    finally:
+        _completion.tails_pass = orig
+    # pass 2's tails came from pass 1's fused kernel, not a tails_pass read
+    assert len(calls) == 1
+    want = x.astype(np.float64)
+    from recfilter_tpu import scan_core
+
+    want = scan_core.oracle_apply(spec, want)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= bound * scale
+
+
 @pytest.mark.parametrize("mode", ["px3", "px4"])
 def test_pallas_completion_clamp_pad_variants(mode):
     """px modes with per-tile matrix variants: clamp border (exact tiling)
