@@ -787,10 +787,15 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             tails_out = None
             if next_tails is not None:
                 Yk, tails_out = Yk
-                if tails_out is not None and pad:
-                    # the padded scan-axis columns are sliced off y below;
-                    # the next pass's line count PR' excludes them too
-                    tails_out = tails_out[..., : n * T - pad]
+                if tails_out is not None:
+                    # (n2, 8, nT, r_a): drop the padded scan-axis columns
+                    # (sliced off y below too), then flatten to the next
+                    # pass's (n2, 8, PR') line order
+                    if pad:
+                        tails_out = tails_out[:, :, : n * T - pad]
+                    tails_out = tails_out.reshape(
+                        tails_out.shape[0], 8, -1
+                    )
             if rot:
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
@@ -864,8 +869,12 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             )
             if next_tails is not None:
                 Yk, tails_out = Yk
-                if tails_out is not None and pad:
-                    tails_out = tails_out[..., : n * T - pad]
+                if tails_out is not None:
+                    if pad:
+                        tails_out = tails_out[:, :, : n * T - pad]
+                    tails_out = tails_out.reshape(
+                        tails_out.shape[0], 8, -1
+                    )
             if rot:
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
@@ -958,7 +967,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             # HBM only twice (read x, write y) — the reference's
             # shared-memory-residency analog in the shipping backend.
             px = matmul_precision in ("px3", "px4", "px6")
-            fuse_tails = (px and Ds == 2 and cdt == jnp.float32
+            fuse_tails = (px and cdt == jnp.float32
                           and matmul_dtype is None)
             tails_next = None
             for i, ax in enumerate(order):

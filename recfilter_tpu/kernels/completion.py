@@ -85,7 +85,7 @@ def _nchunks(nprod: int) -> int:
 
 
 def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
-                       t2: int = 0):
+                       t2: int = 0, ka: int = 0):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
     (Lb, T) out-block.
 
@@ -99,12 +99,18 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
     Mosaic's multi-pass lowering — the splits are cheaper).
 
     With ``kt`` > 0 (rot only) the kernel ALSO extracts the next
-    dimension's local tails from the block it is about to emit: the rot
-    block's lanes are the next scanned axis, split into ``kt`` sub-tiles
-    of width ``t2``, each contracted against its tile's split G rows —
-    the next pass then starts at its solve with one whole HBM read of the
+    dimension's local tails from the block it is about to emit — the
+    next pass then starts at its solve with one whole HBM read of the
     image saved (the fused analog of the reference's shared-memory
-    residency, ``lib/schedule.cpp:219-293``)."""
+    residency, ``lib/schedule.cpp:219-293``). Two lane regimes:
+
+    * images (``ka == 0``): the block's lanes are a contiguous slice of
+      the next scanned axis — ``kt`` sub-tiles of width ``t2``, each
+      contracted against its own tile's split G rows (G block indexed
+      by the lane-grid coordinate);
+    * volumes (``ka`` > 0): the lanes span ``ka`` whole next-axis
+      extents (other row axes vary) — ``ka × kt`` sub-tiles, the G
+      block (all ``kt`` tiles) constant across the grid."""
     if kt:
         B_ref, R_ref, N_ref, x_ref, G2_ref, o_ref, o2_ref = refs
     else:
@@ -133,14 +139,30 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
     if kt:
         accs = _split_vmem(acc, nc)
         dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
-        for c in range(kt):
-            xc = jnp.concatenate(
-                [accs[j][:, c * t2:(c + 1) * t2] for _, j in pairs], axis=1
-            )
-            g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
-            o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
-                g, xc, dg, preferred_element_type=jnp.float32
-            )
+        if ka:
+            # volumes: ka whole next-axis extents of kt tiles each
+            for a in range(ka):
+                for c in range(kt):
+                    off = a * kt * t2 + c * t2
+                    xc = jnp.concatenate(
+                        [accs[j][:, off:off + t2] for _, j in pairs], axis=1
+                    )
+                    g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
+                    o2_ref[c * _SLOTS:(c + 1) * _SLOTS, a, :] = (
+                        jax.lax.dot_general(
+                            g, xc, dg, preferred_element_type=jnp.float32
+                        )
+                    )
+        else:
+            for c in range(kt):
+                xc = jnp.concatenate(
+                    [accs[j][:, c * t2:(c + 1) * t2] for _, j in pairs],
+                    axis=1,
+                )
+                g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
+                o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
+                    g, xc, dg, preferred_element_type=jnp.float32
+                )
 
 
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
@@ -159,10 +181,13 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     ``next_tails=(Gcat2, n2, T2)`` (rot only): also extract the NEXT
     dimension pass's local tails from the emitted blocks — ``Gcat2``:
     (nv2, S2, T2) per-scan tail rows of the next pass, whose scan axis is
-    this pass's lane axis (q == n2·T2). Returns ``(y, braw2)`` where
-    ``braw2`` is the (n2, 8, n·T) slot-padded transposed tails the next
-    pass's solve consumes — or ``(y, None)`` when the static geometry
-    gates fail (caller falls back to :func:`tails_pass`).
+    this pass's innermost lane axis (q == n2·T2 for images; q a multiple
+    of n2·T2 for volumes, where the other rotated row axes ride the
+    lanes too). Returns ``(y, braw2)`` where ``braw2`` is the
+    (n2, 8, n·T, q/(n2·T2)) slot-padded transposed tails whose trailing
+    two axes flatten into the next pass's line order — or ``(y, None)``
+    when the static geometry gates fail (caller falls back to
+    :func:`tails_pass`).
     """
     q, n, T = x.shape
     S = np.asarray(Rcat).shape[-1]
@@ -208,15 +233,19 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
     bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
     # Next-dim tails fusion: static geometry gates — rot emit, no lane
-    # padding, the lane axis is exactly the next pass's tiled scan axis,
-    # and lane blocks hold whole next-dim tiles.
-    kt = 0
+    # padding, and either the lane axis IS the next pass's tiled scan axis
+    # (images) or lane blocks hold whole next-axis extents (volumes).
+    kt = ka = 0
     if next_tails is not None:
         Gcat2, n2, T2 = next_tails
-        if rot and qp == q and q == n2 * T2 and Lb % T2 == 0:
-            kt = Lb // T2
+        q2 = n2 * T2
+        if rot and qp == q and Lb % T2 == 0:
+            if q == q2:
+                kt = Lb // T2
+            elif q % q2 == 0 and Lb % q2 == 0:
+                kt, ka = n2, Lb // q2
     kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
-                   t2=(T2 if kt else 0))
+                   t2=(T2 if kt else 0), ka=ka)
     out_shape = (
         jax.ShapeDtypeStruct((n * T, qp), jnp.float32)
         if rot
@@ -249,20 +278,37 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         G2k = jnp.concatenate(
             [Gs2[i] for i, _ in pairs], axis=-1
         ).reshape(n2 * _SLOTS, nprod * T2)
-        in_specs.append(
-            pl.BlockSpec((kt * _SLOTS, nprod * T2), lambda t, l: (l, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        if ka:
+            in_specs.append(
+                pl.BlockSpec((n2 * _SLOTS, nprod * T2),
+                             lambda t, l: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            ra = q // (n2 * T2)
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct((n2 * _SLOTS, ra, n * T), jnp.float32),
+            )
+            out_spec = (
+                out_spec,
+                pl.BlockSpec((n2 * _SLOTS, ka, T), lambda t, l: (0, l, t),
+                             memory_space=pltpu.VMEM),
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((kt * _SLOTS, nprod * T2), lambda t, l: (l, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct((n2 * _SLOTS, n * T), jnp.float32),
+            )
+            out_spec = (
+                out_spec,
+                pl.BlockSpec((kt * _SLOTS, T), lambda t, l: (l, t),
+                             memory_space=pltpu.VMEM),
+            )
         operands.append(G2k)
-        out_shape = (
-            out_shape,
-            jax.ShapeDtypeStruct((n2 * _SLOTS, n * T), jnp.float32),
-        )
-        out_spec = (
-            out_spec,
-            pl.BlockSpec((kt * _SLOTS, T), lambda t, l: (l, t),
-                         memory_space=pltpu.VMEM),
-        )
     y = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -277,7 +323,14 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     braw2 = None
     if kt:
         y, y2 = y
-        braw2 = y2.reshape(n2, _SLOTS, n * T)
+        # Uniform (n2, 8, nT, r_a) layout: flattening the last two axes
+        # yields the NEXT pass's line order (scan-axis-major).
+        if ka:
+            braw2 = jnp.swapaxes(
+                y2.reshape(n2, _SLOTS, q // (n2 * T2), n * T), 2, 3
+            )
+        else:
+            braw2 = y2.reshape(n2, _SLOTS, n * T, 1)
     if rot:
         y = y.reshape(n, T, qp)
         y = y[..., :q] if qp != q else y

@@ -527,6 +527,48 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
     assert np.abs(got - want).max() <= bound * scale
 
 
+def test_px_tails_chaining_volume():
+    """3-D px chain (volume regime): each lane block spans whole next-axis
+    extents, so BOTH non-final passes emit the next pass's tails — only
+    the first pass reads the volume for tails."""
+    import jax.numpy as jnp
+
+    scans = [
+        Scan(2, True, 1.0, (0.5,)),
+        Scan(1, True, 0.9, (0.4, 0.1)),
+        Scan(0, False, 1.05, (0.3,)),
+    ]
+    spec = FilterSpec(
+        "PXVOL", (Dim("z", 128), Dim("y", 256), Dim("x", 128)),
+        tuple(scans), tile_widths=(128, 128, 128),
+    )
+    x = _img(128, 256, 128, seed=17)
+    from recfilter_tpu.kernels import completion as _completion
+
+    calls = []
+    orig = _completion.tails_pass
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    _completion.tails_pass = counting
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x), matmul_precision="px6"
+            )
+        )
+    finally:
+        _completion.tails_pass = orig
+    assert len(calls) == 1
+    from recfilter_tpu import scan_core
+
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 2e-6 * scale
+
+
 @pytest.mark.parametrize("mode", ["px3", "px4"])
 def test_pallas_completion_clamp_pad_variants(mode):
     """px modes with per-tile matrix variants: clamp border (exact tiling)

@@ -107,3 +107,34 @@ def test_px4_completion_kernel_on_chip():
     want = scan_core.oracle_apply(spec, img)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 8e-5 * scale
+
+
+def test_px6_volume_tails_chaining_on_chip():
+    """3-D px6 chain with the volume-regime fused tails (second kernel
+    output shaped (n2*8, r_a, nT), ka-wide sub-tile blocks): Mosaic must
+    accept the 3-D out blockspec, and the chain must hold true-f32 error."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, scan_core
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKEVOL",
+        (Dim("z", 128), Dim("y", 256), Dim("x", 128)),
+        (
+            Scan(2, True, 1.0, (0.5,)),
+            Scan(1, True, 0.9, (0.4, 0.1)),
+            Scan(0, False, 1.05, (0.3,)),
+        ),
+        tile_widths=(128, 128, 128),
+    )
+    rng = np.random.default_rng(31)
+    vol = (rng.standard_normal((128, 256, 128)) * 0.01).astype(np.float32)
+    got = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(vol),
+                                   matmul_precision="px6")
+    )
+    want = scan_core.oracle_apply(spec, vol.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 2e-6 * scale
