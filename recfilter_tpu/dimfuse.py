@@ -779,10 +779,29 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 preferred_element_type=acc,
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(n, 8, PR)
+            # Elementwise epilogue fused INTO the kernel (applied to each
+            # out-block in VMEM): eaux re-laid to the kernel's flat output
+            # layout. next_tails and epilogue never coexist (the epilogue
+            # applies only to a filter's final pass).
+            k_epi, ke_aux = None, ()
+            if epilogue is not None and next_tails is None:
+                k_epi = epilogue
+                if rot:
+                    tshape = (P, n, T) + tuple(rows)
+                    ke_aux = tuple(
+                        _retile_aux(a, jnp.float32, len(lead), pad, tshape)
+                        .reshape(n * T, PR)
+                        for a in eaux)
+                else:
+                    tshape = (P,) + tuple(rows) + (n, T)
+                    ke_aux = tuple(
+                        _retile_aux(a, jnp.float32, -1, pad, tshape)
+                        .reshape(PR, n * T)
+                        for a in eaux)
             Yk = _completion.completion_pass(
                 xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
                 nprod=nprod_k, interpret=interp, carries_transposed=True,
-                next_tails=next_tails,
+                next_tails=next_tails, epilogue=k_epi, eaux=ke_aux,
             )
             tails_out = None
             if next_tails is not None:
@@ -800,7 +819,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
                 Y = Yk.reshape((P,) + tuple(rows) + (n, T))
-            if epilogue is not None:
+            if epilogue is not None and k_epi is None:
                 if rot:
                     nat_ax, tshape = len(lead), (P, n, T) + tuple(rows)
                 else:
@@ -862,11 +881,28 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
 
         interp = jax.default_backend() != "tpu"
         if _completion.completion_ok(T, PR, n, S, interp):
+            k_epi, ke_aux = None, ()
+            if epilogue is not None and next_tails is None:
+                k_epi = epilogue
+                if rot:
+                    tshape = (P, n, T) + tuple(rows)
+                    ke_aux = tuple(
+                        _retile_aux(a, jnp.float32, len(lead), pad, tshape)
+                        .reshape(n * T, PR)
+                        for a in eaux)
+                else:
+                    tshape = (P,) + tuple(rows) + (n, T)
+                    ke_aux = tuple(
+                        _retile_aux(a, jnp.float32, -1, pad, tshape)
+                        .reshape(PR, n * T)
+                        for a in eaux)
             Yk = _completion.completion_pass(
                 X.reshape(PR, n, T), np.asarray(mats.Btot), Rcat,
                 Ncat.reshape(PR, n, S), rot=rot, nprod=nprod_k,
                 interpret=interp, next_tails=next_tails,
+                epilogue=k_epi, eaux=ke_aux,
             )
+            epilogue = None if k_epi is not None else epilogue
             if next_tails is not None:
                 Yk, tails_out = Yk
                 if tails_out is not None:

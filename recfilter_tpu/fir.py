@@ -170,8 +170,14 @@ def fir_pass_last(
     cdt = jnp.float32 if x.dtype not in (jnp.bfloat16, jnp.float16) else x.dtype
     acc = jnp.float32
     mmd = jnp.bfloat16 if matmul_dtype in ("bfloat16", jnp.bfloat16) else None
-    prec = dimfuse._matmul_precision(cdt, mmd, matmul_precision)
-    nsp = dimfuse._split_passes(cdt, mmd, matmul_precision)
+    # The px kernel modes have no FIR kernel (the banded operator is pure
+    # einsum); they run as the equivalent compensated split einsums here —
+    # same product count and accuracy, without the HIGHEST operand-conversion
+    # copies a plain-precision fallback would pay.
+    _px_as_split = {"px3": "f32x3", "px4": "f32x4", "px6": "f32x6"}
+    fir_precision = _px_as_split.get(matmul_precision, matmul_precision)
+    prec = dimfuse._matmul_precision(cdt, mmd, fir_precision)
+    nsp = dimfuse._split_passes(cdt, mmd, fir_precision)
 
     X = x.astype(cdt)
     if pad:

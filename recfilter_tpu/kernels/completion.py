@@ -85,7 +85,8 @@ def _nchunks(nprod: int) -> int:
 
 
 def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
-                       t2: int = 0, ka: int = 0):
+                       t2: int = 0, ka: int = 0, naux: int = 0,
+                       epilogue=None):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
     (Lb, T) out-block.
 
@@ -112,9 +113,13 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
       extents (other row axes vary) — ``ka × kt`` sub-tiles, the G
       block (all ``kt`` tiles) constant across the grid."""
     if kt:
-        B_ref, R_ref, N_ref, x_ref, G2_ref, o_ref, o2_ref = refs
+        B_ref, R_ref, N_ref, x_ref, G2_ref = refs[:5]
+        aux_refs = refs[5:5 + naux]
+        o_ref, o2_ref = refs[5 + naux:]
     else:
-        B_ref, R_ref, N_ref, x_ref, o_ref = refs
+        B_ref, R_ref, N_ref, x_ref = refs[:4]
+        aux_refs = refs[4:4 + naux]
+        o_ref = refs[4 + naux]
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
@@ -135,7 +140,14 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                                   preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(ncat, R_ref[0], dc,
                                         preferred_element_type=jnp.float32)
-    o_ref[:] = acc
+    # Fused pointwise epilogue: the combine rides the out-block in VMEM —
+    # the px-mode analog of the XLA dot-output fusion the einsum path gets
+    # for free (reference: ``apps/usm/unsharp_mask_optimized.cpp:61-71``).
+    # Next-dim tails (kt) are extracted from the PRE-epilogue filter output,
+    # so the two never coexist (callers assert this).
+    o_ref[:] = acc if epilogue is None else epilogue(
+        acc, *(a[:] for a in aux_refs)
+    )
     if kt:
         accs = _split_vmem(acc, nc)
         dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
@@ -168,7 +180,7 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                     interpret: bool = False,
                     carries_transposed: bool = False,
-                    next_tails=None):
+                    next_tails=None, epilogue=None, eaux=()):
     """Split-bf16 completion over a (q, n, T) array.
 
     ``x``: (q, n, T) f32 (rows, tiles, tile width); ``Btot``: (nv, T, T)
@@ -177,6 +189,12 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     with ``carries_transposed``, already in the kernel's slot-padded
     (n, 8, q) layout (as :func:`tails_pass`/``pad_solve_matrix`` produce).
     Returns (n, T, q) when ``rot`` else (q, n, T).
+
+    ``epilogue(out, *aux)``: elementwise combine applied to each out-block
+    IN VMEM before it is written — no separate post-kernel stream. Each
+    array in ``eaux`` must already be in the kernel's flat OUTPUT layout:
+    (n·T, q) when ``rot`` else (q, n·T). Mutually exclusive with
+    ``next_tails`` (the chained tails are pre-epilogue filter state).
 
     ``next_tails=(Gcat2, n2, T2)`` (rot only): also extract the NEXT
     dimension pass's local tails from the emitted blocks — ``Gcat2``:
@@ -192,6 +210,10 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     q, n, T = x.shape
     S = np.asarray(Rcat).shape[-1]
     assert S <= _SLOTS, "carry slots exceed the kernel's sublane quantum"
+    assert epilogue is None or next_tails is None, (
+        "epilogue and next_tails are mutually exclusive (chained tails are "
+        "pre-epilogue filter state)"
+    )
     nv = np.asarray(Btot).shape[0]
     assert nv in (1, n), "Btot stack must be uniform or per-tile"
     nc = _nchunks(nprod)
@@ -209,7 +231,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
 
     # Lb=1024 measured fastest for the 6-product stacked dot (529 GB/s vs
     # 486 at 2048 — scripts/px6_stack_exp.py); smaller stacks keep 2048.
-    per_line = T * 4 * 2
+    per_line = T * 4 * (2 + len(eaux))
     lb_cap = 1024 if nprod >= 6 else 2048
     Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
     qp = -(-q // Lb) * Lb if q > Lb else Lb
@@ -245,7 +267,8 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             elif q % q2 == 0 and Lb % q2 == 0:
                 kt, ka = n2, Lb // q2
     kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
-                   t2=(T2 if kt else 0), ka=ka)
+                   t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
+                   epilogue=epilogue)
     out_shape = (
         jax.ShapeDtypeStruct((n * T, qp), jnp.float32)
         if rot
@@ -309,6 +332,19 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                              memory_space=pltpu.VMEM),
             )
         operands.append(G2k)
+    for a in eaux:
+        a = jnp.asarray(a, jnp.float32)
+        if qp != q:
+            a = (jnp.pad(a, ((0, 0), (0, qp - q))) if rot
+                 else jnp.pad(a, ((0, qp - q), (0, 0))))
+        operands.append(a)
+        in_specs.append(
+            pl.BlockSpec((T, Lb), lambda t, l: (t, l),
+                         memory_space=pltpu.VMEM)
+            if rot
+            else pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                              memory_space=pltpu.VMEM)
+        )
     y = pl.pallas_call(
         kern,
         out_shape=out_shape,

@@ -584,3 +584,52 @@ def test_pallas_completion_clamp_pad_variants(mode):
         want = _oracle_dim(x, scans, border)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 1e-4 * scale
+
+
+@pytest.mark.parametrize("mode", ["px3", "px6"])
+def test_px_epilogue_fused_into_kernel(mode):
+    """In px modes an elementwise epilogue must ride the completion kernel
+    (applied per out-block in VMEM), not run as a separate post-kernel
+    stream — and the result must equal the unfused combine."""
+    import jax.numpy as jnp
+    from recfilter_tpu.kernels import completion as _completion
+
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.2)),
+        Scan(0, False, 1.05, (0.4, 0.15)),
+    ]
+    spec = FilterSpec(
+        "PXEPI", (Dim("y", 256), Dim("x", 256)), tuple(scans),
+        tile_widths=(128, 128),
+    )
+    x = _img(256, 256, seed=21)
+    aux = _img(256, 256, seed=22)
+
+    def combine(blur, image):
+        return 2.0 * image - 0.5 * blur
+
+    seen = []
+    orig = _completion.completion_pass
+
+    def spying(*a, **k):
+        seen.append(k.get("epilogue") is not None)
+        return orig(*a, **k)
+
+    _completion.completion_pass = spying
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x), matmul_precision=mode,
+                epilogue=combine, eaux=(jnp.asarray(aux),),
+            )
+        )
+    finally:
+        _completion.completion_pass = orig
+    # the LAST pass's kernel carried the epilogue; earlier passes did not
+    assert seen[-1] is True and not any(seen[:-1])
+    plain = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(x),
+                                   matmul_precision=mode)
+    )
+    np.testing.assert_allclose(got, 2.0 * aux - 0.5 * plain, rtol=0,
+                               atol=1e-5 * np.abs(plain).max())

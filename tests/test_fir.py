@@ -82,8 +82,12 @@ def test_fir_dog_bank_contract_every_pixel():
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6 * scale)
 
 
-@pytest.mark.parametrize("mode,bound", [("f32x4", 1e-4), ("f32x6", 1e-5)])
+@pytest.mark.parametrize("mode,bound", [("f32x4", 1e-4), ("f32x6", 1e-5),
+                                        ("px3", 1e-3), ("px4", 1e-4),
+                                        ("px6", 1e-5)])
 def test_fir_split_precision_modes(mode, bound):
+    """px modes have no FIR kernel; they must run as the equivalent
+    compensated split einsums, NOT degrade to plain HIGHEST."""
     img = _img(64, 128, seed=7)
     taps = fir.box_taps(5, 3)
     got = np.asarray(fir.fir_pass_last(jnp.asarray(img), taps, tile_width=64,
