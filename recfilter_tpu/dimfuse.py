@@ -322,6 +322,19 @@ def _split_chunks(npasses: int) -> int:
     return 3 if npasses >= 6 else 2
 
 
+def _kernel_nprod(cdt, mmd, matmul_precision: str) -> int:
+    """Completion-kernel product count for this configuration, or 0 when
+    the kernel path does not apply. f32 storage: the px modes' compensated
+    product counts. bf16 storage (bf16 matmuls): one plain product — the
+    kernel is then strictly a bandwidth win over the einsum path (2 bf16
+    image touches per pass, chained tails) at identical rounding."""
+    if cdt == jnp.float32 and mmd is None:
+        return {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+    if cdt == jnp.bfloat16 and mmd is not None and jnp.dtype(mmd) == jnp.bfloat16:
+        return 1
+    return 0
+
+
 def _split_input(X, nchunks: int = 2):
     """Exact bf16 chunk decomposition of f32 data: X = Σ chunks, chunk i
     carrying mantissa bits [8i, 8i+8). Two chunks represent X to ~2^-17
@@ -752,10 +765,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     # split-bf16 kernels (2 image touches + a read; no HIGHEST einsum
     # copies anywhere). Falls through to the einsum path when the static
     # gates don't hold.
-    nprod_k = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+    nprod_k = _kernel_nprod(cdt, mmd, matmul_precision)
     rot = rot_axes >= 2
-    if (nprod_k and cdt == jnp.float32 and mmd is None
-            and (P == 1 or not rot) and n <= _CHAIN_MATMUL_MAX_TILES):
+    if (nprod_k and (P == 1 or not rot)
+            and n <= _CHAIN_MATMUL_MAX_TILES):
         from .kernels import completion as _completion
 
         interp = jax.default_backend() != "tpu"
@@ -875,8 +888,8 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     rot = rot_axes >= 2
     Y = None
     tails_out = None
-    nprod_k = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
-    if nprod_k and cdt == jnp.float32 and mmd is None and (P == 1 or not rot):
+    nprod_k = _kernel_nprod(cdt, mmd, matmul_precision)
+    if nprod_k and (P == 1 or not rot):
         from .kernels import completion as _completion
 
         interp = jax.default_backend() != "tpu"
@@ -1002,9 +1015,10 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             # the blocks it emits, so every pass after the first touches
             # HBM only twice (read x, write y) — the reference's
             # shared-memory-residency analog in the shipping backend.
-            px = matmul_precision in ("px3", "px4", "px6")
-            fuse_tails = (px and cdt == jnp.float32
-                          and matmul_dtype is None)
+            # (f32 px modes AND the bf16 storage mode both run the fused
+            # kernels; the latter with one plain bf16 product)
+            fuse_tails = _kernel_nprod(cdt, matmul_dtype,
+                                       matmul_precision) > 0
             tails_next = None
             for i, ax in enumerate(order):
                 sc = [spec.scans[j] for j in groups[ax]]

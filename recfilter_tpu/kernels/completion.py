@@ -72,16 +72,20 @@ def _split_vmem(x, nchunks: int):
 
 
 def _prods(nprod: int):
-    """(i, j) chunk-product index pairs, smallest-magnitude first."""
+    """(i, j) chunk-product index pairs, smallest-magnitude first.
+    ``nprod=1`` is the bf16 storage mode: one plain product, operands
+    already rounded by the storage dtype."""
     if nprod >= 6:
         return [(0, 2), (1, 1), (2, 0), (0, 1), (1, 0), (0, 0)]
     if nprod >= 4:
         return [(1, 1), (0, 1), (1, 0), (0, 0)]
-    return [(0, 1), (1, 0), (0, 0)]
+    if nprod >= 3:
+        return [(0, 1), (1, 0), (0, 0)]
+    return [(0, 0)]
 
 
 def _nchunks(nprod: int) -> int:
-    return 3 if nprod >= 6 else 2
+    return 3 if nprod >= 6 else (2 if nprod >= 3 else 1)
 
 
 def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
@@ -145,9 +149,8 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
     # for free (reference: ``apps/usm/unsharp_mask_optimized.cpp:61-71``).
     # Next-dim tails (kt) are extracted from the PRE-epilogue filter output,
     # so the two never coexist (callers assert this).
-    o_ref[:] = acc if epilogue is None else epilogue(
-        acc, *(a[:] for a in aux_refs)
-    )
+    out = acc if epilogue is None else epilogue(acc, *(a[:] for a in aux_refs))
+    o_ref[:] = out.astype(o_ref.dtype)
     if kt:
         accs = _split_vmem(acc, nc)
         dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
@@ -183,7 +186,9 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                     next_tails=None, epilogue=None, eaux=()):
     """Split-bf16 completion over a (q, n, T) array.
 
-    ``x``: (q, n, T) f32 (rows, tiles, tile width); ``Btot``: (nv, T, T)
+    ``x``: (q, n, T) f32 — or bf16 with ``nprod=1`` (the bf16 storage mode:
+    plain single-product dots, bf16 emit, f32 carries/accumulation; half
+    the HBM traffic of the f32 modes); ``Btot``: (nv, T, T)
     with nv in {1, n} (per-tile variant stack for clamp/pad); ``Rcat``:
     (nv, T, S); ``Ncat``: (q, n, S) f32 incoming carries (S = ΣK ≤ 8) — or,
     with ``carries_transposed``, already in the kernel's slot-padded
@@ -269,10 +274,12 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
                    t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
                    epilogue=epilogue)
+    # Output dtype follows the storage dtype (bf16 mode emits bf16 blocks —
+    # half the write traffic); extracted tails stay f32 (carries are f32).
     out_shape = (
-        jax.ShapeDtypeStruct((n * T, qp), jnp.float32)
+        jax.ShapeDtypeStruct((n * T, qp), x.dtype)
         if rot
-        else jax.ShapeDtypeStruct((qp, n * T), jnp.float32)
+        else jax.ShapeDtypeStruct((qp, n * T), x.dtype)
     )
     out_spec = (
         pl.BlockSpec((T, Lb), lambda t, l: (t, l), memory_space=pltpu.VMEM)

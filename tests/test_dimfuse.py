@@ -633,3 +633,49 @@ def test_px_epilogue_fused_into_kernel(mode):
     )
     np.testing.assert_allclose(got, 2.0 * aux - 0.5 * plain, rtol=0,
                                atol=1e-5 * np.abs(plain).max())
+
+
+def test_bf16_storage_kernel_path_and_chaining():
+    """bf16 storage mode routes through the completion kernels (nprod=1,
+    bf16 blocks in/out — half the image traffic) with tails chaining, and
+    holds the bf16 rounding bound."""
+    import jax.numpy as jnp
+    from recfilter_tpu.kernels import completion as _completion
+
+    scans = [
+        Scan(1, True, 0.9, (0.6, 0.2)),
+        Scan(0, False, 1.05, (0.4, 0.15)),
+    ]
+    spec = FilterSpec(
+        "BF16K", (Dim("y", 256), Dim("x", 256)), tuple(scans),
+        tile_widths=(128, 128), dtype="bfloat16",
+    )
+    x = _img(256, 256, seed=23)
+
+    tails_calls, comp_dtypes = [], []
+    orig_t, orig_c = _completion.tails_pass, _completion.completion_pass
+
+    def spy_t(*a, **k):
+        tails_calls.append(1)
+        return orig_t(*a, **k)
+
+    def spy_c(xq, *a, **k):
+        comp_dtypes.append((xq.dtype, k.get("nprod")))
+        return orig_c(xq, *a, **k)
+
+    _completion.tails_pass, _completion.completion_pass = spy_t, spy_c
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x, jnp.bfloat16), matmul_precision="px6"
+            ).astype(jnp.float32)
+        )
+    finally:
+        _completion.tails_pass, _completion.completion_pass = orig_t, orig_c
+    assert len(tails_calls) == 1          # pass 2's tails came chained
+    assert all(d == jnp.bfloat16 and k == 1 for d, k in comp_dtypes)
+    spec_f32 = FilterSpec("BF16K", spec.dims, spec.scans,
+                          tile_widths=spec.tile_widths)
+    want = scan_core.oracle_apply(spec_f32, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 3e-2 * scale
