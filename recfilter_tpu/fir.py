@@ -170,10 +170,39 @@ def fir_pass_last(
     cdt = jnp.float32 if x.dtype not in (jnp.bfloat16, jnp.float16) else x.dtype
     acc = jnp.float32
     mmd = jnp.bfloat16 if matmul_dtype in ("bfloat16", jnp.bfloat16) else None
-    # The px kernel modes have no FIR kernel (the banded operator is pure
-    # einsum); they run as the equivalent compensated split einsums here —
-    # same product count and accuracy, without the HIGHEST operand-conversion
-    # copies a plain-precision fallback would pay.
+
+    # --- fused band-kernel path (kernels/fir_band.py): the whole banded
+    # pass as one Pallas call — in-VMEM chunk splits, neighbour strips from
+    # block specs, no pointwise/pad glue. Every precision grade maps to a
+    # product count (1 = plain bf16 rounding ≙ the default einsum mode;
+    # 3/4/6 = the compensated px/f32x grades). "highest"/"high" stay on the
+    # XLA-precision einsum path (explicit XLA-native requests).
+    nprod_k = 0
+    if cdt == jnp.float32 and mmd is None:
+        nprod_k = {"default": 1, "px3": 3, "f32x3": 3, "px4": 4,
+                   "f32x4": 4, "px6": 6, "f32x6": 6}.get(matmul_precision, 0)
+    elif cdt == jnp.bfloat16 or mmd is not None:
+        nprod_k = 1
+    if nprod_k:
+        from .kernels import fir_band
+        import jax as _jax
+
+        nbatch_k = x.ndim - 1 - (1 if contract else 0)
+        qk = int(np.prod(x.shape[1 if contract else 0:-1], dtype=np.int64))
+        if (fir_band.fir_band_ok(T, L, taps, qk)
+                and nbatch_k >= 1 and (not emit_rot or nbatch_k == 1)):
+            interp = _jax.default_backend() != "tpu"
+            xk = (x.reshape(C, qk, L) if contract
+                  else x.reshape(qk, L)).astype(cdt)
+            yk = fir_band.fir_band_pass(
+                xk, taps, T=T, rot=emit_rot, nprod=nprod_k,
+                contract=contract, interpret=interp)
+            if emit_rot:
+                return yk  # (C?, L, last-batch) — rot gated to nbatch == 1
+            shp = ((C,) if (C > 1 and not contract) else ()) + \
+                x.shape[1 if contract else 0:-1] + (L,)
+            return yk.reshape(shp)
+
     _px_as_split = {"px3": "f32x3", "px4": "f32x4", "px6": "f32x6"}
     fir_precision = _px_as_split.get(matmul_precision, matmul_precision)
     prec = dimfuse._matmul_precision(cdt, mmd, fir_precision)

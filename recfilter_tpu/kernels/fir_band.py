@@ -1,0 +1,291 @@
+"""Banded tile-FIR Pallas kernel: small-support FIR banks in 2 HBM touches.
+
+The einsum formulation of the banded operator (``fir.fir_pass_last``) pays
+structural overhead on both ends of the precision range: in the compensated
+split modes the bf16 operand chunks and the per-product partial sums
+materialize in HBM (measured 7.5 ms for a 4K box at px6 — 12x the
+throughput mode), and even in throughput mode the neighbour-strip einsums
+and pad/slice glue keep it ~2x off bandwidth. Here the whole pass is one
+kernel: each grid step owns a (Lb, kT·T) block of rows x tiles plus two
+one-tile neighbour strips (read amplification (kT+2)/kT), splits the f32
+data into bf16 chunks IN VMEM, and emits every sub-tile as a handful of
+(T,T)x(T,Lb) MXU dots against the trace-time-split band matrices — zero
+pointwise streams, zero chunk materialization, optionally emitting rotated.
+
+Band algebra: out[tile τ] = W0·x[τ] + Wm·x[τ−1] + Wp·x[τ+1], with
+W0/Wm/Wp the (T,T) blocks of the banded Toeplitz operator (support must
+fit one tile on each side, K ≤ T+1 each way — the gate callers check).
+Channel banks (1→C, DoG's dual radius) and signed channel contraction
+(C→1, DoG's final difference) ride the same dots.
+
+Precision: ``nprod`` products over bf16 chunk pairs, exactly as
+``kernels/completion.py`` (1 = plain bf16 rounding — the throughput and
+bf16-storage modes; 3/4/6 = the compensated px grades, 6 = true f32).
+
+Reference analog: the banded pass replaces the SAT + finite-differencing
+pipelines of ``apps/box/box_filter.h:21-225`` and the box stages of
+``apps/DoG/diff_gauss.cpp:72-110`` (see fir.py's module docstring for why
+that trade is TPU-first).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .completion import _nchunks, _prods, _split_vmem
+
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _split_const_np(M, nchunks: int):
+    """Pure-numpy bf16 chunk split (float64-exact) — trace-safe (the jnp
+    variant in completion.py returns device constants, which numpy cannot
+    reinspect under jit tracing)."""
+    import ml_dtypes
+
+    rem = np.asarray(M, np.float64)
+    out = []
+    for _ in range(nchunks):
+        c = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
+        out.append(c)
+        rem = rem - c.astype(np.float64)
+    return out
+
+
+def band_blocks(taps: np.ndarray, T: int):
+    """(Wm, W0, Wp): the (T, T) blocks of the banded Toeplitz operator
+    out[o] = Σ_τ taps[τ]·x[o+τ−P] on tiles of width T, as one (3, T, T)
+    stack ordered [prev, cur, next]. Requires P, Q ≤ T."""
+    taps = np.asarray(taps, np.float64)
+    K = len(taps)
+    P = (K - 1) // 2
+    Q = K - 1 - P
+    if P > T or Q > T:
+        raise ValueError("FIR support exceeds the one-tile band")
+    W = np.zeros((3, T, T), np.float64)
+    for o in range(T):
+        for t in range(K):
+            g = T + o + t - P  # input lane in the 3-tile window
+            W[g // T, o, g % T] = taps[t]
+    return W
+
+
+def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
+                contract: bool, nblk: int):
+    """One (Lb, kT·T) block (+ 2 one-tile strips) -> (kT·T, Lb) (rot) or
+    (Lb, kT·T) out block, per output channel.
+
+    refs: W_ref, x_ref, xm_ref, xp_ref, o_ref — with a leading C axis on
+    the x/o refs when ``contract``/bank applies."""
+    W_ref, x_ref, xm_ref, xp_ref, o_ref = refs
+    g = pl.program_id(1)
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    T = xm_ref.shape[-1]
+    Cin = x_ref.shape[0] if contract else 1
+
+    # Global-edge masks: the strip index maps clamp at the array ends, so
+    # the first block's prev strip and the last block's next strip read
+    # duplicate (wrong) tiles — zero them (zero-pad FIR semantics).
+    pm = jnp.where(g > 0, 1.0, 0.0).astype(x_ref.dtype)
+    nm = jnp.where(g < nblk - 1, 1.0, 0.0).astype(x_ref.dtype)
+
+    def chunks(v):
+        return _split_vmem(v, nc)
+
+    if contract:
+        xs = [chunks(x_ref[c]) for c in range(Cin)]
+        xms = [chunks(xm_ref[c] * pm) for c in range(Cin)]
+        xps = [chunks(xp_ref[c] * nm) for c in range(Cin)]
+    else:
+        xs = [chunks(x_ref[:])]
+        xms = [chunks(xm_ref[:] * pm)]
+        xps = [chunks(xp_ref[:] * nm)]
+
+    dn_rot = (((1,), (1,)), ((), ()))   # (T,T)x(Lb,T) -> (T,Lb)
+    dn_flat = (((1,), (1,)), ((), ()))  # (Lb,T)x(T,T) -> (Lb,T)
+
+    for co in range(C):
+        for tau in range(kT):
+            acc = None
+            for cin in range(Cin):
+                # W_ref layout: (C, 3, T, nprod*T) — position-major blocks,
+                # chunk i of pair p at lanes [p*T, (p+1)*T).
+                for p, (i, j) in enumerate(pairs):
+                    sl = slice(p * T, (p + 1) * T)
+                    wb = W_ref[co * Cin + cin]
+                    cur = xs[cin][j][:, tau * T:(tau + 1) * T]
+                    prv = (xms[cin][j] if tau == 0
+                           else xs[cin][j][:, (tau - 1) * T:tau * T])
+                    nxt = (xps[cin][j] if tau == kT - 1
+                           else xs[cin][j][:, (tau + 1) * T:(tau + 2) * T])
+                    for pos, xb in ((0, prv), (1, cur), (2, nxt)):
+                        w = wb[pos, :, sl]
+                        if rot:
+                            t = jax.lax.dot_general(
+                                w, xb, dn_rot,
+                                preferred_element_type=jnp.float32)
+                        else:
+                            t = jax.lax.dot_general(
+                                xb, w, dn_flat,
+                                preferred_element_type=jnp.float32)
+                        acc = t if acc is None else acc + t
+            if rot:
+                blk = acc.astype(o_ref.dtype)
+                if C > 1:
+                    o_ref[co, tau * T:(tau + 1) * T, :] = blk
+                else:
+                    o_ref[tau * T:(tau + 1) * T, :] = blk
+            else:
+                blk = acc.astype(o_ref.dtype)
+                if C > 1:
+                    o_ref[co, :, tau * T:(tau + 1) * T] = blk
+                else:
+                    o_ref[:, tau * T:(tau + 1) * T] = blk
+
+
+def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
+                  signs=None, contract: bool = False,
+                  interpret: bool = False):
+    """Banded FIR along the last axis of ``x`` via the fused kernel.
+
+    ``x``: (q, L) — or (C, q, L) with ``contract`` (signed channel sum).
+    ``taps``: (C, K) bank rows (C output channels when not ``contract``).
+    Zero-padded (full-convolution) semantics; L is zero-padded up to the
+    internal tile grid and cropped back. Returns (L, q) / (C, L, q) when
+    ``rot`` else (q, L) / (C, q, L).
+    """
+    taps = np.atleast_2d(np.asarray(taps, np.float64))
+    C = taps.shape[0]
+    if signs is not None:
+        taps = taps * np.asarray(signs, np.float64)[:, None]
+    if contract:
+        Cin, q, L = x.shape
+        assert Cin == C
+        Cout = 1
+    else:
+        q, L = x.shape
+        Cin, Cout = 1, C
+
+    n = -(-L // T)
+    kT = min(8, n)
+    ntot = -(-n // kT) * kT
+    nblk = ntot // kT
+    padL = ntot * T - L
+    if padL:
+        cfg = [(0, 0)] * x.ndim
+        cfg[-1] = (0, padL)
+        x = jnp.pad(x, cfg)
+
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    # W constant: (Cout*Cin, 3, T, nprod*T) — per channel pair, position-
+    # major (prev, cur, next) blocks, band chunk i of product pair p.
+    Wk = np.zeros((Cout * Cin, 3, T, len(pairs) * T), np.float32)
+    for c in range(Cout * Cin):
+        Wb = band_blocks(taps[c], T)  # (3, T, T) float64
+        Ws = _split_const_np(np.transpose(Wb, (1, 0, 2)).reshape(T, 3 * T), nc)
+        for p, (i, _) in enumerate(pairs):
+            chunk = np.asarray(Ws[i], np.float32).reshape(T, 3, T)
+            Wk[c, :, :, p * T:(p + 1) * T] = np.transpose(chunk, (1, 0, 2))
+    Wk = jnp.asarray(Wk, jnp.bfloat16)
+
+    # Row-block size from the VMEM budget: in-block + chunks + out-block.
+    bpe = 4 if x.dtype == jnp.float32 else 2
+    per_line = kT * T * (bpe + 2 * nc + 4) * max(Cin, Cout)
+    Lb = max(8, min((_VMEM_BUDGET // per_line) // 128 * 128, 1024))
+    if q < Lb:
+        Lb = max(8, ((q + 7) // 8) * 8)
+    qp = -(-q // Lb) * Lb
+    if qp != q:
+        cfg = [(0, 0)] * x.ndim
+        cfg[1 if contract else 0] = (0, qp - q)  # q axis
+        x = jnp.pad(x, cfg)
+
+    grid = (qp // Lb, nblk)
+    if contract:
+        in_specs = [
+            pl.BlockSpec((Cout * Cin, 3, T, len(pairs) * T),
+                         lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin, Lb, kT * T), lambda l, g: (0, l, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin, Lb, T),
+                         lambda l, g: (0, l, jnp.maximum(g * kT - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin, Lb, T),
+                         lambda l, g: (0, l,
+                                       jnp.minimum(g * kT + kT, ntot - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((Cout * Cin, 3, T, len(pairs) * T),
+                         lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lb, kT * T), lambda l, g: (l, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lb, T),
+                         lambda l, g: (l, jnp.maximum(g * kT - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lb, T),
+                         lambda l, g: (l, jnp.minimum(g * kT + kT, ntot - 1)),
+                         memory_space=pltpu.VMEM),
+        ]
+    odt = x.dtype
+    if rot:
+        if Cout > 1:
+            out_shape = jax.ShapeDtypeStruct((Cout, ntot * T, qp), odt)
+            out_spec = pl.BlockSpec((Cout, kT * T, Lb),
+                                    lambda l, g: (0, g, l),
+                                    memory_space=pltpu.VMEM)
+        else:
+            out_shape = jax.ShapeDtypeStruct((ntot * T, qp), odt)
+            out_spec = pl.BlockSpec((kT * T, Lb), lambda l, g: (g, l),
+                                    memory_space=pltpu.VMEM)
+    else:
+        if Cout > 1:
+            out_shape = jax.ShapeDtypeStruct((Cout, qp, ntot * T), odt)
+            out_spec = pl.BlockSpec((Cout, Lb, kT * T),
+                                    lambda l, g: (0, l, g),
+                                    memory_space=pltpu.VMEM)
+        else:
+            out_shape = jax.ShapeDtypeStruct((qp, ntot * T), odt)
+            out_spec = pl.BlockSpec((Lb, kT * T), lambda l, g: (l, g),
+                                    memory_space=pltpu.VMEM)
+
+    xm = x  # same array, strip specs pick the neighbour tiles
+    y = pl.pallas_call(
+        partial(_fir_kernel, nprod=nprod, rot=rot, kT=kT, C=Cout,
+                contract=contract, nblk=nblk),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(Wk, x, xm, xm)
+
+    # Crop the tile-grid padding.
+    if rot:
+        y = y[..., :L, :] if ntot * T != L else y
+        y = y[..., :q] if qp != q else y
+    else:
+        y = y[..., :q, :] if qp != q else y
+        y = y[..., :L] if ntot * T != L else y
+    return y
+
+
+def fir_band_ok(T: int, L: int, taps, q: int) -> bool:
+    """Static gate: Mosaic's 128-lane tile, band within one tile each way,
+    and enough rows to fill sublanes."""
+    taps = np.atleast_2d(np.asarray(taps))
+    K = taps.shape[1]
+    P = (K - 1) // 2
+    return T == 128 and max(P, K - 1 - P) <= T and q >= 8 and L >= T

@@ -140,3 +140,68 @@ def test_box1_fir_matches_box_oracle_everywhere():
     want = box_oracle(img, B, 1).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=2e-6 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("nprod,bound", [(1, 2e-2), (3, 1e-4), (6, 2e-6)])
+@pytest.mark.parametrize("L,q", [(512, 64), (500, 40)])
+def test_fir_band_kernel_plain(nprod, bound, L, q):
+    """Fused band kernel vs float64 oracle: non-dividing extents, row
+    padding, rot/flat layout agreement (interpret mode on CPU)."""
+    from recfilter_tpu.kernels import fir_band
+
+    x = np.random.default_rng(31).standard_normal((q, L)).astype(np.float32)
+    taps = fir.box_taps(5, 3)
+    want = fir.fir_oracle(x, taps, 1)
+    got = np.asarray(fir_band.fir_band_pass(
+        jnp.asarray(x), taps, T=128, rot=False, nprod=nprod, interpret=True))
+    assert np.abs(got - want).max() <= bound * np.abs(want).max()
+    gr = np.asarray(fir_band.fir_band_pass(
+        jnp.asarray(x), taps, T=128, rot=True, nprod=nprod, interpret=True))
+    np.testing.assert_array_equal(gr.T, got)
+
+
+def test_fir_band_kernel_bank_and_contract():
+    """Dual-radius bank (1→2) and signed contraction (2→1) through the
+    kernel — DoG's two structures."""
+    from recfilter_tpu.kernels import fir_band
+
+    x = np.random.default_rng(33).standard_normal((64, 512)).astype(np.float32)
+    tb = fir._align_taps([fir.box_taps(3, 3), fir.box_taps(5, 3)])
+    got = np.asarray(fir_band.fir_band_pass(
+        jnp.asarray(x), tb, T=128, rot=True, nprod=6, interpret=True))
+    for c in range(2):
+        w = fir.fir_oracle(x, tb[c], 1)
+        assert np.abs(got[c].T - w).max() <= 2e-6 * np.abs(w).max()
+    xc = np.stack([x, x[::-1]]).astype(np.float32)
+    gc = np.asarray(fir_band.fir_band_pass(
+        jnp.asarray(xc), tb, T=128, rot=False, nprod=6,
+        signs=[1.0, -1.0], contract=True, interpret=True))
+    wc = fir.fir_oracle(x, tb[0], 1) - fir.fir_oracle(x[::-1], tb[1], 1)
+    assert np.abs(gc - wc).max() <= 5e-6 * np.abs(wc).max()
+
+
+def test_fir_pass_last_routes_to_band_kernel():
+    """fir_pass_last must take the kernel path at the TPU geometry (T=128)
+    and agree with the einsum path bit-for-bound."""
+    from recfilter_tpu.kernels import fir_band
+
+    x = np.random.default_rng(35).standard_normal((48, 640)).astype(np.float32)
+    taps = fir.box_taps(4, 3)
+    calls = []
+    orig = fir_band.fir_band_pass
+
+    def spy(*a, **k):
+        calls.append(k.get("nprod"))
+        return orig(*a, **k)
+
+    fir_band.fir_band_pass = spy
+    try:
+        got = np.asarray(fir.fir_pass_last(
+            jnp.asarray(x), taps, tile_width=128, matmul_precision="px6"))
+    finally:
+        fir_band.fir_band_pass = orig
+    assert calls == [6]
+    want = np.asarray(fir.fir_pass_last(
+        jnp.asarray(x), taps, tile_width=64, matmul_precision="f32x6"))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=1e-6 * np.abs(want).max())
