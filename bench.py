@@ -49,14 +49,18 @@ def make_loop(fn, scale=None, per_body=1):
     """One jitted chained-iteration loop; the trip count is a traced argument
     so a single (slow, remote) compile serves every measurement point.
 
-    ``scale`` (a tiny float, e.g. 1e-7) switches the loop body to
-    ``v ← scale·fn(v)``: pipelines that GROW when iterated on their own
-    output (integrator stages — SAT, the box/DoG double integrals — or
-    rounding-noise amplification in throughput mode) stay bounded/underflow
-    to zero instead of overflowing, for any trip count. The multiply fuses
-    into the pipeline's last kernel, so unlike re-injecting the input it
-    adds no extra HBM stream; the loop-carried dependence still defeats
-    hoisting, and zeros cost the same bandwidth as data.
+    ``scale`` (a tiny float, e.g. 1e-7) bounds pipelines that GROW when
+    iterated on their own output (integrator stages — SAT, the box/DoG
+    double integrals — or rounding-noise amplification in throughput mode):
+    the body output is multiplied by ``scale**per_body`` ONCE per loop body,
+    so iterates stay bounded or underflow to zero for any trip count (zeros
+    cost the same bandwidth as data). Applying it per BODY rather than per
+    application matters for the Pallas-kernel modes: XLA cannot fuse an
+    elementwise multiply into a pallas_call's output, so a per-application
+    scale costs a full extra HBM stream per application (~0.17 ms at 4K,
+    measured) — per body it fuses into the while-loop carry copy the
+    harness already pays. Within one body the compositions run unscaled;
+    per_body <= 4 keeps even the 4K SAT iterates within f32 range.
 
     ``per_body`` composes fn that many times per loop body: XLA inserts one
     full-size loop-carry copy per while-loop iteration (~0.09 ms at 4K,
@@ -65,15 +69,14 @@ def make_loop(fn, scale=None, per_body=1):
     trip count still means BODY iterations — divide the slope by k."""
     import jax
 
+    body_scale = None if scale is None else float(scale) ** per_body
+
     @jax.jit
     def loop(x, n):
-        def one(v):
-            return fn(v) if scale is None else scale * fn(v)
-
         def body(i, v):
             for _ in range(per_body):
-                v = one(v)
-            return v
+                v = fn(v)
+            return v if body_scale is None else body_scale * v
 
         out = jax.lax.fori_loop(0, n, body, x)
         first = out[(0,) * out.ndim]

@@ -161,7 +161,12 @@ def main():
     for name in names:
         build, scale = registry[name][:2]
         fn = build()
-        ms = slope_ms_per_iter(fn, img, scale=scale, per_body=4)
+        # The loop scale now applies once per BODY (see bench.make_loop);
+        # within a body the compositions run unscaled. The double-integral
+        # composites grow fastest per application — cap their unscaled
+        # composition depth so f32 iterates cannot overflow mid-body.
+        pb = 2 if name in ("dog_sat", "box3_sat") else 4
+        ms = slope_ms_per_iter(fn, img, scale=scale, per_body=pb)
         print(
             json.dumps(
                 {
