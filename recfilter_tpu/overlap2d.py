@@ -31,7 +31,7 @@ Pallas fusion of passes 2+3 (Z lives only in VMEM) brings it to 3 — see
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,16 @@ import numpy as np
 
 from . import dimfuse
 from .spec import BorderMode, FilterSpec, Scan
+
+
+def _pad_rows8(G):
+    """Zero-pad a stacked-G row axis to >= 8 so XLA lowers the contraction
+    as a dot (below 8 output rows it emits a broadcast+reduce chain costing
+    one full-size stream per row — same trick as dimfuse)."""
+    if G.shape[1] >= 8:
+        return G
+    pad = np.zeros((G.shape[0], 8 - G.shape[1], G.shape[2]))
+    return np.concatenate([G, pad], axis=1)
 
 
 def _prec(cdt):
@@ -154,37 +164,23 @@ def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
     bA_raw = bA_raw.reshape(p, na, -1, nb, Tb)  # (p, na, Ka, nb, Tb)
     # U: kernel emits (p, na, nb, Ta, Kb) → helper layout (p, na, Ta, nb, Kb)
     U_all = jnp.swapaxes(U_all, 2, 3)
-
-    # dim-A solves (H-corrections on carry-sized data)
-    NA: List = [None] * len(scans_a)
-    off = 0
-    for i, s in enumerate(scans_a):
-        b = bA_raw[:, :, off : off + s.order]
-        off += s.order
-        for j in range(i):
-            b = b + _apply_a5(ma.H[i][j], NA[j], cdt)
-        NA[i] = _solve_a5(b, ma.CM[i], cdt)
-
-    # dim-B tails from carry-sized data, then solves
-    NB: List = [None] * len(scans_b)
-    offb = 0
-    for l, sb in enumerate(scans_b):
-        U = U_all[..., offb : offb + sb.order]
-        offb += sb.order
-        bb = _apply_a5(ma.Btot, U, cdt)
-        for j in range(len(scans_a)):
-            GN = _apply_b5(mb.G[l], NA[j], cdt)
-            bb = bb + _apply_a5(ma.Rhat[j], GN, cdt)
-        for lp in range(l):
-            bb = bb + _apply_b5(mb.H[l][lp], NB[lp], cdt)
-        NB[l] = _solve_b5(bb, mb.CM[l], cdt)
-
-    # kernel layouts: NA (p, na, Ka, nb*Tb) row form; NB (p, na, nb, Ta, Kb)
-    NAc = jnp.concatenate(NA, axis=2)          # (p, na, Ka, nb, Tb)
-    NA_cat = NAc.reshape(NAc.shape[:3] + (-1,))
-    NB_cat = jnp.swapaxes(jnp.concatenate(NB, axis=4), 2, 3)
     Ra_cat = np.concatenate([np.asarray(r) for r in ma.Rhat], axis=2)
     Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
+
+    # Combined-solve treatment (see the einsum path): one (n·ΣK)² matmul
+    # per dimension replaces the per-scan solve/H-correction loops.
+    NA_cat5 = _solve_a5(
+        bA_raw, dimfuse.combined_solve_matrix(ma, na), cdt
+    )  # (p, na, Ka, nb, Tb)
+    bb = _apply_a5(ma.Btot, U_all, cdt) + _apply_a5(
+        Ra_cat, _apply_b5(Gb_cat, NA_cat5, cdt), cdt)
+    NB_cat5 = _solve_b5(
+        bb, dimfuse.combined_solve_matrix(mb, nb), cdt
+    )  # (p, na, Ta, nb, Kb)
+
+    # kernel layouts: NA (p, na, Ka, nb*Tb) row form; NB (p, na, nb, Ta, Kb)
+    NA_cat = NA_cat5.reshape(NA_cat5.shape[:3] + (-1,))
+    NB_cat = jnp.swapaxes(NB_cat5, 2, 3)
     return k2d.final2d(
         X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_cat, NB_cat, interpret,
         matmul_dtype=matmul_dtype,
@@ -281,37 +277,37 @@ def fused_2d_pass(
     X, dims = _axis_prep(x.astype(cdt), axis_a, axis_b, Ta, Tb)
     p, q, r, _, _ = dims
 
-    # ---- pass 1: dim-A tails + dim-B moments (one read of x) -------------
-    NA: List = [None] * len(scans_a)
-    for i in range(len(scans_a)):
-        b = _apply_a(ma.G[i], X, cdt)
-        for j in range(i):
-            b = b + _apply_a(ma.H[i][j], NA[j], cdt)
-        NA[i] = _solve_chain_a(b, ma.CM[i], cdt)
+    # Combined-solve op-count treatment (same as dimfuse): every scan's
+    # chain solve and all cross-scan H-couplings of a dimension fold into
+    # ONE (n·ΣK)² matmul per dimension; the stacked G/Rhat forms turn the
+    # per-scan einsum loops into one einsum each. Per-op dispatch overhead
+    # dominates carry-sized work on this stack (ROADMAP / VERDICT r1).
+    Ka = int(sum(ma.orders))
+    Kb = int(sum(mb.orders))
+    Ga_cat = _pad_rows8(
+        np.concatenate([np.asarray(g) for g in ma.G], axis=1))
+    Gb_cat = _pad_rows8(
+        np.concatenate([np.asarray(g) for g in mb.G], axis=1))
+    Ra_cat = np.concatenate([np.asarray(m) for m in ma.Rhat], axis=2)
+    Rb_cat = np.concatenate([np.asarray(m) for m in mb.Rhat], axis=2)
+    CMa = dimfuse.combined_solve_matrix(ma, na)
+    CMb = dimfuse.combined_solve_matrix(mb, nb)
 
-    U = [_apply_b(mb.G[l], X, cdt) for l in range(len(scans_b))]
+    # ---- pass 1 (one read of x): dim-A raw tails + dim-B moments ---------
+    bA = _apply_a(Ga_cat, X, cdt)[:, :, :Ka]
+    U = _apply_b(Gb_cat, X, cdt)[..., :Kb, :]
+    NA = _solve_chain_a(bA, CMa, cdt)
 
-    # ---- dim-B tails from carry-sized data only --------------------------
-    NB: List = [None] * len(scans_b)
-    for l in range(len(scans_b)):
-        bb = _apply_a(ma.Btot, U[l], cdt)
-        for j in range(len(scans_a)):
-            # G_{B,l} ∘_B N_{A,j}, then the A-completion operator on it
-            GN = _apply_b(mb.G[l], NA[j], cdt)
-            bb = bb + _apply_a(ma.Rhat[j], GN, cdt)
-        for lp in range(l):
-            bb = bb + _apply_b(mb.H[l][lp], NB[lp], cdt)
-        NB[l] = _solve_chain_b(bb, mb.CM[l], cdt)
+    # ---- dim-B raw tails from carry-sized data only ----------------------
+    # Gb∘Z = Btot_A∘(Gb∘X) + Ra_cat∘(Gb∘NA_cat)   (A/B operators commute)
+    bb = _apply_a(ma.Btot, U, cdt) + _apply_a(
+        Ra_cat, _apply_b(Gb_cat[:, :Kb] if Gb_cat.shape[1] != Kb else Gb_cat,
+                         NA, cdt), cdt)
+    NB = _solve_chain_b(bb, CMb, cdt)
 
-    # ---- pass 2: dim-A completion (Z) ------------------------------------
-    Z = _apply_a(ma.Btot, X, cdt)
-    for j in range(len(scans_a)):
-        Z = Z + _apply_a(ma.Rhat[j], NA[j], cdt)
-
-    # ---- pass 3: dim-B completion ----------------------------------------
-    Y = _apply_b(mb.Btot, Z, cdt)
-    for l in range(len(scans_b)):
-        Y = Y + _apply_b(mb.Rhat[l], NB[l], cdt)
+    # ---- pass 2: dim-A completion (Z); pass 3: dim-B completion ----------
+    Z = _apply_a(ma.Btot, X, cdt) + _apply_a(Ra_cat, NA, cdt)
+    Y = _apply_b(mb.Btot, Z, cdt) + _apply_b(Rb_cat, NB, cdt)
 
     shape = x.shape
     y = Y.reshape(shape)
