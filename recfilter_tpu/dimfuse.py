@@ -366,7 +366,7 @@ def _split_const(M, nchunks: int = 2):
     return tuple(chunks)
 
 
-def _split_einsum(eq, M, Xs, npasses, acc):
+def _split_einsum(eq, M, X, npasses, acc):
     """Compensated f32 matmul from single-pass bf16 MXU products.
 
     With M = Σ Mi and X = Σ Xj (each chunk bf16-exact, so XLA's default
@@ -387,22 +387,42 @@ def _split_einsum(eq, M, Xs, npasses, acc):
     relative error for 3-4 MXU passes instead of 6.
 
     Terms are summed smallest level first to minimise accumulation rounding.
+
+    Takes the RAW f32 operand ``X`` and splits it internally (XLA CSE
+    merges the identical split chains of a pass's G/B einsums under jit).
+    Differentiation does NOT flow through the bf16 chunk casts — that loses
+    ~2^-8 on the cotangent (measured 3.8e-3 grad error) — a custom VJP
+    transposes the mathematically-equivalent HIGHEST einsum instead, so
+    gradients are f32-grade regardless of the forward product count.
     """
     nc = _split_chunks(npasses)
     Ms = _split_const(M, nc)
-    assert len(Xs) == nc
     if npasses >= 6:
         idx = [(0, 2), (1, 1), (2, 0), (0, 1), (1, 0), (0, 0)]
     elif npasses >= 4:
         idx = [(1, 1), (0, 1), (1, 0), (0, 0)]
     else:
         idx = [(0, 1), (1, 0), (0, 0)]
-    out = None
-    for i, j in idx:
-        t = jnp.einsum(eq, jnp.asarray(Ms[i]), Xs[j],
-                       preferred_element_type=acc)
-        out = t if out is None else out + t
-    return out
+
+    def _run(X):
+        Xs = _split_input(X, nc)
+        out = None
+        for i, j in idx:
+            t = jnp.einsum(eq, jnp.asarray(Ms[i]), Xs[j],
+                           preferred_element_type=acc)
+            out = t if out is None else out + t
+        return out
+
+    Mf = jnp.asarray(np.asarray(M), acc)
+
+    def _ref(X):
+        return jnp.einsum(eq, Mf, X.astype(acc), preferred_element_type=acc,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda X: (_run(X), X),
+             lambda X0, ct: jax.vjp(_ref, X0)[1](ct))
+    return f(X)
 
 
 def _retile_aux(a, Ydtype, nat_axis, pad, tile_shape):
@@ -591,8 +611,6 @@ def fused_dim_pass(
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
     nsp = _split_passes(cdt, mmd, matmul_precision)
-    # Operand split shared by the G and B matmuls.
-    Xs = _split_input(X, _split_chunks(nsp)) if nsp else None
 
     def tile_mat_apply(Mstack, V, vdim_in, fast=False):
         """einsum over the tile axis: Mstack (n|1, out, in) × V.
@@ -605,9 +623,9 @@ def fused_dim_pass(
         if fast and nsp and V is X:
             if M0.shape[0] == 1:
                 eq = "os,ans->ano" if last else "os,ansb->anob"
-                return _split_einsum(eq, M0[0], Xs, nsp, acc)
+                return _split_einsum(eq, M0[0], X, nsp, acc)
             eq = "nos,ans->ano" if last else "nos,ansb->anob"
-            return _split_einsum(eq, M0, Xs, nsp, acc)
+            return _split_einsum(eq, M0, X, nsp, acc)
         dt = mmd if (fast and mmd is not None) else cdt
         M = jnp.asarray(M0, dtype=dt)
         Vc = V.astype(dt)
@@ -735,16 +753,14 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
     nsp = _split_passes(cdt, mmd, matmul_precision)
-    # Operand split shared by the G and B matmuls.
-    Xs = _split_input(X, _split_chunks(nsp)) if nsp else None
 
     def apply(Mstack, V, fast=False, out_t=False):
         out = f"pno{rl}" if out_t else f"p{rl}no"
         M0 = np.asarray(Mstack)
         if fast and nsp and V is X:
             if M0.shape[0] == 1:
-                return _split_einsum(f"os,p{rl}ns->{out}", M0[0], Xs, nsp, acc)
-            return _split_einsum(f"nos,p{rl}ns->{out}", M0, Xs, nsp, acc)
+                return _split_einsum(f"os,p{rl}ns->{out}", M0[0], X, nsp, acc)
+            return _split_einsum(f"nos,p{rl}ns->{out}", M0, X, nsp, acc)
         dt = mmd if (fast and mmd is not None) else cdt
         M = jnp.asarray(M0, dtype=dt)
         Vc = V.astype(dt)

@@ -239,15 +239,12 @@ def fir_pass_last(
         V = strips.astype(M.dtype)
         return jnp.einsum(eq, M, V, preferred_element_type=acc, precision=prec)
 
-    if nsp:
-        Xs = dimfuse._split_input(Xt, dimfuse._split_chunks(nsp))
-        main_in = Xs
-        prev_in = tuple(_shift_tiles(c[..., T - P:], True) for c in Xs)
-        next_in = tuple(_shift_tiles(c[..., :Q], False) for c in Xs)
-    else:
-        main_in = Xt
-        prev_in = _shift_tiles(Xt[..., T - P:], True)
-        next_in = _shift_tiles(Xt[..., :Q], False)
+    # _split_einsum now takes the raw operand and splits internally (so
+    # its custom VJP can transpose the exact einsum); the shift/slice forms
+    # are shared by both precision branches.
+    main_in = Xt
+    prev_in = _shift_tiles(Xt[..., T - P:], True)
+    next_in = _shift_tiles(Xt[..., :Q], False)
 
     Y = one(W0, main_in, T)
     if P:

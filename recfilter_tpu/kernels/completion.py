@@ -180,6 +180,93 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                 )
 
 
+def _block_geom(q: int, T: int, nprod: int, naux: int):
+    """(Lb, qp): row-block size from the VMEM budget and the padded row
+    count. Lb=1024 measured fastest for the 6-product stacked dot (529 GB/s
+    vs 486 at 2048 — scripts/px6_stack_exp.py); smaller stacks keep 2048."""
+    per_line = T * 4 * (2 + naux)
+    lb_cap = 1024 if nprod >= 6 else 2048
+    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
+    qp = -(-q // Lb) * Lb if q > Lb else Lb
+    if q < Lb:
+        Lb = max(8, min(((q + 7) // 8) * 8, Lb))
+        qp = -(-q // Lb) * Lb
+    return Lb, qp
+
+
+def _tails_gate(rot: bool, q: int, qp: int, Lb: int, next_tails):
+    """(kt, ka): static geometry gates for in-kernel next-dim tails — rot
+    emit, no lane padding, and either the lane axis IS the next pass's
+    tiled scan axis (images) or lane blocks hold whole next-axis extents
+    (volumes)."""
+    kt = ka = 0
+    if next_tails is not None:
+        _, n2, T2 = next_tails
+        q2 = n2 * T2
+        if rot and qp == q and Lb % T2 == 0:
+            if q == q2:
+                kt = Lb // T2
+            elif q % q2 == 0 and Lb % q2 == 0:
+                kt, ka = n2, Lb // q2
+    return kt, ka
+
+
+def _expand_stack(M, n: int):
+    """(nv, ...) matrix stack -> per-tile (n, ...) float32 (min-index
+    broadcast of a uniform stack)."""
+    M = np.asarray(M, np.float64)
+    return jnp.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
+                       jnp.float32)
+
+
+def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
+                    carries_transposed, next_tails, kt, ka, epilogue):
+    """Einsum twin of the completion kernel — mathematically identical
+    (f32 grade), used as the transpose/VJP rule (pallas_call itself has no
+    autodiff). Must mirror the kernel's output STRUCTURE exactly."""
+    q, n, T = x.shape
+    Bn = _expand_stack(Btot, n)              # (n, T, T)
+    Rn = _expand_stack(Rcat, n)              # (n, T, S)
+    xf = x.astype(jnp.float32)
+    if carries_transposed:
+        Ncore = Ncat.astype(jnp.float32)[:, :S, :]         # (n, S, q)
+        y = (jnp.einsum("nos,qns->qno", Bn, xf)
+             + jnp.einsum("nou,nuq->qno", Rn, Ncore))
+    else:
+        y = (jnp.einsum("nos,qns->qno", Bn, xf)
+             + jnp.einsum("nou,qnu->qno", Rn,
+                          Ncat.astype(jnp.float32)))
+    braw2 = None
+    if next_tails is not None and kt:
+        Gcat2, n2, T2 = next_tails
+        nv2, S2, _ = np.asarray(Gcat2).shape
+        Gp2 = np.zeros((n2, _SLOTS, T2), np.float64)
+        Gp2[:, :S2] = np.asarray(Gcat2, np.float64)[
+            np.minimum(np.arange(n2), nv2 - 1)
+        ]
+        G2n = jnp.asarray(Gp2, jnp.float32)
+        yflat = jnp.transpose(y, (1, 2, 0)).reshape(n * T, q)
+        if ka:
+            ra = q // (n2 * T2)
+            yq = yflat.reshape(n * T, ra, n2, T2)
+            braw2 = jnp.einsum("cst,ract->csra", G2n, yq)
+        else:
+            yq = yflat.reshape(n * T, n2, T2)
+            braw2 = jnp.einsum("cst,rct->csr", G2n, yq)[..., None]
+    if epilogue is not None:
+        flat = (jnp.transpose(y, (1, 2, 0)).reshape(n * T, q)
+                if rot else y.reshape(q, n * T))
+        out = epilogue(flat, *(jnp.asarray(a, jnp.float32) for a in eaux))
+        y = (out.reshape(n, T, q) if rot
+             else out.reshape(q, n, T))
+    elif rot:
+        y = jnp.transpose(y, (1, 2, 0))
+    y = y.astype(x.dtype)
+    if next_tails is not None:
+        return y, braw2
+    return y
+
+
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                     interpret: bool = False,
                     carries_transposed: bool = False,
@@ -234,155 +321,163 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     Rs = _split_const(Rp, nc)
     Rcat_k = jnp.concatenate([Rs[i] for i, _ in pairs], axis=-1)
 
-    # Lb=1024 measured fastest for the 6-product stacked dot (529 GB/s vs
-    # 486 at 2048 — scripts/px6_stack_exp.py); smaller stacks keep 2048.
-    per_line = T * 4 * (2 + len(eaux))
-    lb_cap = 1024 if nprod >= 6 else 2048
-    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
-    qp = -(-q // Lb) * Lb if q > Lb else Lb
-    if q < Lb:
-        Lb = max(8, min(((q + 7) // 8) * 8, Lb))
-        qp = -(-q // Lb) * Lb
-    if qp != q:
-        x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
-
-    xf = x.reshape(qp, n * T)
-    if carries_transposed:
-        Nt = Ncat.astype(jnp.float32)  # (n, 8, q)
-        if qp != q:
-            Nt = jnp.pad(Nt, ((0, 0), (0, 0), (0, qp - q)))
-    else:
-        if qp != q:
-            Ncat = jnp.pad(Ncat, ((0, qp - q), (0, 0), (0, 0)))
-        # Carries transposed to (n, 8, qp): slot-padded sublane layout.
-        Nt = jnp.transpose(Ncat.astype(jnp.float32), (1, 2, 0))  # (n, S, qp)
-        if S < _SLOTS:
-            Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
-    bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
-    # Next-dim tails fusion: static geometry gates — rot emit, no lane
-    # padding, and either the lane axis IS the next pass's tiled scan axis
-    # (images) or lane blocks hold whole next-axis extents (volumes).
-    kt = ka = 0
+    Lb, qp = _block_geom(q, T, nprod, len(eaux))
+    kt, ka = _tails_gate(rot, q, qp, Lb, next_tails)
     if next_tails is not None:
         Gcat2, n2, T2 = next_tails
-        q2 = n2 * T2
-        if rot and qp == q and Lb % T2 == 0:
-            if q == q2:
-                kt = Lb // T2
-            elif q % q2 == 0 and Lb % q2 == 0:
-                kt, ka = n2, Lb // q2
-    kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
-                   t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
-                   epilogue=epilogue)
-    # Output dtype follows the storage dtype (bf16 mode emits bf16 blocks —
-    # half the write traffic); extracted tails stay f32 (carries are f32).
-    out_shape = (
-        jax.ShapeDtypeStruct((n * T, qp), x.dtype)
-        if rot
-        else jax.ShapeDtypeStruct((qp, n * T), x.dtype)
-    )
-    out_spec = (
-        pl.BlockSpec((T, Lb), lambda t, l: (t, l), memory_space=pltpu.VMEM)
-        if rot
-        else pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                          memory_space=pltpu.VMEM)
-    )
-    in_specs = [
-        pl.BlockSpec((1, T, nprod * T), bidx,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [Bcat_k, Rcat_k, Nt, xf]
-    if kt:
-        nv2, S2, _ = np.asarray(Gcat2).shape
-        Gp2 = np.zeros((n2, _SLOTS, T2), np.float64)
-        Gp2[:, :S2] = np.asarray(Gcat2, np.float64)[
-            np.minimum(np.arange(n2), nv2 - 1)
-        ]
-        Gs2 = _split_const(Gp2, nc)
-        G2k = jnp.concatenate(
-            [Gs2[i] for i, _ in pairs], axis=-1
-        ).reshape(n2 * _SLOTS, nprod * T2)
-        if ka:
-            in_specs.append(
-                pl.BlockSpec((n2 * _SLOTS, nprod * T2),
-                             lambda t, l: (0, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            ra = q // (n2 * T2)
-            out_shape = (
-                out_shape,
-                jax.ShapeDtypeStruct((n2 * _SLOTS, ra, n * T), jnp.float32),
-            )
-            out_spec = (
-                out_spec,
-                pl.BlockSpec((n2 * _SLOTS, ka, T), lambda t, l: (0, l, t),
-                             memory_space=pltpu.VMEM),
-            )
-        else:
-            in_specs.append(
-                pl.BlockSpec((kt * _SLOTS, nprod * T2), lambda t, l: (l, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            out_shape = (
-                out_shape,
-                jax.ShapeDtypeStruct((n2 * _SLOTS, n * T), jnp.float32),
-            )
-            out_spec = (
-                out_spec,
-                pl.BlockSpec((kt * _SLOTS, T), lambda t, l: (l, t),
-                             memory_space=pltpu.VMEM),
-            )
-        operands.append(G2k)
-    for a in eaux:
-        a = jnp.asarray(a, jnp.float32)
+
+    def _run(x, Ncat, *eaux):
         if qp != q:
-            a = (jnp.pad(a, ((0, 0), (0, qp - q))) if rot
-                 else jnp.pad(a, ((0, qp - q), (0, 0))))
-        operands.append(a)
-        in_specs.append(
+            x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
+        xf = x.reshape(qp, n * T)
+        if carries_transposed:
+            Nt = Ncat.astype(jnp.float32)  # (n, 8, q)
+            if qp != q:
+                Nt = jnp.pad(Nt, ((0, 0), (0, 0), (0, qp - q)))
+        else:
+            Nc = Ncat
+            if qp != q:
+                Nc = jnp.pad(Nc, ((0, qp - q), (0, 0), (0, 0)))
+            # Carries transposed to (n, 8, qp): slot-padded sublane layout.
+            Nt = jnp.transpose(Nc.astype(jnp.float32), (1, 2, 0))
+            if S < _SLOTS:
+                Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
+        bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
+        kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
+                       t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
+                       epilogue=epilogue)
+        # Output dtype follows the storage dtype (bf16 mode emits bf16
+        # blocks — half the write traffic); extracted tails stay f32.
+        out_shape = (
+            jax.ShapeDtypeStruct((n * T, qp), x.dtype)
+            if rot
+            else jax.ShapeDtypeStruct((qp, n * T), x.dtype)
+        )
+        out_spec = (
             pl.BlockSpec((T, Lb), lambda t, l: (t, l),
                          memory_space=pltpu.VMEM)
             if rot
             else pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                               memory_space=pltpu.VMEM)
         )
-    y = pl.pallas_call(
-        kern,
-        out_shape=out_shape,
-        grid=(n, qp // Lb),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
-        interpret=interpret,
-    )(*operands)
-    braw2 = None
-    if kt:
-        y, y2 = y
-        # Uniform (n2, 8, nT, r_a) layout: flattening the last two axes
-        # yields the NEXT pass's line order (scan-axis-major).
-        if ka:
-            braw2 = jnp.swapaxes(
-                y2.reshape(n2, _SLOTS, q // (n2 * T2), n * T), 2, 3
+        in_specs = [
+            pl.BlockSpec((1, T, nprod * T), bidx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [Bcat_k, Rcat_k, Nt, xf]
+        if kt:
+            nv2, S2, _ = np.asarray(Gcat2).shape
+            Gp2 = np.zeros((n2, _SLOTS, T2), np.float64)
+            Gp2[:, :S2] = np.asarray(Gcat2, np.float64)[
+                np.minimum(np.arange(n2), nv2 - 1)
+            ]
+            Gs2 = _split_const(Gp2, nc)
+            G2k = jnp.concatenate(
+                [Gs2[i] for i, _ in pairs], axis=-1
+            ).reshape(n2 * _SLOTS, nprod * T2)
+            if ka:
+                in_specs.append(
+                    pl.BlockSpec((n2 * _SLOTS, nprod * T2),
+                                 lambda t, l: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+                ra = q // (n2 * T2)
+                out_shape = (
+                    out_shape,
+                    jax.ShapeDtypeStruct((n2 * _SLOTS, ra, n * T),
+                                         jnp.float32),
+                )
+                out_spec = (
+                    out_spec,
+                    pl.BlockSpec((n2 * _SLOTS, ka, T),
+                                 lambda t, l: (0, l, t),
+                                 memory_space=pltpu.VMEM),
+                )
+            else:
+                in_specs.append(
+                    pl.BlockSpec((kt * _SLOTS, nprod * T2),
+                                 lambda t, l: (l, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+                out_shape = (
+                    out_shape,
+                    jax.ShapeDtypeStruct((n2 * _SLOTS, n * T), jnp.float32),
+                )
+                out_spec = (
+                    out_spec,
+                    pl.BlockSpec((kt * _SLOTS, T), lambda t, l: (l, t),
+                                 memory_space=pltpu.VMEM),
+                )
+            operands.append(G2k)
+        for a in eaux:
+            a = jnp.asarray(a, jnp.float32)
+            if qp != q:
+                a = (jnp.pad(a, ((0, 0), (0, qp - q))) if rot
+                     else jnp.pad(a, ((0, qp - q), (0, 0))))
+            operands.append(a)
+            in_specs.append(
+                pl.BlockSpec((T, Lb), lambda t, l: (t, l),
+                             memory_space=pltpu.VMEM)
+                if rot
+                else pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                                  memory_space=pltpu.VMEM)
             )
+        y = pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            grid=(n, qp // Lb),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(*operands)
+        braw2 = None
+        if kt:
+            y, y2 = y
+            # Uniform (n2, 8, nT, r_a) layout: flattening the last two axes
+            # yields the NEXT pass's line order (scan-axis-major).
+            if ka:
+                braw2 = jnp.swapaxes(
+                    y2.reshape(n2, _SLOTS, q // (n2 * T2), n * T), 2, 3
+                )
+            else:
+                braw2 = y2.reshape(n2, _SLOTS, n * T, 1)
+        if rot:
+            y = y.reshape(n, T, qp)
+            y = y[..., :q] if qp != q else y
         else:
-            braw2 = y2.reshape(n2, _SLOTS, n * T, 1)
-    if rot:
-        y = y.reshape(n, T, qp)
-        y = y[..., :q] if qp != q else y
-    else:
-        y = y.reshape(qp, n, T)
-        y = y[:q] if qp != q else y
-    if next_tails is not None:
-        return y, braw2
-    return y
+            y = y.reshape(qp, n, T)
+            y = y[:q] if qp != q else y
+        if next_tails is not None:
+            return y, braw2
+        return y
+
+    # The pass is (piecewise-)differentiable math but pallas_call has no
+    # autodiff rule; forward runs the kernel, the VJP runs through the
+    # einsum twin (jax transposes einsums natively). Keeps jax.grad
+    # working through the shipping px/bf16 defaults.
+    def _ref(x, Ncat, *eaux):
+        return _completion_ref(
+            x, Ncat, eaux, Btot=Btot, Rcat=Rcat, S=S, rot=rot,
+            carries_transposed=carries_transposed, next_tails=next_tails,
+            kt=kt, ka=ka, epilogue=epilogue)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(
+        lambda x, Ncat, *eaux: (_run(x, Ncat, *eaux), (x, Ncat, eaux)),
+        lambda res, ct: jax.vjp(
+            lambda xx, nn, *ee: _ref(xx, nn, *ee), res[0], res[1], *res[2]
+        )[1](ct),
+    )
+    return f(x, Ncat, *eaux)
 
 
 def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int):
@@ -421,28 +516,41 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
     if q < Lb:
         Lb = max(8, min(((q + 7) // 8) * 8, Lb))
     qp = -(-q // Lb) * Lb
-    if qp != q:
-        x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
-    xf = x.reshape(qp, n * T)
-    y = pl.pallas_call(
-        partial(_tails_kernel, nprod=nprod),
-        out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
-        grid=(n, qp // Lb),
-        in_specs=(
-            [pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (t, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((Lb, T), lambda t, l: (l, t),
-                          memory_space=pltpu.VMEM)]
-        ),
-        out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
-        interpret=interpret,
-    )(Gcat_k, xf)
-    y = y.reshape(n, _SLOTS, qp)
-    return y[..., :q] if qp != q else y
+
+    def _run(x):
+        if qp != q:
+            x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
+        xf = x.reshape(qp, n * T)
+        y = pl.pallas_call(
+            partial(_tails_kernel, nprod=nprod),
+            out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
+            grid=(n, qp // Lb),
+            in_specs=(
+                [pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (t, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                              memory_space=pltpu.VMEM)]
+            ),
+            out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Gcat_k, xf)
+        y = y.reshape(n, _SLOTS, qp)
+        return y[..., :q] if qp != q else y
+
+    # VJP via the einsum twin (see completion_pass): y = Gp ∘ x, linear.
+    Gn = jnp.asarray(Gp, jnp.float32)
+
+    def _ref(x):
+        return jnp.einsum("nst,qnt->nsq", Gn, x.astype(jnp.float32))
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x: (_run(x), x),
+             lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
+    return f(x)
 
 
 def pad_solve_matrix(CMfull, n: int, S: int) -> np.ndarray:

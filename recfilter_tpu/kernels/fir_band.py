@@ -178,10 +178,6 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     ntot = -(-n // kT) * kT
     nblk = ntot // kT
     padL = ntot * T - L
-    if padL:
-        cfg = [(0, 0)] * x.ndim
-        cfg[-1] = (0, padL)
-        x = jnp.pad(x, cfg)
 
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
@@ -203,11 +199,6 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     if q < Lb:
         Lb = max(8, ((q + 7) // 8) * 8)
     qp = -(-q // Lb) * Lb
-    if qp != q:
-        cfg = [(0, 0)] * x.ndim
-        cfg[1 if contract else 0] = (0, qp - q)  # q axis
-        x = jnp.pad(x, cfg)
-
     grid = (qp // Lb, nblk)
     if contract:
         in_specs = [
@@ -258,28 +249,76 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
             out_spec = pl.BlockSpec((Lb, kT * T), lambda l, g: (l, g),
                                     memory_space=pltpu.VMEM)
 
-    xm = x  # same array, strip specs pick the neighbour tiles
-    y = pl.pallas_call(
-        partial(_fir_kernel, nprod=nprod, rot=rot, kT=kT, C=Cout,
-                contract=contract, nblk=nblk),
-        out_shape=out_shape,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
-        interpret=interpret,
-    )(Wk, x, xm, xm)
+    def _run(x):
+        if padL:
+            cfg = [(0, 0)] * x.ndim
+            cfg[-1] = (0, padL)
+            x = jnp.pad(x, cfg)
+        if qp != q:
+            cfg = [(0, 0)] * x.ndim
+            cfg[1 if contract else 0] = (0, qp - q)  # q axis
+            x = jnp.pad(x, cfg)
+        y = pl.pallas_call(
+            partial(_fir_kernel, nprod=nprod, rot=rot, kT=kT, C=Cout,
+                    contract=contract, nblk=nblk),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Wk, x, x, x)  # strip specs pick the neighbour tiles of x
 
-    # Crop the tile-grid padding.
-    if rot:
-        y = y[..., :L, :] if ntot * T != L else y
-        y = y[..., :q] if qp != q else y
-    else:
-        y = y[..., :q, :] if qp != q else y
-        y = y[..., :L] if ntot * T != L else y
-    return y
+        # Crop the tile-grid padding.
+        if rot:
+            y = y[..., :L, :] if ntot * T != L else y
+            y = y[..., :q] if qp != q else y
+        else:
+            y = y[..., :q, :] if qp != q else y
+            y = y[..., :L] if ntot * T != L else y
+        return y
+
+    # VJP via the einsum twin: the banded pass is linear in x; jax
+    # transposes the shifted-tile einsums natively (pallas_call has no
+    # autodiff rule). f32-grade gradients regardless of nprod.
+    Wf = [jnp.asarray(band_blocks(taps[c], T), jnp.float32)
+          for c in range(Cout * Cin)]
+
+    def _ref(x):
+        xf = x.astype(jnp.float32)
+        if padL:
+            cfg = [(0, 0)] * x.ndim
+            cfg[-1] = (0, padL)
+            xf = jnp.pad(xf, cfg)
+        Xt = xf.reshape(xf.shape[:-1] + (ntot, T))
+        zt = jnp.zeros_like(Xt[..., :1, :])
+        prv = jnp.concatenate([zt, Xt[..., :-1, :]], axis=-2)
+        nxt = jnp.concatenate([Xt[..., 1:, :], zt], axis=-2)
+        outs = []
+        for co in range(Cout):
+            acc = None
+            for ci in range(Cin):
+                Wb = Wf[co * Cin + ci]
+                Xc = Xt[ci] if contract else Xt
+                Pc = prv[ci] if contract else prv
+                Nc = nxt[ci] if contract else nxt
+                t = (jnp.einsum("ot,qnt->qno", Wb[1], Xc)
+                     + jnp.einsum("ot,qnt->qno", Wb[0], Pc)
+                     + jnp.einsum("ot,qnt->qno", Wb[2], Nc))
+                acc = t if acc is None else acc + t
+            outs.append(acc.reshape(acc.shape[:-2] + (ntot * T,)))
+        y = outs[0] if Cout == 1 else jnp.stack(outs)
+        y = y[..., :L] if padL else y
+        if rot:
+            y = jnp.swapaxes(y, -1, -2)
+        return y.astype(x.dtype)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x: (_run(x), x),
+             lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
+    return f(x)
 
 
 def fir_band_ok(T: int, L: int, taps, q: int) -> bool:

@@ -679,3 +679,25 @@ def test_bf16_storage_kernel_path_and_chaining():
     want = scan_core.oracle_apply(spec_f32, x.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 3e-2 * scale
+
+
+def test_grad_through_kernel_paths_matches_highest():
+    """jax.grad must flow through the px/bf16 kernel defaults (custom VJP
+    through the einsum twins — pallas_call has no autodiff) and match the
+    HIGHEST einsum path's gradient at f32 grade."""
+    import jax
+    import jax.numpy as jnp
+
+    scans = [Scan(1, True, 0.9, (0.5,)), Scan(0, True, 1.0, (0.4,))]
+    spec = FilterSpec("GR", (Dim("y", 256), Dim("x", 256)), tuple(scans),
+                      tile_widths=(128, 128))
+    x = jnp.asarray(_img(256, 256, seed=41) * 0.1)
+    ct = jnp.asarray(_img(256, 256, seed=42) * 0.1)
+
+    def loss(mode):
+        return jax.grad(lambda v: (dimfuse.apply_filter_fused(
+            spec, v, matmul_precision=mode) * ct).sum())(x)
+
+    g_hi, g_px = loss("highest"), loss("px6")
+    scale = float(jnp.abs(g_hi).max())
+    assert float(jnp.abs(g_px - g_hi).max()) <= 1e-5 * scale

@@ -205,3 +205,20 @@ def test_fir_pass_last_routes_to_band_kernel():
         jnp.asarray(x), taps, tile_width=64, matmul_precision="f32x6"))
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=1e-6 * np.abs(want).max())
+
+
+def test_fir_grads_f32_grade_all_paths():
+    """Gradients through the band kernel AND the split-einsum path must be
+    f32-grade (custom VJPs transpose the exact einsum — differentiating
+    through the bf16 chunk casts measured 3.8e-3 error)."""
+    import jax
+
+    x = jnp.asarray(_img(48, 640, seed=43) * 0.1)
+    ct = _img(48, 640, seed=44)
+    taps = fir.box_taps(4, 3)
+    g_true = fir.fir_oracle(ct, taps[::-1], 1)
+    s = np.abs(g_true).max()
+    for tw, mp in [(128, "px6"), (64, "f32x6"), (64, "f32x3")]:
+        g = np.asarray(jax.grad(lambda v: (fir.fir_pass_last(
+            v, taps, tile_width=tw, matmul_precision=mp) * ct).sum())(x))
+        assert np.abs(g - g_true).max() / s < 1e-5, (tw, mp)
