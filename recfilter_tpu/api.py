@@ -561,6 +561,12 @@ class RecFilter:
             out.append(f)
         return out
 
+    def fuse_cascade(self, *others: "RecFilter",
+                     epilogue: Optional[Callable] = None) -> Callable:
+        """Fuse this filter and the following cascade stages back into ONE
+        executor (module-level :func:`fuse_cascade`)."""
+        return fuse_cascade([self, *others], epilogue=epilogue)
+
     def cascade_by_causality(self) -> List["RecFilter"]:
         """One filter per causality class (``lib/reorder.cpp:188-209``)."""
         spec = self.spec
@@ -667,3 +673,55 @@ class RecFilter:
         if self._spec is None:
             return f"RecFilter({self._name!r}, undefined)"
         return graph.synopsis(self._spec)
+
+
+def fuse_cascade(filters: Sequence["RecFilter"],
+                 epilogue: Optional[Callable] = None) -> Callable:
+    """Fuse a cascade chain back into ONE executor.
+
+    A filter IS an ordered scan list, so the cascade ``Fk∘…∘F1`` (each
+    stage's input the previous stage's output, ``lib/reorder.cpp:110-133``)
+    equals a single filter whose scan list is the stages' concatenation.
+    Running that merged filter through the fused executor recovers the
+    cross-pass optimizations that stage boundaries break: rotation chaining
+    and px tails chaining span what were separate jitted stages, so e.g. the
+    cascaded-by-dimension Gaussian drops from 6 HBM touches (3 per stage in
+    px modes) to the overlapped filter's 5. This is the TPU analog of the
+    reference's ``compute_at`` fusion of cascade stages into the consumer's
+    kernels (``apps/usm/unsharp_mask_optimized.cpp:61-71``) — there it saves
+    kernel launches and shared-memory round-trips; here, whole HBM passes.
+
+    Stages must share dims, border, dtype, and Tuple width. ``epilogue``
+    fuses a pointwise combine into the LAST pass (see
+    :meth:`RecFilter.as_func`).
+    """
+    fs = list(filters)
+    if not fs:
+        raise ValueError("fuse_cascade: no filters given")
+    specs = [f.spec for f in fs]
+    base = specs[0]
+    for s in specs[1:]:
+        if s.dims != base.dims:
+            raise ValueError("fuse_cascade: stages must share dimensions")
+        if s.border != base.border or s.dtype != base.dtype:
+            raise ValueError("fuse_cascade: stages must share border/dtype")
+        if s.tuple_width != base.tuple_width:
+            raise ValueError("fuse_cascade: stages must share Tuple width")
+    f = RecFilter("_".join(x._name for x in fs))
+    if fs[0]._clamped_border:
+        f.set_clamped_image_border()
+    f._image = fs[0]._image
+    f._dtype = fs[0]._dtype
+    f._spec = FilterSpec(
+        name=f._name,
+        dims=base.dims,
+        scans=tuple(sc for s in specs for sc in s.scans),
+        border=base.border,
+        dtype=base.dtype,
+        tile_widths=base.tile_widths,
+        tuple_width=base.tuple_width,
+    )
+    # Inherit the first stage's Plan, but never its rotated-emit contract:
+    # the merged filter chains layouts internally and must emit naturally.
+    f._plan = dataclasses.replace(fs[0]._plan, rotate_emit=0)
+    return f.as_func(epilogue)

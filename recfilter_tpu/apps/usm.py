@@ -3,18 +3,22 @@
 naive    — blur then a separately computed pointwise stage
            (``unsharp_mask_naive.cpp``): the combine is its own elementwise
            HBM stream after the last filter pass.
-optimized — the pointwise stage fuses into the blur's last kernel; in the
-           reference this is a hand ``compute_at`` into the consumer's GPU
-           blocks (``unsharp_mask_optimized.cpp:61-71``); here the combine
-           is handed to the last filter as a dimfuse EPILOGUE, applied in
-           the completion matmul's tile layout so XLA fuses it into the
-           dot's output — no extra full-size stream.
+optimized — the cascade stages AND the pointwise combine fuse into one
+           executor; in the reference this is a hand ``compute_at`` into
+           the consumer's GPU blocks (``unsharp_mask_optimized.cpp:61-71``);
+           here ``api.fuse_cascade`` merges the cascade back into a single
+           filter (rotation + tails chaining span the former stage
+           boundaries) and the combine rides the final completion matmul as
+           an EPILOGUE (XLA dot-output fusion on the einsum backends; an
+           in-VMEM out-block combine in the px kernel modes) — no extra
+           full-size stream, no per-stage tails reads.
 """
 
 from __future__ import annotations
 
 import jax
 
+from ..api import fuse_cascade
 from .gaussian import gaussian_3x_3y
 
 
@@ -34,16 +38,8 @@ def unsharp_mask(
         return (1.0 + weight) * image - weight * blur
 
     if fused:
-        fns = [f.as_func() for f in fc[:-1]]
-        last = fc[-1].as_func(epilogue=combine)
-
-        def pipeline(image):
-            b = image
-            for fn in fns:
-                b = fn(b)
-            return last(b, image)
-
-        return jax.jit(pipeline)
+        fn = fuse_cascade(fc, epilogue=combine)
+        return jax.jit(lambda image: fn(image, image))
 
     fns = [f.as_func() for f in fc]
 

@@ -155,7 +155,10 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
         accs = _split_vmem(acc, nc)
         dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
         if ka:
-            # volumes: ka whole next-axis extents of kt tiles each
+            # volumes: ka whole next-axis extents of kt tiles each. The
+            # a-axis leads the out block (block extent ka has no Mosaic
+            # alignment constraint there; trailing (n2·8, T) dims are
+            # sublane/lane aligned).
             for a in range(ka):
                 for c in range(kt):
                     off = a * kt * t2 + c * t2
@@ -163,7 +166,7 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                         [accs[j][:, off:off + t2] for _, j in pairs], axis=1
                     )
                     g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
-                    o2_ref[c * _SLOTS:(c + 1) * _SLOTS, a, :] = (
+                    o2_ref[a, c * _SLOTS:(c + 1) * _SLOTS, :] = (
                         jax.lax.dot_general(
                             g, xc, dg, preferred_element_type=jnp.float32
                         )
@@ -390,13 +393,13 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 ra = q // (n2 * T2)
                 out_shape = (
                     out_shape,
-                    jax.ShapeDtypeStruct((n2 * _SLOTS, ra, n * T),
+                    jax.ShapeDtypeStruct((ra, n2 * _SLOTS, n * T),
                                          jnp.float32),
                 )
                 out_spec = (
                     out_spec,
-                    pl.BlockSpec((n2 * _SLOTS, ka, T),
-                                 lambda t, l: (0, l, t),
+                    pl.BlockSpec((ka, n2 * _SLOTS, T),
+                                 lambda t, l: (l, 0, t),
                                  memory_space=pltpu.VMEM),
                 )
             else:
@@ -445,8 +448,9 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             # Uniform (n2, 8, nT, r_a) layout: flattening the last two axes
             # yields the NEXT pass's line order (scan-axis-major).
             if ka:
-                braw2 = jnp.swapaxes(
-                    y2.reshape(n2, _SLOTS, q // (n2 * T2), n * T), 2, 3
+                ra = q // (n2 * T2)
+                braw2 = jnp.transpose(
+                    y2.reshape(ra, n2, _SLOTS, n * T), (1, 2, 3, 0)
                 )
             else:
                 braw2 = y2.reshape(n2, _SLOTS, n * T, 1)

@@ -346,3 +346,46 @@ def test_as_func_epilogue_fuses_elementwise():
         img.astype(np.int32), aux.astype(np.int32)))
     ref = img.astype(np.int32).cumsum(1) + aux.astype(np.int32)
     np.testing.assert_array_equal(outi, ref)
+
+
+def test_fuse_cascade_equals_stage_composition():
+    """fuse_cascade must equal running the cascade stage by stage — for
+    both zero and clamped borders (per-scan border semantics make the
+    merged scan list exactly the sequential composition)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recfilter_tpu import api
+    from recfilter_tpu.apps.gaussian import gaussian_3x_3y
+
+    img = jnp.asarray(
+        np.random.default_rng(7).standard_normal((96, 96)).astype(np.float32)
+    )
+    for tile in (16, 32):
+        fc = gaussian_3x_3y(96, 96, tile)
+        staged = img
+        for f in fc:
+            staged = f.as_func()(staged)
+        fused = api.fuse_cascade(fc)(img)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(staged), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_fuse_cascade_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from recfilter_tpu import api
+    from recfilter_tpu.api import RecFilter
+    from recfilter_tpu.spec import Dim
+
+    x = Dim("x", 16)
+    y = Dim("y", 16)
+    a = RecFilter("A"); a[y, x] = np.zeros((16, 16), np.float32)
+    a.add_filter(+x, [1.0, 0.5])
+    b = RecFilter("B"); b[y, x] = np.zeros((16, 16), np.float32)
+    b.set_clamped_image_border()
+    b.add_filter(+y, [1.0, 0.5])
+    with _pytest.raises(ValueError):
+        api.fuse_cascade([a, b])  # border mismatch

@@ -138,3 +138,59 @@ def test_px6_volume_tails_chaining_on_chip():
     want = scan_core.oracle_apply(spec, vol.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 2e-6 * scale
+
+
+def test_fir_band_kernel_on_chip():
+    """The fused banded-FIR kernel on real Mosaic: clamped neighbour-strip
+    index maps, per-sub-tile dots, bank (1→2) rot emit + contract (2→1) —
+    the DoG pipeline's two kernel shapes — vs the float64 oracle."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import fir
+
+    img = _img(256, 512, seed=3)
+    t1, t2 = fir.box_taps(3, 3), fir.box_taps(5, 3)
+    got = np.asarray(fir.fir_separable_2d(
+        jnp.asarray(img), [t1, t2], signs=[1.0, -1.0], tile_width=128,
+        matmul_precision="px6"))
+    tb = fir._align_taps([t1, t2])
+
+    def sep(taps):
+        return fir.fir_oracle(fir.fir_oracle(img, taps, 1), taps, 0)
+
+    want = sep(tb[0]) - sep(tb[1])
+    scale = np.abs(sep(tb[0])).max()
+    assert np.abs(got - want).max() <= 1e-5 * scale
+
+
+def test_bf16_kernel_and_epilogue_on_chip():
+    """bf16 storage mode through the completion kernels (nprod=1, bf16
+    blocks) with an in-kernel epilogue — real-Mosaic bf16 block I/O."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, scan_core
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKEBF", (Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 0.9, (0.6, 0.2)), Scan(0, False, 1.05, (0.4,))),
+        tile_widths=(128, 128), dtype="bfloat16",
+    )
+    img = _img(256, 256, seed=4)
+    aux = _img(256, 256, seed=5)
+
+    def combine(blur, image):
+        return 2.0 * image - 0.5 * blur
+
+    got = np.asarray(dimfuse.apply_filter_fused(
+        spec, jnp.asarray(img, jnp.bfloat16),
+        epilogue=combine, eaux=(jnp.asarray(aux, jnp.bfloat16),),
+    ).astype(jnp.float32))
+    spec32 = FilterSpec("SMOKEBF32", spec.dims, spec.scans,
+                        tile_widths=spec.tile_widths)
+    want = 2.0 * aux - 0.5 * scan_core.oracle_apply(spec32,
+                                                    img.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 3e-2 * scale
