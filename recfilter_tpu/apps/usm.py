@@ -38,8 +38,26 @@ def unsharp_mask(
         return (1.0 + weight) * image - weight * blur
 
     if fused:
-        fn = fuse_cascade(fc, epilogue=combine)
-        return jax.jit(lambda image: fn(image, image))
+        from .. import planner
+
+        # Merging the cascade wins when stage boundaries cost HBM passes —
+        # the px kernel modes (tails chaining spans the merge: 0.90→0.64 ms
+        # at 4K px6). In the plain einsum modes XLA already fuses across
+        # the staged composition and the merged rotation-chained pipeline
+        # measured ~10% slower — keep the staged epilogue there.
+        if planner._DEFAULT_MATMUL_PRECISION[0].startswith("px"):
+            fn = fuse_cascade(fc, epilogue=combine)
+            return jax.jit(lambda image: fn(image, image))
+        fns = [f.as_func() for f in fc[:-1]]
+        last = fc[-1].as_func(epilogue=combine)
+
+        def pipeline(image):
+            b = image
+            for fn in fns:
+                b = fn(b)
+            return last(b, image)
+
+        return jax.jit(pipeline)
 
     fns = [f.as_func() for f in fc]
 

@@ -337,6 +337,17 @@ def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
     x = x.astype(cdt)
     tiles = spec.tile_widths or (0,) * spec.ndim
     groups = list(spec.scans_by_axis().items())
+    if len(groups) >= 3 and not use_kernels:
+        # n-D overlap beyond pairs: every dimension's carries from one read
+        # (2D+1 image touches vs 3D dimension-by-dimension).
+        y = fused_nd_pass(
+            x,
+            [(ax, [spec.scans[j] for j in ids], tiles[ax] or tile_default)
+             for ax, ids in groups],
+            spec.border, cdt,
+        )
+        if y is not None:
+            return y.astype(dtype)
     i = 0
     while i < len(groups):
         if i + 1 < len(groups):
@@ -360,3 +371,133 @@ def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
             )
             i += 1
     return x.astype(dtype)
+
+
+def fused_nd_pass(
+    x,
+    groups,
+    border: str = BorderMode.ZERO,
+    compute_dtype=jnp.float32,
+):
+    """All D scanned dimensions' carries from ONE read of x (D ≥ 2).
+
+    The n-D generalization of :func:`fused_2d_pass` — the reference's
+    cross-dimension machinery (``add_prev_dimension_residual_to_tails``,
+    ``lib/split.cpp:1215-1633``) extended past pairs: with Y_e the image
+    after dims 0..e's completions, dim d's raw tails satisfy (operators on
+    different axes commute)
+
+        G_d ∘ Y_{d-1} = V_{d-1},   V_{-1} = G_d ∘ x  (a pass-1 moment)
+        V_e = Btot_e ∘ V_{e-1} + Rcat_e ∘ (G_d ∘ N_e)
+
+    — every term after pass 1 is carry-sized. Execution: one read of x for
+    dim-0 tails + all moments, D chained carry derivations/solves (tiny),
+    then D completion einsums over the image (2 HBM touches each): 2D+1
+    image touches for the whole filter vs 3D dimension-by-dimension.
+
+    ``groups``: ordered [(axis, scans, tile_width), ...]. Returns None when
+    any dimension needs a fallback (clamp with non-dividing width, order
+    exceeding tiles, audio-scale tile counts) — callers then run the
+    pairwise/dimfuse route.
+    """
+    clamp = border == BorderMode.CLAMP
+    cdt = compute_dtype
+    D = len(groups)
+    infos = []
+    for axis, scans, T in groups:
+        w = x.shape[axis]
+        k = max(s.order for s in scans)
+        T = int(min(max(T, k), w))
+        n = -(-w // T)
+        pad = n * T - w
+        if (clamp and pad) or T < k or n > dimfuse._CHAIN_MATMUL_MAX_TILES:
+            return None
+        infos.append(dict(axis=axis, scans=scans, T=T, n=n, pad=pad, w=w))
+
+    pads = [(0, 0)] * x.ndim
+    for inf in infos:
+        pads[inf["axis"]] = (0, inf["pad"])
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+
+    for inf in infos:
+        m = dimfuse.prepare_dim_pass(
+            inf["scans"], inf["T"], inf["n"], clamp, pad_slots=inf["pad"]
+        )
+        inf["K"] = int(sum(m.orders))
+        inf["Gp"] = _pad_rows8(
+            np.concatenate([np.asarray(g) for g in m.G], axis=1))
+        inf["G"] = inf["Gp"][:, : inf["K"]]
+        inf["R"] = np.concatenate([np.asarray(r) for r in m.Rhat], axis=2)
+        inf["B"] = m.Btot
+        inf["CM"] = dimfuse.combined_solve_matrix(m, inf["n"])
+
+    # Canonical tiled view + einsum letter plumbing ("z" reserved for the
+    # output axis of a dim-apply).
+    letters = iter("abcdefghijklmnop")
+    tiled = {inf["axis"]: i for i, inf in enumerate(infos)}
+    view, axl = [], []
+    for ax in range(x.ndim):
+        if ax in tiled:
+            inf = infos[tiled[ax]]
+            nl, sl = next(letters), next(letters)
+            inf["nl"], inf["sl"] = nl, sl
+            view += [inf["n"], inf["T"]]
+            axl += [nl, sl]
+        else:
+            view.append(x.shape[ax])
+            axl.append(next(letters))
+    in_str = "".join(axl)
+    X = x.reshape(view).astype(cdt)
+
+    def apply_d(Mstack, V, d):
+        inf = infos[d]
+        out = in_str.replace(inf["sl"], "z")
+        M = jnp.asarray(np.asarray(Mstack), dtype=cdt)
+        if M.shape[0] == 1:
+            eq = f"z{inf['sl']},{in_str}->{out}"
+            return jnp.einsum(eq, M[0], V, preferred_element_type=cdt,
+                              precision=_prec(cdt))
+        eq = f"{inf['nl']}z{inf['sl']},{in_str}->{out}"
+        return jnp.einsum(eq, M, V, preferred_element_type=cdt,
+                          precision=_prec(cdt))
+
+    def slice_k(V, d):
+        inf = infos[d]
+        ax = in_str.index(inf["sl"])
+        return jax.lax.slice_in_dim(V, 0, inf["K"], axis=ax)
+
+    def solve_d(V, d):
+        inf = infos[d]
+        i_n, i_s = in_str.index(inf["nl"]), in_str.index(inf["sl"])
+        rest = [i for i in range(V.ndim) if i not in (i_n, i_s)]
+        perm = rest + [i_n, i_s]
+        bt = jnp.transpose(V, perm)
+        shp = bt.shape
+        N = jnp.einsum(
+            "ls,ts->lt", bt.reshape(-1, inf["n"] * inf["K"]),
+            jnp.asarray(inf["CM"], dtype=cdt),
+            preferred_element_type=cdt, precision=_prec(cdt),
+        ).reshape(shp)
+        inv = np.argsort(perm)
+        return jnp.transpose(N, inv)
+
+    # ---- pass 1 (one read of x): dim-0 raw tails + every moment ----------
+    N = [solve_d(slice_k(apply_d(infos[0]["Gp"], X, 0), 0), 0)]
+    for d in range(1, D):
+        V = slice_k(apply_d(infos[d]["Gp"], X, d), d)
+        for e in range(d):
+            GN = apply_d(infos[d]["G"], N[e], d)     # carry² sized
+            V = apply_d(infos[e]["B"], V, e) + apply_d(infos[e]["R"], GN, e)
+        N.append(solve_d(V, d))
+
+    # ---- D completion einsums over the image ------------------------------
+    Y = X
+    for e in range(D):
+        Y = apply_d(infos[e]["B"], Y, e) + apply_d(infos[e]["R"], N[e], e)
+
+    y = Y.reshape(x.shape)
+    for inf in infos:
+        if inf["pad"]:
+            y = jax.lax.slice_in_dim(y, 0, inf["w"], axis=inf["axis"])
+    return y

@@ -49,6 +49,11 @@ def _apps(w, h, tile):
 
         return fn
 
+    def gaussian_cascaded_fused():
+        from recfilter_tpu.api import fuse_cascade
+
+        return fuse_cascade(apps.gaussian_3x_3y(w, h, tile))
+
     def bicubic():
         return apps.bicubic(w, h, tile).as_func()
 
@@ -103,6 +108,7 @@ def _apps(w, h, tile):
         "sat": (sat, 1e-7),
         "gaussian3": (gaussian3, 0.5),
         "gaussian_cascaded": (gaussian_cascaded, 0.5),
+        "gaussian_cascaded_fused": (gaussian_cascaded_fused, 0.5),
         "bicubic": (bicubic, 1e-2),
         "biquintic": (biquintic, 1e-2),
         "box1": (box1, 1e-7),

@@ -187,3 +187,68 @@ def test_kernel_path_non_dividing():
         )
     )
     np.testing.assert_allclose(got, _oracle(spec, x), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_nd_pass_3d_matches_oracle():
+    """3-D overlap: all three dimensions' carries from one read — mixed
+    causality/orders, non-dividing extents — vs the float64 oracle."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import overlap2d, scan_core
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "ND3",
+        (Dim("z", 12), Dim("y", 21), Dim("x", 16)),
+        (
+            Scan(2, True, 1.0, (0.5, 0.2)),
+            Scan(2, False, 0.9, (0.4,)),
+            Scan(1, True, 1.0, (0.3,)),
+            Scan(0, False, 1.05, (0.25, 0.1)),
+        ),
+        tile_widths=(4, 7, 8),
+    )
+    x = _img(12, 21, 16, seed=51)
+    got = np.asarray(overlap2d.apply_filter_overlap(spec, jnp.asarray(x)))
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_nd_pass_3d_clamp_and_routing():
+    """Clamped 3-D filter through the n-D single-solve path (exact tiling);
+    the routing must actually take fused_nd_pass, not the pairwise loop."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import overlap2d, scan_core
+    from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "ND3C",
+        (Dim("z", 12), Dim("y", 16), Dim("x", 16)),
+        (
+            Scan(2, True, 1.0, (0.5,)),
+            Scan(1, False, 0.9, (0.4, 0.1)),
+            Scan(0, True, 1.0, (0.3,)),
+        ),
+        border=BorderMode.CLAMP,
+        tile_widths=(4, 8, 8),
+    )
+    x = _img(12, 16, 16, seed=52)
+    calls = []
+    orig = overlap2d.fused_nd_pass
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    overlap2d.fused_nd_pass = spy
+    try:
+        got = np.asarray(overlap2d.apply_filter_overlap(spec, jnp.asarray(x)))
+    finally:
+        overlap2d.fused_nd_pass = orig
+    assert calls == [True]
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
