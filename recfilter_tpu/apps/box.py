@@ -140,10 +140,13 @@ def _box_fir(width, height, B, iterations, tile_width):
 
     taps = fir.box_taps(B, iterations)
     tw = tile_width or auto_tile_width(min(width, height))
+    # (2B+1)^n-scaled taps are small integers — exact in bf16, halving the
+    # compensated kernel modes' MXU products (fir_band_pass tap_scale).
+    scale = float((2 * B + 1) ** iterations)
 
     def fn(image):
         return fir.fir_separable_2d(
-            image.astype(jnp.float32), [taps], tile_width=tw
+            image.astype(jnp.float32), [taps], tile_width=tw, tap_scale=scale
         )
 
     return fn

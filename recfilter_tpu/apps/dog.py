@@ -77,11 +77,15 @@ def difference_of_gaussians(
 
         t1 = fir.box_taps(B1, 3)
         t2 = fir.box_taps(B2, 3)
+        # Scaled taps are small integers ((2B+1)^3 denominators): exactly
+        # bf16-representable, so the compensated kernel modes need half the
+        # MXU products (see fir_band_pass's tap_scale).
+        scale = [float((2 * B1 + 1) ** 3), float((2 * B2 + 1) ** 3)]
 
         def fn(image):
             return fir.fir_separable_2d(
                 image.astype(jnp.float32), [t1, t2], signs=[1.0, -1.0],
-                tile_width=tile_width_resolved,
+                tile_width=tile_width_resolved, tap_scale=scale,
             )
 
         return jax.jit(fn)

@@ -310,11 +310,16 @@ def _split_passes(cdt, mmd, choice: str) -> int:
 
     0 disables the split path (bf16 storage/matmul modes, or the plain
     precision choices). The split applies only to f32 compute with no
-    bf16 matmul_dtype override.
+    bf16 matmul_dtype override. The px kernel modes map to the SAME
+    product counts here: wherever the Pallas kernels' static gates fail
+    (audio-scale tile counts, non-128 tiles, rotated P>1), the einsum
+    fallback runs the equivalent compensated split — same accuracy grade,
+    without HIGHEST's operand-conversion copies.
     """
     if mmd is not None or cdt != jnp.float32:
         return 0
-    return {"f32x3": 3, "f32x4": 4, "f32x6": 6}.get(choice, 0)
+    return {"f32x3": 3, "f32x4": 4, "f32x6": 6,
+            "px3": 3, "px4": 4, "px6": 6}.get(choice, 0)
 
 
 def _split_chunks(npasses: int) -> int:

@@ -133,6 +133,7 @@ def fir_pass_last(
     emit_rot: bool = False,
     matmul_precision: str | None = None,
     matmul_dtype=None,
+    tap_scale=None,
 ):
     """Apply a centered zero-padded FIR along the LAST axis via tile matmuls.
 
@@ -196,7 +197,7 @@ def fir_pass_last(
                   else x.reshape(qk, L)).astype(cdt)
             yk = fir_band.fir_band_pass(
                 xk, taps, T=T, rot=emit_rot, nprod=nprod_k,
-                contract=contract, interpret=interp)
+                contract=contract, interpret=interp, tap_scale=tap_scale)
             if emit_rot:
                 return yk  # (C?, L, last-batch) — rot gated to nbatch == 1
             shp = ((C,) if (C > 1 and not contract) else ()) + \
@@ -276,6 +277,7 @@ def fir_separable_2d(
     tile_width: int = 0,
     matmul_precision: str | None = None,
     matmul_dtype=None,
+    tap_scale=None,
 ):
     """C-channel separable FIR bank over a 2-D image with a signed
     cross-channel reduction: out = Σ_c signs[c] · (taps_y[c] ⊗ taps_x[c]) * I.
@@ -299,7 +301,7 @@ def fir_separable_2d(
     C = taps_x.shape[0]
     signs = np.ones(C) if signs is None else np.asarray(signs, np.float64)
     kw = dict(tile_width=tile_width, matmul_precision=matmul_precision,
-              matmul_dtype=matmul_dtype)
+              matmul_dtype=matmul_dtype, tap_scale=tap_scale)
 
     v = fir_pass_last(image, taps_x, bank=(C > 1), emit_rot=True, **kw)
     return fir_pass_last(v, taps_y * signs[:, None], contract=(C > 1),

@@ -76,8 +76,8 @@ def band_blocks(taps: np.ndarray, T: int):
     return W
 
 
-def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
-                contract: bool, nblk: int):
+def _fir_kernel(*refs, pairs, nc: int, rot: bool, kT: int, C: int,
+                contract: bool, nblk: int, inv_s=None):
     """One (Lb, kT·T) block (+ 2 one-tile strips) -> (kT·T, Lb) (rot) or
     (Lb, kT·T) out block, per output channel.
 
@@ -85,8 +85,6 @@ def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
     the x/o refs when ``contract``/bank applies."""
     W_ref, x_ref, xm_ref, xp_ref, o_ref = refs
     g = pl.program_id(1)
-    nc = _nchunks(nprod)
-    pairs = _prods(nprod)
     T = xm_ref.shape[-1]
     Cin = x_ref.shape[0] if contract else 1
 
@@ -115,8 +113,9 @@ def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
         for tau in range(kT):
             acc = None
             for cin in range(Cin):
-                # W_ref layout: (C, 3, T, nprod*T) — position-major blocks,
-                # chunk i of pair p at lanes [p*T, (p+1)*T).
+                # W_ref layout: (C, 3, T, len(pairs)*T) — position-major
+                # blocks, chunk i of pair p at lanes [p*T, (p+1)*T).
+                sub = None
                 for p, (i, j) in enumerate(pairs):
                     sl = slice(p * T, (p + 1) * T)
                     wb = W_ref[co * Cin + cin]
@@ -135,7 +134,11 @@ def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
                             t = jax.lax.dot_general(
                                 xb, w, dn_flat,
                                 preferred_element_type=jnp.float32)
-                        acc = t if acc is None else acc + t
+                        sub = t if sub is None else sub + t
+                if inv_s is not None:
+                    # integer-scaled exact band: undo the channel's scale
+                    sub = sub * inv_s[co * Cin + cin]
+                acc = sub if acc is None else acc + sub
             if rot:
                 blk = acc.astype(o_ref.dtype)
                 if C > 1:
@@ -150,9 +153,17 @@ def _fir_kernel(*refs, nprod: int, rot: bool, kT: int, C: int,
                     o_ref[:, tau * T:(tau + 1) * T] = blk
 
 
+def _exact_bf16(v) -> bool:
+    """True when every entry of ``v`` is exactly bf16-representable."""
+    import ml_dtypes
+
+    v = np.asarray(v, np.float64)
+    return bool(np.all(v.astype(ml_dtypes.bfloat16).astype(np.float64) == v))
+
+
 def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
                   signs=None, contract: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, tap_scale=None):
     """Banded FIR along the last axis of ``x`` via the fused kernel.
 
     ``x``: (q, L) — or (C, q, L) with ``contract`` (signed channel sum).
@@ -160,6 +171,14 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     Zero-padded (full-convolution) semantics; L is zero-padded up to the
     internal tile grid and cropped back. Returns (L, q) / (C, L, q) when
     ``rot`` else (q, L) / (C, q, L).
+
+    ``tap_scale`` (scalar or per-channel): a factor making the taps exactly
+    bf16-representable — iterated boxes are integers/(2B+1)^n, so scale
+    (2B+1)^n gives small integers. The W operand then needs ONE bf16 chunk
+    instead of 2-3, halving the compensated modes' MXU products (px6: 6→3
+    at identical accuracy — the dropped terms are exactly zero); the scale
+    is undone by one per-channel multiply on the accumulated block. Ignored
+    (generic chunking) when the scaled taps are not exactly representable.
     """
     taps = np.atleast_2d(np.asarray(taps, np.float64))
     C = taps.shape[0]
@@ -180,12 +199,27 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     padL = ntot * T - L
 
     nc = _nchunks(nprod)
-    pairs = _prods(nprod)
-    # W constant: (Cout*Cin, 3, T, nprod*T) — per channel pair, position-
-    # major (prev, cur, next) blocks, band chunk i of product pair p.
+    # Exact-integer band: with a valid tap_scale every W chunk beyond the
+    # first is exactly zero, so only the x-chunk products remain.
+    scales = None
+    if tap_scale is not None and nc > 1:
+        s = np.broadcast_to(np.asarray(tap_scale, np.float64),
+                            (Cout * Cin,)).copy()
+        if all(_exact_bf16(taps[c] * s[c]) for c in range(Cout * Cin)):
+            scales = s
+    if scales is not None:
+        pairs = [(0, j) for j in range(nc)]
+        taps_k = taps * scales[:, None]
+        inv_s = [float(1.0 / v) for v in scales]
+    else:
+        pairs = _prods(nprod)
+        taps_k = taps
+        inv_s = None
+    # W constant: (Cout*Cin, 3, T, len(pairs)*T) — per channel pair,
+    # position-major (prev, cur, next) blocks, band chunk i of pair p.
     Wk = np.zeros((Cout * Cin, 3, T, len(pairs) * T), np.float32)
     for c in range(Cout * Cin):
-        Wb = band_blocks(taps[c], T)  # (3, T, T) float64
+        Wb = band_blocks(taps_k[c], T)  # (3, T, T) float64
         Ws = _split_const_np(np.transpose(Wb, (1, 0, 2)).reshape(T, 3 * T), nc)
         for p, (i, _) in enumerate(pairs):
             chunk = np.asarray(Ws[i], np.float32).reshape(T, 3, T)
@@ -259,8 +293,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
             cfg[1 if contract else 0] = (0, qp - q)  # q axis
             x = jnp.pad(x, cfg)
         y = pl.pallas_call(
-            partial(_fir_kernel, nprod=nprod, rot=rot, kT=kT, C=Cout,
-                    contract=contract, nblk=nblk),
+            partial(_fir_kernel, pairs=pairs, nc=nc, rot=rot, kT=kT, C=Cout,
+                    contract=contract, nblk=nblk, inv_s=inv_s),
             out_shape=out_shape,
             grid=grid,
             in_specs=in_specs,

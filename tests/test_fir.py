@@ -222,3 +222,35 @@ def test_fir_grads_f32_grade_all_paths():
         g = np.asarray(jax.grad(lambda v: (fir.fir_pass_last(
             v, taps, tile_width=tw, matmul_precision=mp) * ct).sum())(x))
         assert np.abs(g - g_true).max() / s < 1e-5, (tw, mp)
+
+
+def test_fir_band_tap_scale_exact_integer_band():
+    """(2B+1)^n-scaled box taps are small integers (exact in bf16): the
+    kernel must use the reduced x-chunk-only product set at unchanged
+    accuracy, and must silently fall back when the scaled taps are NOT
+    exactly representable (box6's numerators exceed the bf16 integer
+    range)."""
+    import jax
+
+    from recfilter_tpu.kernels import fir_band
+
+    x = jnp.asarray(_img(48, 640, seed=61) * 0.1)
+    taps = fir.box_taps(5, 3)  # numerators <= 91: exact at scale 11^3
+    want = fir.fir_oracle(np.asarray(x), taps, 1)
+    s = np.abs(want).max()
+    got = np.asarray(fir_band.fir_band_pass(
+        x, taps, T=128, rot=False, nprod=6, interpret=True,
+        tap_scale=float(11 ** 3)))
+    assert np.abs(got - want).max() <= 2e-6 * s
+    # invalid scale -> generic chunking, same accuracy
+    got2 = np.asarray(fir_band.fir_band_pass(
+        x, taps, T=128, rot=False, nprod=6, interpret=True,
+        tap_scale=7.0))
+    assert np.abs(got2 - want).max() <= 2e-6 * s
+    # box6 taps: numerators exceed bf16's exact-integer range
+    t6 = fir.box_taps(5, 6)
+    w6 = fir.fir_oracle(np.asarray(x), t6, 1)
+    g6 = np.asarray(fir_band.fir_band_pass(
+        x, t6, T=128, rot=False, nprod=6, interpret=True,
+        tap_scale=float(11 ** 6)))
+    assert np.abs(g6 - w6).max() <= 2e-6 * np.abs(w6).max()
