@@ -39,12 +39,16 @@ def main():
                    help="reference ranges: orders 1..29, biquads 1..30")
     p.add_argument("--kinds", default="high_order,biquads")
     p.add_argument("--perflog", default="audio_sweep.perflog")
+    p.add_argument("--precision", default="default",
+                   help="matmul precision mode (as scripts/time_app.py)")
     ns = p.parse_args()
 
     import jax.numpy as jnp
 
     from bench import slope_ms_per_iter
-    from recfilter_tpu import apps
+    from recfilter_tpu import apps, planner
+
+    planner.set_default_matmul_precision(ns.precision)
 
     if ns.orders:
         orders = [int(s) for s in ns.orders.split(",")]
