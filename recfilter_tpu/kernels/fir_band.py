@@ -161,6 +161,26 @@ def _exact_bf16(v) -> bool:
     return bool(np.all(v.astype(ml_dtypes.bfloat16).astype(np.float64) == v))
 
 
+def exact_band(taps, tap_scale, C: int):
+    """(scaled integer taps, per-channel inverse scales) when every
+    channel's ``taps·scale`` snaps to exactly-bf16 integers, else None.
+
+    The f64 taps carry ~1e-13 convolution noise around their rational
+    values m/(2B+1)^n, so scaled entries sit a few ulps off the integers —
+    snap before the exactness check."""
+    if tap_scale is None:
+        return None
+    taps = np.atleast_2d(np.asarray(taps, np.float64))
+    s = np.broadcast_to(np.asarray(tap_scale, np.float64), (C,)).copy()
+    t_scaled = taps * s[:, None]
+    t_snap = np.rint(t_scaled)
+    close = np.max(np.abs(t_scaled - t_snap)) <= 1e-6 * max(
+        1.0, float(np.max(np.abs(t_snap))))
+    if close and all(_exact_bf16(t_snap[c]) for c in range(C)):
+        return t_snap, [float(1.0 / v) for v in s]
+    return None
+
+
 def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
                   signs=None, contract: bool = False,
                   interpret: bool = False, tap_scale=None):
@@ -201,16 +221,10 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     nc = _nchunks(nprod)
     # Exact-integer band: with a valid tap_scale every W chunk beyond the
     # first is exactly zero, so only the x-chunk products remain.
-    scales = None
-    if tap_scale is not None and nc > 1:
-        s = np.broadcast_to(np.asarray(tap_scale, np.float64),
-                            (Cout * Cin,)).copy()
-        if all(_exact_bf16(taps[c] * s[c]) for c in range(Cout * Cin)):
-            scales = s
-    if scales is not None:
+    exact = exact_band(taps, tap_scale, Cout * Cin) if nc > 1 else None
+    if exact is not None:
         pairs = [(0, j) for j in range(nc)]
-        taps_k = taps * scales[:, None]
-        inv_s = [float(1.0 / v) for v in scales]
+        taps_k, inv_s = exact
     else:
         pairs = _prods(nprod)
         taps_k = taps

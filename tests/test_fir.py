@@ -254,3 +254,18 @@ def test_fir_band_tap_scale_exact_integer_band():
         x, t6, T=128, rot=False, nprod=6, interpret=True,
         tap_scale=float(11 ** 6)))
     assert np.abs(g6 - w6).max() <= 2e-6 * np.abs(w6).max()
+
+
+def test_exact_band_decision():
+    """box1/box3 taps qualify for the reduced product set (after integer
+    snapping of the f64 convolution noise); box6's numerators exceed
+    bf16's exact-integer range; bogus scales are rejected."""
+    from recfilter_tpu.kernels import fir_band
+
+    assert fir_band.exact_band(fir.box_taps(5, 1), 11.0, 1) is not None
+    assert fir_band.exact_band(fir.box_taps(5, 3), 11.0 ** 3, 1) is not None
+    assert fir_band.exact_band(fir.box_taps(4, 3), 9.0 ** 3, 1) is not None
+    assert fir_band.exact_band(fir.box_taps(5, 6), 11.0 ** 6, 1) is None
+    assert fir_band.exact_band(fir.box_taps(5, 3), 7.0, 1) is None
+    # DoG's B2=9 channel: central numerator 271 is an odd 9-bit integer
+    assert fir_band.exact_band(fir.box_taps(9, 3), 19.0 ** 3, 1) is None
