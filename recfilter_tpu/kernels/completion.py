@@ -43,6 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 _VMEM_BUDGET = 6 * 1024 * 1024
 _SLOTS = 8  # carry slots per tile (sublane quantum); max ΣK supported
+# Chained-tails extraction strategy: False = explicit acc re-split + chunk
+# concats (the px product pairs); True = one f32 HIGHEST dot per sub-tile
+# (Mosaic's own compensated lowering). Toggle for on-chip comparison.
+_TAILS_F32_DOT = False
 
 
 def _split_const(M, nchunks: int):
@@ -151,7 +155,24 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
     # so the two never coexist (callers assert this).
     out = acc if epilogue is None else epilogue(acc, *(a[:] for a in aux_refs))
     o_ref[:] = out.astype(o_ref.dtype)
-    if kt:
+    if kt and _TAILS_F32_DOT:
+        # Direct f32 HIGHEST dots on the accumulator: Mosaic's own
+        # compensated lowering replaces the explicit acc re-split + chunk
+        # concats (G2_ref is then the unchunked f32 rows).
+        dgf = (((1,), (1,)), ((), ()))  # (8,t2)x(T,t2) -> (8,T)
+        for a in range(max(ka, 1)):
+            for c in range(kt):
+                off = a * kt * t2 + c * t2
+                g32 = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
+                t = jax.lax.dot_general(
+                    g32, acc[:, off:off + t2], dgf,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                if ka:
+                    o2_ref[a, c * _SLOTS:(c + 1) * _SLOTS, :] = t
+                else:
+                    o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = t
+    elif kt:
         accs = _split_vmem(acc, nc)
         dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
         if ka:
@@ -380,13 +401,19 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             Gp2[:, :S2] = np.asarray(Gcat2, np.float64)[
                 np.minimum(np.arange(n2), nv2 - 1)
             ]
-            Gs2 = _split_const(Gp2, nc)
-            G2k = jnp.concatenate(
-                [Gs2[i] for i, _ in pairs], axis=-1
-            ).reshape(n2 * _SLOTS, nprod * T2)
+            if _TAILS_F32_DOT:
+                g2w = T2
+                G2k = jnp.asarray(Gp2, jnp.float32).reshape(
+                    n2 * _SLOTS, T2)
+            else:
+                g2w = nprod * T2
+                Gs2 = _split_const(Gp2, nc)
+                G2k = jnp.concatenate(
+                    [Gs2[i] for i, _ in pairs], axis=-1
+                ).reshape(n2 * _SLOTS, nprod * T2)
             if ka:
                 in_specs.append(
-                    pl.BlockSpec((n2 * _SLOTS, nprod * T2),
+                    pl.BlockSpec((n2 * _SLOTS, g2w),
                                  lambda t, l: (0, 0),
                                  memory_space=pltpu.VMEM)
                 )
@@ -404,7 +431,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 )
             else:
                 in_specs.append(
-                    pl.BlockSpec((kt * _SLOTS, nprod * T2),
+                    pl.BlockSpec((kt * _SLOTS, g2w),
                                  lambda t, l: (l, 0),
                                  memory_space=pltpu.VMEM)
                 )

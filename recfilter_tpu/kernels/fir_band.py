@@ -76,7 +76,7 @@ def band_blocks(taps: np.ndarray, T: int):
     return W
 
 
-def _fir_kernel(*refs, pairs, nc: int, rot: bool, kT: int, C: int,
+def _fir_kernel(*refs, ch_pairs, nc: int, rot: bool, kT: int, C: int,
                 contract: bool, nblk: int, inv_s=None):
     """One (Lb, kT·T) block (+ 2 one-tile strips) -> (kT·T, Lb) (rot) or
     (Lb, kT·T) out block, per output channel.
@@ -113,10 +113,11 @@ def _fir_kernel(*refs, pairs, nc: int, rot: bool, kT: int, C: int,
         for tau in range(kT):
             acc = None
             for cin in range(Cin):
-                # W_ref layout: (C, 3, T, len(pairs)*T) — position-major
-                # blocks, chunk i of pair p at lanes [p*T, (p+1)*T).
+                # W_ref layout: (C, 3, T, wslots*T) — position-major
+                # blocks, chunk i of the channel's pair p at lanes
+                # [p*T, (p+1)*T).
                 sub = None
-                for p, (i, j) in enumerate(pairs):
+                for p, (i, j) in enumerate(ch_pairs[co * Cin + cin]):
                     sl = slice(p * T, (p + 1) * T)
                     wb = W_ref[co * Cin + cin]
                     cur = xs[cin][j][:, tau * T:(tau + 1) * T]
@@ -135,7 +136,7 @@ def _fir_kernel(*refs, pairs, nc: int, rot: bool, kT: int, C: int,
                                 xb, w, dn_flat,
                                 preferred_element_type=jnp.float32)
                         sub = t if sub is None else sub + t
-                if inv_s is not None:
+                if inv_s is not None and inv_s[co * Cin + cin] != 1.0:
                     # integer-scaled exact band: undo the channel's scale
                     sub = sub * inv_s[co * Cin + cin]
                 acc = sub if acc is None else acc + sub
@@ -162,23 +163,35 @@ def _exact_bf16(v) -> bool:
 
 
 def exact_band(taps, tap_scale, C: int):
-    """(scaled integer taps, per-channel inverse scales) when every
-    channel's ``taps·scale`` snaps to exactly-bf16 integers, else None.
+    """Per-channel exact-integer band decision.
 
-    The f64 taps carry ~1e-13 convolution noise around their rational
-    values m/(2B+1)^n, so scaled entries sit a few ulps off the integers —
-    snap before the exactness check."""
+    Returns (taps_k, inv_s, exact_flags): for channels whose ``taps·scale``
+    snaps to exactly-bf16 integers (the f64 taps carry ~1e-13 convolution
+    noise around their rational values m/(2B+1)^n — snap first), taps_k
+    holds the scaled integers and inv_s the inverse scale; other channels
+    keep their raw taps (inv_s 1.0). None when no channel qualifies or no
+    scale was given — channels are decided INDEPENDENTLY, so e.g. DoG's
+    B=5 radius gets the reduced product set even though B=9's numerators
+    exceed bf16's exact-integer range."""
     if tap_scale is None:
         return None
     taps = np.atleast_2d(np.asarray(taps, np.float64))
     s = np.broadcast_to(np.asarray(tap_scale, np.float64), (C,)).copy()
-    t_scaled = taps * s[:, None]
-    t_snap = np.rint(t_scaled)
-    close = np.max(np.abs(t_scaled - t_snap)) <= 1e-6 * max(
-        1.0, float(np.max(np.abs(t_snap))))
-    if close and all(_exact_bf16(t_snap[c]) for c in range(C)):
-        return t_snap, [float(1.0 / v) for v in s]
-    return None
+    taps_k = taps.copy()
+    inv_s = [1.0] * C
+    exact = [False] * C
+    for c in range(C):
+        t_scaled = taps[c] * s[c]
+        t_snap = np.rint(t_scaled)
+        close = np.max(np.abs(t_scaled - t_snap)) <= 1e-6 * max(
+            1.0, float(np.max(np.abs(t_snap))))
+        if close and _exact_bf16(t_snap):
+            taps_k[c] = t_snap
+            inv_s[c] = float(1.0 / s[c])
+            exact[c] = True
+    if not any(exact):
+        return None
+    return taps_k, inv_s, exact
 
 
 def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
@@ -222,20 +235,24 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     # Exact-integer band: with a valid tap_scale every W chunk beyond the
     # first is exactly zero, so only the x-chunk products remain.
     exact = exact_band(taps, tap_scale, Cout * Cin) if nc > 1 else None
+    gen_pairs = _prods(nprod)
+    red_pairs = [(0, j) for j in range(nc)]
     if exact is not None:
-        pairs = [(0, j) for j in range(nc)]
-        taps_k, inv_s = exact
+        taps_k, inv_s, flags = exact
+        ch_pairs = [red_pairs if f else gen_pairs for f in flags]
     else:
-        pairs = _prods(nprod)
         taps_k = taps
         inv_s = None
-    # W constant: (Cout*Cin, 3, T, len(pairs)*T) — per channel pair,
-    # position-major (prev, cur, next) blocks, band chunk i of pair p.
-    Wk = np.zeros((Cout * Cin, 3, T, len(pairs) * T), np.float32)
+        ch_pairs = [gen_pairs] * (Cout * Cin)
+    wslots = max(len(p) for p in ch_pairs)
+    # W constant: (Cout*Cin, 3, T, wslots*T) — per channel, position-major
+    # (prev, cur, next) blocks, band chunk i of that channel's pair p
+    # (channels with the reduced exact-integer set leave the tail slots 0).
+    Wk = np.zeros((Cout * Cin, 3, T, wslots * T), np.float32)
     for c in range(Cout * Cin):
         Wb = band_blocks(taps_k[c], T)  # (3, T, T) float64
         Ws = _split_const_np(np.transpose(Wb, (1, 0, 2)).reshape(T, 3 * T), nc)
-        for p, (i, _) in enumerate(pairs):
+        for p, (i, _) in enumerate(ch_pairs[c]):
             chunk = np.asarray(Ws[i], np.float32).reshape(T, 3, T)
             Wk[c, :, :, p * T:(p + 1) * T] = np.transpose(chunk, (1, 0, 2))
     Wk = jnp.asarray(Wk, jnp.bfloat16)
@@ -250,7 +267,7 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     grid = (qp // Lb, nblk)
     if contract:
         in_specs = [
-            pl.BlockSpec((Cout * Cin, 3, T, len(pairs) * T),
+            pl.BlockSpec((Cout * Cin, 3, T, wslots * T),
                          lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cin, Lb, kT * T), lambda l, g: (0, l, g),
                          memory_space=pltpu.VMEM),
@@ -264,7 +281,7 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
         ]
     else:
         in_specs = [
-            pl.BlockSpec((Cout * Cin, 3, T, len(pairs) * T),
+            pl.BlockSpec((Cout * Cin, 3, T, wslots * T),
                          lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Lb, kT * T), lambda l, g: (l, g),
                          memory_space=pltpu.VMEM),
@@ -307,8 +324,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
             cfg[1 if contract else 0] = (0, qp - q)  # q axis
             x = jnp.pad(x, cfg)
         y = pl.pallas_call(
-            partial(_fir_kernel, pairs=pairs, nc=nc, rot=rot, kT=kT, C=Cout,
-                    contract=contract, nblk=nblk, inv_s=inv_s),
+            partial(_fir_kernel, ch_pairs=ch_pairs, nc=nc, rot=rot, kT=kT,
+                    C=Cout, contract=contract, nblk=nblk, inv_s=inv_s),
             out_shape=out_shape,
             grid=grid,
             in_specs=in_specs,

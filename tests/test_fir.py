@@ -269,3 +269,25 @@ def test_exact_band_decision():
     assert fir_band.exact_band(fir.box_taps(5, 3), 7.0, 1) is None
     # DoG's B2=9 channel: central numerator 271 is an odd 9-bit integer
     assert fir_band.exact_band(fir.box_taps(9, 3), 19.0 ** 3, 1) is None
+
+
+def test_exact_band_per_channel_mixed():
+    """DoG's mixed pair: the B=5 channel gets the reduced set, B=9 keeps
+    the generic products — decided independently — and the mixed-channel
+    kernel stays f64-oracle exact."""
+    from recfilter_tpu.kernels import fir_band
+
+    tb = fir._align_taps([fir.box_taps(5, 3), fir.box_taps(9, 3)])
+    res = fir_band.exact_band(tb, [11.0 ** 3, 19.0 ** 3], 2)
+    assert res is not None
+    _, inv_s, flags = res
+    assert flags == [True, False] and inv_s[1] == 1.0
+
+    x = jnp.asarray(_img(48, 640, seed=71) * 0.1)
+    got = np.asarray(fir_band.fir_band_pass(
+        x, tb, T=128, rot=False, nprod=6, interpret=True,
+        signs=[1.0, -1.0], contract=False,
+        tap_scale=[11.0 ** 3, 19.0 ** 3]))
+    for c, t in enumerate(tb):
+        w = fir.fir_oracle(np.asarray(x), t * (1.0 if c == 0 else -1.0), 1)
+        assert np.abs(got[c] - w).max() <= 2e-6 * np.abs(w).max(), c
