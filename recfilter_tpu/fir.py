@@ -204,10 +204,10 @@ def fir_pass_last(
                 x.shape[1 if contract else 0:-1] + (L,)
             return yk.reshape(shp)
 
-    _px_as_split = {"px3": "f32x3", "px4": "f32x4", "px6": "f32x6"}
-    fir_precision = _px_as_split.get(matmul_precision, matmul_precision)
-    prec = dimfuse._matmul_precision(cdt, mmd, fir_precision)
-    nsp = dimfuse._split_passes(cdt, mmd, fir_precision)
+    # (dimfuse._split_passes maps the px modes to their split product
+    # counts directly, so the einsum fallback here shares that path.)
+    prec = dimfuse._matmul_precision(cdt, mmd, matmul_precision)
+    nsp = dimfuse._split_passes(cdt, mmd, matmul_precision)
 
     X = x.astype(cdt)
     if pad:

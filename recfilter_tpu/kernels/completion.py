@@ -40,12 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HI = jax.lax.Precision.HIGHEST
 _VMEM_BUDGET = 6 * 1024 * 1024
 _SLOTS = 8  # carry slots per tile (sublane quantum); max ΣK supported
 # Chained-tails extraction strategy: False = explicit acc re-split + chunk
 # concats (the px product pairs); True = one f32 HIGHEST dot per sub-tile
-# (Mosaic's own compensated lowering). Toggle for on-chip comparison.
+# (Mosaic's own compensated lowering). Measured on chip (gaussian3 4K px6,
+# /tmp/tails_exp pattern): split 0.538 ms vs f32-dot 0.547 — the explicit
+# split stays the default; the toggle remains for future Mosaic versions.
 _TAILS_F32_DOT = False
 
 
