@@ -975,6 +975,94 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
     return (y, tails_out) if next_tails is not None else y
 
+def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp):
+    """Both passes' raw tails from ONE read of the image (2-D px chain).
+
+    The chained-tails mechanism extracts pass 2's tails inside pass 1's
+    completion kernel; that extraction costs ~0.06 ms/4K of VPU re-split
+    work per pass (measured). Here the overlap identity does it on
+    carry-sized data instead: the moments kernel (one read) produces the
+    x-dim raw tails U AND the y-dim raw tails of the RAW image bA; pass
+    2's raw tails of the x-completed image follow from
+
+        Gy ∘ Y1 = Btot_x ∘ (Gy ∘ x) + Rcat_x ∘ (Gy ∘ N_x)
+
+    (operators on different axes commute — ``lib/split.cpp:1215-1633``'s
+    role, the same identity as overlap2d, specialized to the rotation-
+    chained px pipeline's layouts). Both completion kernels then run
+    extraction-free. Returns (braw_x, braw_y) in the slot-padded
+    transposed (n, 8, lines) layouts the px pass consumes, or None when
+    the geometry gates fail (caller keeps the in-kernel chaining)."""
+    from .kernels import completion as _completion
+    from .kernels import final2d as k2d
+
+    h, w = x.shape
+    T1, n1, pad1 = plan1   # pass-1 dim (lanes, w)
+    T2, n2, pad2 = plan2   # pass-2 dim (sublanes, h)
+    if pad1 or pad2 or T1 != 128 or T2 != 128:
+        return None
+    if n1 > _CHAIN_MATMUL_MAX_TILES or n2 > _CHAIN_MATMUL_MAX_TILES:
+        return None
+    m1 = prepare_dim_pass(sc1, T1, n1, clamp)
+    m2 = prepare_dim_pass(sc2, T2, n2, clamp)
+    Kx = int(sum(m1.orders))
+    Ky = int(sum(m2.orders))
+    if Kx > 8 or Ky > 8:
+        return None
+    Gx = np.concatenate([np.asarray(g) for g in m1.G], axis=1)
+    Gy = np.concatenate([np.asarray(g) for g in m2.G], axis=1)
+
+    X4 = x.reshape(1, n2, T2, w).astype(jnp.float32)
+    bA, U = k2d.moments2d(X4, Gy, Gx, interp)
+    # U (1, n2, n1, T2, Kx) → pass-1 lines layout (n1, 8, h)
+    braw_x = jnp.transpose(U[0], (1, 3, 0, 2)).reshape(n1, Kx, h)
+    if Kx < 8:
+        braw_x = jnp.pad(braw_x, ((0, 0), (0, 8 - Kx), (0, 0)))
+
+    # Solve N_x for the carry-sized y-tails identity (pass 1 re-solves the
+    # identical system from the same raw tails — XLA CSE merges them).
+    CMpx = jnp.asarray(
+        _completion.pad_solve_matrix(combined_solve_matrix(m1, n1), n1, Kx),
+        jnp.float32,
+    )
+    Nx8 = jnp.einsum(
+        "ts,sl->tl", CMpx, braw_x.reshape(n1 * 8, h),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(n1, 8, h)
+
+    hi = jax.lax.Precision.HIGHEST
+    Btx = jnp.asarray(np.asarray(m1.Btot), jnp.float32)
+    Rcx = jnp.asarray(
+        np.concatenate([np.asarray(r) for r in m1.Rhat], axis=2), jnp.float32
+    )
+    Gys = jnp.asarray(Gy, jnp.float32)
+    bA4 = bA[0].reshape(n2, Ky, n1, T1)
+    if Btx.shape[0] == 1:
+        Z1 = jnp.einsum("os,akns->akno", Btx[0], bA4,
+                        preferred_element_type=jnp.float32, precision=hi)
+    else:
+        Z1 = jnp.einsum("nos,akns->akno", Btx, bA4,
+                        preferred_element_type=jnp.float32, precision=hi)
+    NxR = Nx8[:, :Kx, :].reshape(n1, Kx, n2, T2)
+    if Gys.shape[0] == 1:
+        GN = jnp.einsum("kt,nxat->aknx", Gys[0], NxR,
+                        preferred_element_type=jnp.float32, precision=hi)
+    else:
+        GN = jnp.einsum("akt,nxat->aknx", Gys, NxR,
+                        preferred_element_type=jnp.float32, precision=hi)
+    if Rcx.shape[0] == 1:
+        T2term = jnp.einsum("ox,aknx->akno", Rcx[0], GN,
+                            preferred_element_type=jnp.float32, precision=hi)
+    else:
+        T2term = jnp.einsum("nox,aknx->akno", Rcx, GN,
+                            preferred_element_type=jnp.float32, precision=hi)
+    braw_y = (Z1 + T2term).reshape(n2, Ky, w)
+    if Ky < 8:
+        braw_y = jnp.pad(braw_y, ((0, 0), (0, 8 - Ky), (0, 0)))
+    return braw_x, braw_y
+
+
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                        matmul_dtype=None, matmul_precision: str = "highest",
                        epilogue=None, eaux=()):
@@ -1041,11 +1129,28 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             fuse_tails = _kernel_nprod(cdt, matmul_dtype,
                                        matmul_precision) > 0
             tails_next = None
+            # 2-D images: derive BOTH passes' raw tails from one read via
+            # the moments kernel + overlap identity — the completion
+            # kernels then run extraction-free (the in-kernel next_tails
+            # re-split costs ~0.06 ms/4K). f32 px modes only (the moments
+            # kernel computes HIGHEST-grade f32 tails; bf16 storage keeps
+            # the in-kernel chain).
+            moments = None
+            if (fuse_tails and Ds == 2 and x.ndim == 2
+                    and cdt == jnp.float32):
+                moments = _moments_tails_2d(
+                    x,
+                    [spec.scans[j] for j in groups[order[0]]], plans[order[0]],
+                    [spec.scans[j] for j in groups[order[1]]], plans[order[1]],
+                    clamp, jax.default_backend() != "tpu",
+                )
+                if moments is not None:
+                    tails_next = moments[0]
             for i, ax in enumerate(order):
                 sc = [spec.scans[j] for j in groups[ax]]
                 final = i == len(order) - 1
-                nt = None
-                if fuse_tails and not final:
+                nt = None  # (moments path: pass 2's tails already derived)
+                if moments is None and fuse_tails and not final:
                     ax2 = order[i + 1]
                     sc2 = [spec.scans[j] for j in groups[ax2]]
                     T2, n2, pad2 = plans[ax2]
@@ -1065,7 +1170,11 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     eaux=eaux if final else (),
                     tails_in=tails_next, next_tails=nt,
                 )
-                x, tails_next = r if nt is not None else (r, None)
+                if moments is not None:
+                    x = r
+                    tails_next = None if final else moments[1]
+                else:
+                    x, tails_next = r if nt is not None else (r, None)
             return x.astype(dtype)
 
     axes = list(groups)

@@ -150,26 +150,48 @@ def moments2d(x, G_a_cat, G_b_cat, interpret: bool):
     b_stacked = Gb.shape[0] > 1
 
     kernel = partial(_moments_kernel, nb=nb, Tb=Tb, b_stacked=b_stacked)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((outer, na, Ka, W), jnp.float32),
-            jax.ShapeDtypeStruct((outer, na, nb, Ta, Kb), jnp.float32),
-        ),
-        grid=(outer, na),
-        in_specs=[
-            pl.BlockSpec((None, Ka, Ta), lambda o, a: (ia(a), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Gb stack, whole
-            pl.BlockSpec((None, None, Ta, W), lambda o, a: (o, a, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((None, None, Ka, W), lambda o, a: (o, a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, nb, Ta, Kb),
-                         lambda o, a: (o, a, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(Ga, Gb, x)
+
+    def _run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((outer, na, Ka, W), jnp.float32),
+                jax.ShapeDtypeStruct((outer, na, nb, Ta, Kb), jnp.float32),
+            ),
+            grid=(outer, na),
+            in_specs=[
+                pl.BlockSpec((None, Ka, Ta), lambda o, a: (ia(a), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Gb stack, whole
+                pl.BlockSpec((None, None, Ta, W), lambda o, a: (o, a, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((None, None, Ka, W), lambda o, a: (o, a, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, nb, Ta, Kb),
+                             lambda o, a: (o, a, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(Ga, Gb, x)
+
+    # VJP via the einsum twins (pallas_call has no autodiff rule); both
+    # outputs are linear in x.
+    Gan = Ga[np.minimum(np.arange(na), Ga.shape[0] - 1)]
+    Gbn = Gb[np.minimum(np.arange(nb), Gb.shape[0] - 1)]
+
+    def _ref(x):
+        bA = jnp.einsum("akt,oatw->oakw", Gan, x,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        xr = x.reshape(outer, na, Ta, nb, Tb)
+        U = jnp.einsum("bks,oatbs->oabtk", Gbn, xr,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return bA, U
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x: (_run(x), x),
+             lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
+    return f(x)

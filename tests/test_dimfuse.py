@@ -517,8 +517,9 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
         )
     finally:
         _completion.tails_pass = orig
-    # pass 2's tails came from pass 1's fused kernel, not a tails_pass read
-    assert len(calls) == 1
+    # BOTH passes' tails came from the one-read moments kernel + overlap
+    # identity (no tails_pass image read at all)
+    assert len(calls) == 0
     want = x.astype(np.float64)
     from recfilter_tpu import scan_core
 
