@@ -475,6 +475,12 @@ def _plan_tiles(w: int, tile_width: int, kmax: int, clamp: bool):
 # ``jax.lax.associative_scan`` form of the carry recurrence (SURVEY §5.7).
 _CHAIN_MATMUL_MAX_TILES = 256
 
+# 2-D moments-first tails chain (_moments_tails_2d): MEASURED OFF on chip
+# (bench 4K px6: 0.626 ms vs 0.526 with in-kernel extraction —
+# final2d.moments2d's HIGHEST f32 dots cost more than the extraction
+# saves). Re-enable if/when a split-bf16 moments kernel lands.
+_MOMENTS_CHAIN = False
+
 
 def _chain_solve_assoc(b, scan: Scan, T: int, em, last: bool):
     """Solve one scan's cross-tile recurrence with an associative scan.
@@ -1136,7 +1142,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             # kernel computes HIGHEST-grade f32 tails; bf16 storage keeps
             # the in-kernel chain).
             moments = None
-            if (fuse_tails and Ds == 2 and x.ndim == 2
+            if (_MOMENTS_CHAIN and fuse_tails and Ds == 2 and x.ndim == 2
                     and cdt == jnp.float32):
                 moments = _moments_tails_2d(
                     x,

@@ -515,17 +515,33 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
                 spec, jnp.asarray(x), matmul_precision=mode
             )
         )
+        # The moments-first variant derives BOTH passes' tails from one
+        # read (zero tails_pass calls); the shipping in-kernel chain pays
+        # exactly one tails read. Cover whichever is enabled plus the
+        # other variant explicitly.
+        expect = 0 if dimfuse._MOMENTS_CHAIN else 1
+        assert len(calls) == expect
+        calls.clear()
+        old = dimfuse._MOMENTS_CHAIN
+        dimfuse._MOMENTS_CHAIN = not old
+        try:
+            got2 = np.asarray(
+                dimfuse.apply_filter_fused(
+                    spec, jnp.asarray(x), matmul_precision=mode
+                )
+            )
+        finally:
+            dimfuse._MOMENTS_CHAIN = old
+        assert len(calls) == (1 - expect)
     finally:
         _completion.tails_pass = orig
-    # BOTH passes' tails came from the one-read moments kernel + overlap
-    # identity (no tails_pass image read at all)
-    assert len(calls) == 0
     want = x.astype(np.float64)
     from recfilter_tpu import scan_core
 
     want = scan_core.oracle_apply(spec, want)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= bound * scale
+    assert np.abs(got2 - want).max() <= bound * scale
 
 
 def test_px_tails_chaining_volume():
