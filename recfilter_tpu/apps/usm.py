@@ -38,14 +38,13 @@ def unsharp_mask(
         return (1.0 + weight) * image - weight * blur
 
     if fused:
-        from .. import planner
-
         # Merging the cascade wins when stage boundaries cost HBM passes —
         # the px kernel modes (tails chaining spans the merge: 0.90→0.64 ms
         # at 4K px6). In the plain einsum modes XLA already fuses across
         # the staged composition and the merged rotation-chained pipeline
-        # measured ~10% slower — keep the staged epilogue there.
-        if planner._DEFAULT_MATMUL_PRECISION[0].startswith("px"):
+        # measured ~10% slower — keep the staged epilogue there. Gate on
+        # the built filters' OWN plan (what the executor will actually run).
+        if fc[0].plan.matmul_precision.startswith("px"):
             fn = fuse_cascade(fc, epilogue=combine)
             return jax.jit(lambda image: fn(image, image))
         fns = [f.as_func() for f in fc[:-1]]

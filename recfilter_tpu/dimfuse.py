@@ -101,6 +101,17 @@ def _chain_matrix(s: Scan, T: int, n: int) -> np.ndarray:
     return C.reshape(n * k, n * k)
 
 
+def pad_rows8(G: np.ndarray) -> np.ndarray:
+    """Zero-pad a stacked-G row axis to >= 8 so XLA lowers the contraction
+    as a dot — below 8 output rows it emits a broadcast+reduce chain
+    costing one full-size stream per row (single source of truth for the
+    sublane-quantum threshold; used by dimfuse and overlap2d)."""
+    if G.shape[1] >= 8:
+        return G
+    pad = np.zeros((G.shape[0], 8 - G.shape[1], G.shape[2]))
+    return np.concatenate([G, pad], axis=1)
+
+
 def combined_solve_matrix(mats: "DimPassMats", n: int) -> np.ndarray:
     """Fold every scan's chain solve AND the cross-scan H-couplings into one
     (n·ΣK × n·ΣK) matrix: N_cat = CMfull · b_raw_cat (interleaved per-tile
@@ -653,12 +664,8 @@ def fused_dim_pass(
     # rows turns m reads of X into one; rows are zero-padded to >= 8 so XLA
     # lowers the contraction as a dot — below 8 output rows it emits a
     # broadcast+reduce chain costing one full-size stream per row)
-    Gcat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
-    if Gcat.shape[1] < 8:
-        padg = np.zeros(
-            (Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2])
-        )
-        Gcat = np.concatenate([Gcat, padg], axis=1)
+    Gcat = pad_rows8(
+        np.concatenate([np.asarray(g) for g in mats.G], axis=1))
     braw = tile_mat_apply(Gcat, X, T, fast=True)  # (a, n, >=ΣK, b)
     offs = np.cumsum([0] + mats.orders)
 
@@ -714,6 +721,30 @@ def fused_dim_pass(
     return y
 
 
+
+
+
+def _kernel_epilogue_aux(epilogue, next_tails, rot, lead, P, n, T, rows,
+                         PR, pad, eaux):
+    """(epilogue-or-None, flat aux arrays) for the px completion kernel:
+    eaux re-laid to the kernel's flat output layout. next_tails and
+    epilogue never coexist (the epilogue applies only to a filter's final
+    pass), so chaining keeps the epilogue outside the kernel."""
+    if epilogue is None or next_tails is not None:
+        return None, ()
+    if rot:
+        tshape = (P, n, T) + tuple(rows)
+        ke_aux = tuple(
+            _retile_aux(a, jnp.float32, len(lead), pad, tshape)
+            .reshape(n * T, PR)
+            for a in eaux)
+    else:
+        tshape = (P,) + tuple(rows) + (n, T)
+        ke_aux = tuple(
+            _retile_aux(a, jnp.float32, -1, pad, tshape)
+            .reshape(PR, n * T)
+            for a in eaux)
+    return epilogue, ke_aux
 
 
 def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
@@ -820,24 +851,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(n, 8, PR)
             # Elementwise epilogue fused INTO the kernel (applied to each
-            # out-block in VMEM): eaux re-laid to the kernel's flat output
-            # layout. next_tails and epilogue never coexist (the epilogue
-            # applies only to a filter's final pass).
-            k_epi, ke_aux = None, ()
-            if epilogue is not None and next_tails is None:
-                k_epi = epilogue
-                if rot:
-                    tshape = (P, n, T) + tuple(rows)
-                    ke_aux = tuple(
-                        _retile_aux(a, jnp.float32, len(lead), pad, tshape)
-                        .reshape(n * T, PR)
-                        for a in eaux)
-                else:
-                    tshape = (P,) + tuple(rows) + (n, T)
-                    ke_aux = tuple(
-                        _retile_aux(a, jnp.float32, -1, pad, tshape)
-                        .reshape(PR, n * T)
-                        for a in eaux)
+            # out-block in VMEM).
+            k_epi, ke_aux = _kernel_epilogue_aux(
+                epilogue, next_tails, rot, lead, P, n, T, rows, PR, pad,
+                eaux)
             Yk = _completion.completion_pass(
                 xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
                 nprod=nprod_k, interpret=interp, carries_transposed=True,
@@ -878,9 +895,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                     y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
             return (y, tails_out) if next_tails is not None else y
 
-    if Gcat.shape[1] < 8:
-        padg = np.zeros((Gcat.shape[0], 8 - Gcat.shape[1], Gcat.shape[2]))
-        Gcat = np.concatenate([Gcat, padg], axis=1)
+    Gcat = pad_rows8(Gcat)
     braw = apply(Gcat, X, fast=True)[..., :S]  # (P, *rows, n, S)
 
     if n <= _CHAIN_MATMUL_MAX_TILES:
@@ -921,21 +936,9 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
 
         interp = jax.default_backend() != "tpu"
         if _completion.completion_ok(T, PR, n, S, interp):
-            k_epi, ke_aux = None, ()
-            if epilogue is not None and next_tails is None:
-                k_epi = epilogue
-                if rot:
-                    tshape = (P, n, T) + tuple(rows)
-                    ke_aux = tuple(
-                        _retile_aux(a, jnp.float32, len(lead), pad, tshape)
-                        .reshape(n * T, PR)
-                        for a in eaux)
-                else:
-                    tshape = (P,) + tuple(rows) + (n, T)
-                    ke_aux = tuple(
-                        _retile_aux(a, jnp.float32, -1, pad, tshape)
-                        .reshape(PR, n * T)
-                        for a in eaux)
+            k_epi, ke_aux = _kernel_epilogue_aux(
+                epilogue, next_tails, rot, lead, P, n, T, rows, PR, pad,
+                eaux)
             Yk = _completion.completion_pass(
                 X.reshape(PR, n, T), np.asarray(mats.Btot), Rcat,
                 Ncat.reshape(PR, n, S), rot=rot, nprod=nprod_k,

@@ -50,18 +50,24 @@ _SLOTS = 8  # carry slots per tile (sublane quantum); max ΣK supported
 _TAILS_F32_DOT = False
 
 
-def _split_const(M, nchunks: int):
-    """Trace-time bf16 chunk split of a matrix stack (float64-exact);
-    3 chunks carry the full f32 mantissa."""
+def _split_const_np(M, nchunks: int):
+    """Trace-time bf16 chunk split of a matrix stack (float64-exact,
+    pure numpy — reinspectable under jit tracing); 3 chunks carry the
+    full f32 mantissa."""
     import ml_dtypes
 
     rem = np.asarray(M, np.float64)
     out = []
     for _ in range(nchunks):
         c = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
-        out.append(jnp.asarray(c))
+        out.append(c)
         rem = rem - c.astype(np.float64)
     return out
+
+
+def _split_const(M, nchunks: int):
+    """Device-constant form of :func:`_split_const_np`."""
+    return [jnp.asarray(c) for c in _split_const_np(M, nchunks)]
 
 
 def _split_vmem(x, nchunks: int):
@@ -253,14 +259,16 @@ def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
     Bn = _expand_stack(Btot, n)              # (n, T, T)
     Rn = _expand_stack(Rcat, n)              # (n, T, S)
     xf = x.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # TPU default f32 dot is bf16-grade;
+    # the twin must match the kernel's f32 grade or TPU gradients degrade
     if carries_transposed:
         Ncore = Ncat.astype(jnp.float32)[:, :S, :]         # (n, S, q)
-        y = (jnp.einsum("nos,qns->qno", Bn, xf)
-             + jnp.einsum("nou,nuq->qno", Rn, Ncore))
+        y = (jnp.einsum("nos,qns->qno", Bn, xf, precision=hi)
+             + jnp.einsum("nou,nuq->qno", Rn, Ncore, precision=hi))
     else:
-        y = (jnp.einsum("nos,qns->qno", Bn, xf)
+        y = (jnp.einsum("nos,qns->qno", Bn, xf, precision=hi)
              + jnp.einsum("nou,qnu->qno", Rn,
-                          Ncat.astype(jnp.float32)))
+                          Ncat.astype(jnp.float32), precision=hi))
     braw2 = None
     if next_tails is not None and kt:
         Gcat2, n2, T2 = next_tails
@@ -274,10 +282,11 @@ def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
         if ka:
             ra = q // (n2 * T2)
             yq = yflat.reshape(n * T, ra, n2, T2)
-            braw2 = jnp.einsum("cst,ract->csra", G2n, yq)
+            braw2 = jnp.einsum("cst,ract->csra", G2n, yq, precision=hi)
         else:
             yq = yflat.reshape(n * T, n2, T2)
-            braw2 = jnp.einsum("cst,rct->csr", G2n, yq)[..., None]
+            braw2 = jnp.einsum("cst,rct->csr", G2n, yq,
+                               precision=hi)[..., None]
     if epilogue is not None:
         flat = (jnp.transpose(y, (1, 2, 0)).reshape(n * T, q)
                 if rot else y.reshape(q, n * T))
@@ -577,7 +586,8 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
     Gn = jnp.asarray(Gp, jnp.float32)
 
     def _ref(x):
-        return jnp.einsum("nst,qnt->nsq", Gn, x.astype(jnp.float32))
+        return jnp.einsum("nst,qnt->nsq", Gn, x.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
 
     f = jax.custom_vjp(_run)
     f.defvjp(lambda x: (_run(x), x),

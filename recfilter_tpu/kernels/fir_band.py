@@ -38,24 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .completion import _nchunks, _prods, _split_vmem
+from .completion import _nchunks, _prods, _split_const_np, _split_vmem
 
 _VMEM_BUDGET = 6 * 1024 * 1024
-
-
-def _split_const_np(M, nchunks: int):
-    """Pure-numpy bf16 chunk split (float64-exact) — trace-safe (the jnp
-    variant in completion.py returns device constants, which numpy cannot
-    reinspect under jit tracing)."""
-    import ml_dtypes
-
-    rem = np.asarray(M, np.float64)
-    out = []
-    for _ in range(nchunks):
-        c = rem.astype(np.float32).astype(ml_dtypes.bfloat16)
-        out.append(c)
-        rem = rem - c.astype(np.float64)
-    return out
 
 
 def band_blocks(taps: np.ndarray, T: int):
@@ -369,9 +354,10 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
                 Xc = Xt[ci] if contract else Xt
                 Pc = prv[ci] if contract else prv
                 Nc = nxt[ci] if contract else nxt
-                t = (jnp.einsum("ot,qnt->qno", Wb[1], Xc)
-                     + jnp.einsum("ot,qnt->qno", Wb[0], Pc)
-                     + jnp.einsum("ot,qnt->qno", Wb[2], Nc))
+                hi = jax.lax.Precision.HIGHEST  # match the kernel's grade
+                t = (jnp.einsum("ot,qnt->qno", Wb[1], Xc, precision=hi)
+                     + jnp.einsum("ot,qnt->qno", Wb[0], Pc, precision=hi)
+                     + jnp.einsum("ot,qnt->qno", Wb[2], Nc, precision=hi))
                 acc = t if acc is None else acc + t
             outs.append(acc.reshape(acc.shape[:-2] + (ntot * T,)))
         y = outs[0] if Cout == 1 else jnp.stack(outs)

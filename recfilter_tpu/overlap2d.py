@@ -41,16 +41,6 @@ from . import dimfuse
 from .spec import BorderMode, FilterSpec, Scan
 
 
-def _pad_rows8(G):
-    """Zero-pad a stacked-G row axis to >= 8 so XLA lowers the contraction
-    as a dot (below 8 output rows it emits a broadcast+reduce chain costing
-    one full-size stream per row — same trick as dimfuse)."""
-    if G.shape[1] >= 8:
-        return G
-    pad = np.zeros((G.shape[0], 8 - G.shape[1], G.shape[2]))
-    return np.concatenate([G, pad], axis=1)
-
-
 def _prec(cdt):
     """True-f32 matmuls (see dimfuse._matmul_precision)."""
     return (
@@ -284,9 +274,9 @@ def fused_2d_pass(
     # dominates carry-sized work on this stack (ROADMAP / VERDICT r1).
     Ka = int(sum(ma.orders))
     Kb = int(sum(mb.orders))
-    Ga_cat = _pad_rows8(
+    Ga_cat = dimfuse.pad_rows8(
         np.concatenate([np.asarray(g) for g in ma.G], axis=1))
-    Gb_cat = _pad_rows8(
+    Gb_cat = dimfuse.pad_rows8(
         np.concatenate([np.asarray(g) for g in mb.G], axis=1))
     Ra_cat = np.concatenate([np.asarray(m) for m in ma.Rhat], axis=2)
     Rb_cat = np.concatenate([np.asarray(m) for m in mb.Rhat], axis=2)
@@ -425,7 +415,7 @@ def fused_nd_pass(
             inf["scans"], inf["T"], inf["n"], clamp, pad_slots=inf["pad"]
         )
         inf["K"] = int(sum(m.orders))
-        inf["Gp"] = _pad_rows8(
+        inf["Gp"] = dimfuse.pad_rows8(
             np.concatenate([np.asarray(g) for g in m.G], axis=1))
         inf["G"] = inf["Gp"][:, : inf["K"]]
         inf["R"] = np.concatenate([np.asarray(r) for r in m.Rhat], axis=2)

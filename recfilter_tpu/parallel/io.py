@@ -81,15 +81,16 @@ def load_npy_sharded(
 
 
 def save_npy_sharded(arr: jax.Array, path_prefix: str) -> list:
-    """Write each addressable shard as ``{prefix}.r{row}.c{col}...npy``
-    (index-stamped), returning the written paths — the per-process half of
-    a pod-scale writeback (no host gathers the global array). Reassemble
-    with :func:`assemble_npy_shards` (or any tool that places windows)."""
+    """Write each addressable shard as ``{prefix}.a{axis}s{start}….npy``
+    (one ``aNsM`` pair per axis, e.g. ``out.a0s0.a1s32.npy``), returning
+    the (path, starts) tuples — the per-process half of a pod-scale
+    writeback (no host gathers the global array). Reassemble with
+    :func:`assemble_npy_shards` (or any tool that places windows)."""
     paths = []
     for shard in arr.addressable_shards:
         idx = shard.index
         stamp = "".join(
-            f".{ax}{0 if s.start is None else int(s.start)}"
+            f".a{ax}s{0 if s.start is None else int(s.start)}"
             for ax, s in enumerate(idx)
         )
         p = f"{path_prefix}{stamp}.npy"

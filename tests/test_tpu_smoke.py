@@ -194,3 +194,38 @@ def test_bf16_kernel_and_epilogue_on_chip():
                                                     img.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 3e-2 * scale
+
+
+def test_grad_f32_grade_on_chip():
+    """The kernel custom-VJP einsum twins must pin HIGHEST: on real TPU the
+    default f32 dot is bf16-grade, so an unpinned twin silently degrades
+    gradients ~1e-2 — invisible to the CPU suite (exact f32 dots there)."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, fir
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    spec = FilterSpec(
+        "SMOKEGRAD", (Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 0.9, (0.5,)), Scan(0, True, 1.0, (0.4,))),
+        tile_widths=(128, 128),
+    )
+    x = jnp.asarray(_img(256, 256, seed=6))
+    ct = jnp.asarray(_img(256, 256, seed=7))
+
+    def g(mode):
+        return jax.grad(lambda v: (dimfuse.apply_filter_fused(
+            spec, v, matmul_precision=mode) * ct).sum())(x)
+
+    g_px, g_hi = g("px6"), g("highest")
+    assert float(jnp.abs(g_px - g_hi).max()) <= 1e-5 * float(
+        jnp.abs(g_hi).max())
+
+    taps = fir.box_taps(4, 3)
+    ct2 = np.asarray(ct)
+    g_true = fir.fir_oracle(ct2, taps[::-1], 1)
+    g_k = np.asarray(jax.grad(lambda v: (fir.fir_pass_last(
+        v, taps, tile_width=128, matmul_precision="px6") * ct).sum())(x))
+    assert np.abs(g_k - g_true).max() <= 1e-5 * np.abs(g_true).max()
