@@ -114,3 +114,35 @@ def test_random_rotated_chain_matches_oracle(seed):
         np.asarray(r) / scale, want / scale, rtol=2e-4, atol=2e-4,
         err_msg=f"fx={fx} fy={fy}",
     )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_fir_band_matches_oracle(seed):
+    """Fuzz the banded-FIR kernel: random taps (odd/even support, random
+    signs/magnitudes), random extents/rows, every precision grade, with
+    and without a (sometimes bogus) tap_scale — vs the f64 oracle."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import fir
+    from recfilter_tpu.kernels import fir_band
+
+    rng = np.random.default_rng(900 + seed)
+    K = int(rng.integers(2, 60))
+    taps = rng.standard_normal(K) * (10.0 ** rng.integers(-2, 2))
+    L = int(rng.integers(130, 700))
+    q = int(rng.integers(8, 40))
+    x = rng.standard_normal((q, L)).astype(np.float32) * 0.1
+    want = fir.fir_oracle(x, taps, 1)
+    scale = None
+    if rng.random() < 0.5:
+        # random scale: almost never exact — must silently fall back
+        scale = float(10.0 ** rng.integers(0, 3))
+    nprod, bound = [(1, 3e-2), (3, 1e-3), (6, 1e-5)][seed % 3]
+    rot = bool(rng.random() < 0.5)
+    got = np.asarray(fir_band.fir_band_pass(
+        jnp.asarray(x), taps, T=128, rot=rot, nprod=nprod,
+        interpret=True, tap_scale=scale))
+    if rot:
+        got = got.T
+    scale_ref = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() <= bound * scale_ref, (seed, nprod)
