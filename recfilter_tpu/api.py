@@ -538,7 +538,6 @@ class RecFilter:
                         )
 
         out: List[RecFilter] = []
-        upstream = self
         for gi, g in enumerate(groups):
             f = RecFilter(f"{self._name}_{gi}")
             if self._clamped_border:
