@@ -157,6 +157,72 @@ def combined_solve_matrix(mats: "DimPassMats", n: int) -> np.ndarray:
     return full
 
 
+def banded_solve_blocks(CMfull: np.ndarray, n: int, S: int,
+                        tol: float = 1e-9, max_band: int = 16):
+    """Block-banded form of the combined solve matrix, or None.
+
+    Tile-to-tile carry influence decays like |pole|^T per tile, so for
+    stable (non-integrator) filters the (n·S)² chain matrix is effectively
+    block-banded with a handful of non-negligible diagonals — and the dense
+    solve matmul grows as O(n²·lines) = O(W³) on images (0.26 ms of the 8K
+    gaussian's 3.0 ms). Returns [(offset d, blocks (n, S, S))] where block
+    t maps tile t-d's raw tails into tile t's carries; offsets whose
+    largest block falls below ``tol``·max are dropped (≤ f32 noise).
+    Integrators (poles on the unit circle: SAT, boxes) decay nowhere —
+    their band exceeds ``max_band`` and the caller keeps the dense matmul.
+    """
+    CM = np.asarray(CMfull).reshape(n, S, n, S)
+    norms = np.abs(CM).max(axis=(1, 3))  # (n_to, n_from)
+    scale = float(norms.max())
+    if scale == 0.0:
+        return [(0, np.zeros((n, S, S)))]
+    offsets = []
+    for d in range(-(n - 1), n):
+        diag = [norms[t, t - d] for t in range(max(0, d), min(n, n + d))]
+        if diag and max(diag) > tol * scale:
+            offsets.append(d)
+    # Banded wins only at large tile counts: measured on chip (clamped
+    # gaussian3 px6) 4K/n=32: 0.616 ms banded vs 0.591 dense (the shift
+    # ops cost more than the small dense matmul); 8K/n=64: 2.95 vs 3.01.
+    # Integrators' band is as wide as n — always dense.
+    if n < 64 or len(offsets) > min(max_band, n // 4):
+        return None
+    out = []
+    for d in offsets:
+        blocks = np.zeros((n, S, S))
+        for t in range(n):
+            i = t - d
+            if 0 <= i < n:
+                blocks[t] = CM[t, :, i, :]
+        out.append((d, blocks))
+    return out
+
+
+def _banded_solve_apply(bands, braw_t, S: int):
+    """Apply a banded solve to slot-padded transposed tails (n, 8, q):
+    N_t = Σ_d B_d[t] · b_{t−d} — one tiny (n,S,S)×(n,S,q) einsum per
+    offset instead of the dense (n·8)² matmul."""
+    n, slots, q = braw_t.shape
+    b = braw_t[:, :S, :]
+    N = None
+    for d, blocks in bands:
+        if d == 0:
+            shifted = b
+        elif d > 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(b[:d]), b[:-d]], axis=0)
+        else:
+            shifted = jnp.concatenate(
+                [b[-d:], jnp.zeros_like(b[:(-d)])], axis=0)
+        t = jnp.einsum("nab,nbq->naq", jnp.asarray(blocks, jnp.float32),
+                       shifted, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        N = t if N is None else N + t
+    if S < slots:
+        N = jnp.pad(N, ((0, 0), (0, slots - S), (0, 0)))
+    return N
+
+
 @dataclasses.dataclass
 class DimPassMats:
     """Per-dimension fused-pass matrices (numpy, trace-time constants).
@@ -839,17 +905,22 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 braw_t = _completion.tails_pass(
                     xq, Gcat, nprod=nprod_k, interpret=interp
                 )  # (n, 8, PR) slot-padded transposed tails
-            CMp = jnp.asarray(
-                _completion.pad_solve_matrix(
-                    combined_solve_matrix(mats, n), n, S
-                ),
-                dtype=acc,
-            )
-            Nt8 = jnp.einsum(
-                "ts,sl->tl", CMp, braw_t.reshape(n * 8, PR),
-                preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(n, 8, PR)
+            CMfull = combined_solve_matrix(mats, n)
+            bands = banded_solve_blocks(CMfull, n, S)
+            if bands is not None:
+                # Decaying filters: block-banded solve, O(band·n·S²·lines)
+                # instead of the dense (n·S)²·lines matmul (which grows as
+                # O(W³) over image sizes — 0.26 ms of the 8K gaussian).
+                Nt8 = _banded_solve_apply(bands, braw_t, S)
+            else:
+                CMp = jnp.asarray(
+                    _completion.pad_solve_matrix(CMfull, n, S), dtype=acc,
+                )
+                Nt8 = jnp.einsum(
+                    "ts,sl->tl", CMp, braw_t.reshape(n * 8, PR),
+                    preferred_element_type=acc,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(n, 8, PR)
             # Elementwise epilogue fused INTO the kernel (applied to each
             # out-block in VMEM).
             k_epi, ke_aux = _kernel_epilogue_aux(

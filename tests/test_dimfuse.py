@@ -718,3 +718,36 @@ def test_grad_through_kernel_paths_matches_highest():
     g_hi, g_px = loss("highest"), loss("px6")
     scale = float(jnp.abs(g_hi).max())
     assert float(jnp.abs(g_px - g_hi).max()) <= 1e-5 * scale
+
+
+def test_banded_solve_blocks_structure_and_equivalence():
+    """Decaying filters get a narrow block band (gaussian3: offsets
+    {-1,0,1}); integrators (SAT) exceed the band cap and keep the dense
+    matmul; the banded apply equals the dense solve to f32 grade."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import iir
+    from recfilter_tpu.kernels import completion as _completion
+
+    w = iir.gaussian_weights(4.0, 3)
+    scans = [Scan(1, True, w[0], tuple(w[1:])),
+             Scan(1, False, w[0], tuple(w[1:]))]
+    n, S = 64, 6
+    m = dimfuse.prepare_dim_pass(scans, 128, n, False)
+    CM = dimfuse.combined_solve_matrix(m, n)
+    bands = dimfuse.banded_solve_blocks(CM, n, S)
+    assert bands is not None and {d for d, _ in bands} <= {-2, -1, 0, 1, 2}
+
+    braw = np.random.default_rng(5).standard_normal((n, 8, 64)) * 0.1
+    braw[:, S:] = 0.0
+    braw_t = jnp.asarray(braw, jnp.float32)
+    got = np.asarray(dimfuse._banded_solve_apply(bands, braw_t, S))
+    CMp = _completion.pad_solve_matrix(CM, n, S)
+    want = (CMp @ np.asarray(braw, np.float64).reshape(n * 8, 64)).reshape(
+        n, 8, 64)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6 * np.abs(want).max())
+
+    sat = [Scan(1, True, 1.0, (1.0,))]
+    msat = dimfuse.prepare_dim_pass(sat, 128, n, False)
+    CMs = dimfuse.combined_solve_matrix(msat, n)
+    assert dimfuse.banded_solve_blocks(CMs, n, 1) is None
