@@ -213,10 +213,12 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
 
 def _block_geom(q: int, T: int, nprod: int, naux: int):
     """(Lb, qp): row-block size from the VMEM budget and the padded row
-    count. Lb=1024 measured fastest for the 6-product stacked dot (529 GB/s
-    vs 486 at 2048 — scripts/px6_stack_exp.py); smaller stacks keep 2048."""
+    count. Lb=2048 measured fastest end-to-end for the chained px6 pipeline
+    (4K gaussian3 0.532 vs 0.546 ms at 1024; 8K 2.52 vs 2.79 — the 4K-era
+    1024 preference came from a pre-tails-chaining microbenchmark,
+    scripts/px6_stack_exp.py, and no longer holds)."""
     per_line = T * 4 * (2 + naux)
-    lb_cap = 1024 if nprod >= 6 else 2048
+    lb_cap = 2048
     Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
     qp = -(-q // Lb) * Lb if q > Lb else Lb
     if q < Lb:
@@ -552,7 +554,7 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
     Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)
 
     per_line = T * 4 * 2
-    lb_cap = 1024 if nprod >= 6 else 2048
+    lb_cap = 2048
     Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
     if q < Lb:
         Lb = max(8, min(((q + 7) // 8) * 8, Lb))
