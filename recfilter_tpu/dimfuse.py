@@ -861,6 +861,14 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     acc = jnp.float32 if cdt in (jnp.bfloat16, jnp.float16) else cdt
     prec = _matmul_precision(cdt, mmd, matmul_precision)
     nsp = _split_passes(cdt, mmd, matmul_precision)
+    if rot_axes >= 2 and P > 1:
+        # Measured (dog_sat 4K px6: 12.4 vs 6.3 ms): for rotated passes
+        # with a leading channel/batch group, the chunked split einsums
+        # lose 2x to plain HIGHEST dots — the transposed-output einsums
+        # cannot fuse the 6 partial products, so every chunk round-trips
+        # HBM. The per-slice kernel branch below covers the hot case; any
+        # remaining fallback einsum runs HIGHEST instead of splitting.
+        nsp = 0
 
     def apply(Mstack, V, fast=False, out_t=False):
         out = f"pno{rl}" if out_t else f"p{rl}no"
@@ -965,6 +973,48 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 if pad:
                     y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
             return (y, tails_out) if next_tails is not None else y
+
+    if (nprod_k and rot and P > 1 and n <= _CHAIN_MATMUL_MAX_TILES
+            and tails_in is None and next_tails is None
+            and epilogue is None):
+        # Rotated emit with a leading channel/batch group (DoG's dual
+        # radius, RGB planes): the kernel's transposed write would fold P
+        # into the lane axis, so run the P==1 kernel pipeline once per
+        # leading slice (P is static and small) and restack — each slice
+        # stays 2 HBM touches + a tails read, vs the split-einsum
+        # fallback's chunked HBM streams (measured 2x slower here).
+        from .kernels import completion as _completion
+
+        interp = jax.default_backend() != "tpu"
+        R = PR // P
+        if _completion.completion_ok(T, R, n, S, interp):
+            Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+            CMfull = combined_solve_matrix(mats, n)
+            bands = banded_solve_blocks(CMfull, n, S)
+            CMp = (None if bands is not None else jnp.asarray(
+                _completion.pad_solve_matrix(CMfull, n, S), dtype=acc))
+            ys = []
+            for p in range(P):
+                xq = X[p].reshape(R, n, T)
+                braw_t = _completion.tails_pass(
+                    xq, Gcat, nprod=nprod_k, interpret=interp)
+                if bands is not None:
+                    Nt8 = _banded_solve_apply(bands, braw_t, S)
+                else:
+                    Nt8 = jnp.einsum(
+                        "ts,sl->tl", CMp, braw_t.reshape(n * 8, R),
+                        preferred_element_type=acc,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).reshape(n, 8, R)
+                Yk = _completion.completion_pass(
+                    xq, np.asarray(mats.Btot), Rcat, Nt8, rot=True,
+                    nprod=nprod_k, interpret=interp,
+                    carries_transposed=True)
+                ys.append(Yk.reshape((n, T) + tuple(rows)))
+            y = jnp.stack(ys).reshape(lead + (n * T,) + tuple(rows))
+            if pad:
+                y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1 - nrow)
+            return y
 
     Gcat = pad_rows8(Gcat)
     braw = apply(Gcat, X, fast=True)[..., :S]  # (P, *rows, n, S)

@@ -481,6 +481,63 @@ def test_pallas_completion_precision_modes(mode, bound, rot_axes):
     assert np.abs(got - want).max() <= bound * scale
 
 
+@pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
+def test_px_rotated_leading_channel_per_slice_kernels(mode, bound):
+    """Rotated emit with a leading (non-scanned) channel group — dog_sat's
+    SAT2x/SAT2y geometry — must route through the per-slice completion
+    kernels, not the split-einsum fallback (measured 2x slower on chip:
+    the transposed-output einsums cannot fuse the chunk products). Checks
+    per-slice kernel invocation, oracle parity, and f32-grade gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from recfilter_tpu.kernels import completion as completion_mod
+
+    scans = [Scan(2, True, 0.9, (0.6, 0.25, -0.1))]
+    spec = FilterSpec(
+        "CPX", (Dim("c", 2), Dim("y", 64), Dim("x", 256)), tuple(scans),
+        tile_widths=(0, 0, 128),
+    )
+    x = _img(2, 64, 256, seed=11)
+
+    calls = {"tails": 0}
+    orig = completion_mod.tails_pass
+
+    def spy(*a, **k):
+        calls["tails"] += 1
+        return orig(*a, **k)
+
+    completion_mod.tails_pass = spy
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_rotated(
+                spec, jnp.asarray(x), rot_axes=2, matmul_precision=mode,
+            )
+        )
+    finally:
+        completion_mod.tails_pass = orig
+    assert calls["tails"] == 2, "expected one kernel pipeline per slice"
+    assert got.shape == (2, 256, 64)  # rotated emit: (c, x, y)
+    oracle_scans = [Scan(1, True, 0.9, (0.6, 0.25, -0.1))]  # axis within a slice
+    want = np.stack([_oracle_dim(x[p], oracle_scans, BorderMode.ZERO).T
+                     for p in range(2)])
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= bound * scale
+
+    # gradients: the per-slice kernels' custom VJPs must compose through
+    # the stack/reshape emit at f32 grade
+    ct = jnp.asarray(_img(2, 256, 64, seed=12) * 0.1)
+
+    def loss(m):
+        return jax.grad(lambda v: (dimfuse.apply_filter_rotated(
+            spec, v, rot_axes=2, matmul_precision=m) * ct).sum()
+        )(jnp.asarray(x))
+
+    g_hi, g_px = loss("highest"), loss(mode)
+    gs = float(jnp.abs(g_hi).max())
+    assert float(jnp.abs(g_px - g_hi).max()) <= 1e-5 * gs
+
+
 @pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
 @pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
 def test_px_tails_chaining_two_dims(mode, bound, border):
