@@ -213,17 +213,23 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
 
 def _block_geom(q: int, T: int, nprod: int, naux: int):
     """(Lb, qp): row-block size from the VMEM budget and the padded row
-    count. Lb=2048 measured fastest end-to-end for the chained px6 pipeline
-    (4K gaussian3 0.532 vs 0.546 ms at 1024; 8K 2.52 vs 2.79 — the 4K-era
-    1024 preference came from a pre-tails-chaining microbenchmark,
-    scripts/px6_stack_exp.py, and no longer holds)."""
+    count. Measured on the chained px6 pipeline (gaussian3): a 2048-row
+    block is fastest at 4K (0.512 vs 0.522 ms at 4096) and 4096 at 8K
+    (2.38 vs 2.52 at 2048) — fewer grid steps win once the row count
+    outgrows the cap. When the chosen cap does not divide q, Lb is
+    rebalanced downward so the same number of blocks splits q with <128
+    rows of padding waste each (an unbalanced split can pad up to ~50%:
+    q=8192 at Lb=6144 would pad to 12288)."""
     per_line = T * 4 * (2 + naux)
-    lb_cap = 2048
+    lb_cap = 2048 if q <= 4096 else 4096
     Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
-    qp = -(-q // Lb) * Lb if q > Lb else Lb
     if q < Lb:
         Lb = max(8, min(((q + 7) // 8) * 8, Lb))
-        qp = -(-q // Lb) * Lb
+    elif q > Lb:
+        nb = -(-q // Lb)
+        per_blk = -(-q // nb)
+        Lb = -(-per_blk // 128) * 128
+    qp = -(-q // Lb) * Lb
     return Lb, qp
 
 
@@ -553,12 +559,7 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
     Gs = _split_const(Gp, nc)
     Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)
 
-    per_line = T * 4 * 2
-    lb_cap = 2048
-    Lb = max(8, min(((_VMEM_BUDGET // per_line) // 128) * 128, lb_cap))
-    if q < Lb:
-        Lb = max(8, min(((q + 7) // 8) * 8, Lb))
-    qp = -(-q // Lb) * Lb
+    Lb, qp = _block_geom(q, T, nprod, 0)
 
     def _run(x):
         if qp != q:
