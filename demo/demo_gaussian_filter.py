@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """RGB Gaussian blur demo (``demo/demo_gaussian_filter.cpp``): 3rd-order
 recursive Gaussian on all channels (Tuple RGB → leading channel axis),
-cascaded by dimension, tile 32. Reads/writes PNG with the stdlib-only codec.
+overlapped scans, tile 32. Reads/writes PNG with the stdlib-only codec.
 """
 
 import argparse
@@ -16,7 +16,7 @@ from recfilter_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 import recfilter_tpu as rf
-from recfilter_tpu.apps.gaussian import gaussian_3x_3y, run_cascade
+from recfilter_tpu.apps.gaussian import gaussian_3xy_rgb
 from recfilter_tpu.utils import image_io
 
 
@@ -50,27 +50,10 @@ def main():
     # channels ride a leading axis (Tuple RGB, demo_gaussian_filter.cpp:57)
     chw = np.moveaxis(img, -1, 0).astype(np.float32)
 
-    fc = gaussian_3x_3y(w, h, ns.tile, ns.sigma)
-    # Rebind each cascade stage for a (3, h, w) channel batch.
-    from recfilter_tpu.spec import Dim, FilterSpec
-
-    out = chw
-    for f in fc:
-        spec = f.spec
-        spec3 = FilterSpec(
-            spec.name,
-            (Dim("c", 3),) + tuple(spec.dims),
-            tuple(
-                type(s)(s.axis + 1, s.causal, s.feedfwd, s.feedback)
-                for s in spec.scans
-            ),
-            border=spec.border,
-            dtype=spec.dtype,
-            tile_widths=(0,) + tuple(spec.tile_widths),
-        )
-        from recfilter_tpu import tiling
-
-        out = tiling.apply_filter(spec3, out)
+    # One overlapped 3rd-order filter over the (3, h, w) channel batch —
+    # both rotated passes run the per-slice completion kernels with
+    # cross-pass tails chaining (see apps.gaussian_3xy_rgb).
+    out = gaussian_3xy_rgb(w, h, ns.tile, sigma=ns.sigma).as_func()(chw)
 
     result = np.moveaxis(np.asarray(out), 0, -1)
     image_io.save_png(ns.output, result)

@@ -9,6 +9,7 @@ from .summed_table import summed_table
 from .box import box_filter_order_1, box_filter_order_2, box_filter_3, box_filter_6
 from .gaussian import (
     gaussian_3xy,
+    gaussian_3xy_rgb,
     gaussian_3x_3y,
     gaussian_1xy_2xy,
     gaussian_1xy_2x_2y,
@@ -26,6 +27,7 @@ __all__ = [
     "box_filter_3",
     "box_filter_6",
     "gaussian_3xy",
+    "gaussian_3xy_rgb",
     "gaussian_3x_3y",
     "gaussian_1xy_2xy",
     "gaussian_1xy_2x_2y",

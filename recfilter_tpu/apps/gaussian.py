@@ -48,6 +48,29 @@ def gaussian_3xy(width, height, tile_width=0, sigma=SIGMA_DEFAULT):
     return F
 
 
+def gaussian_3xy_rgb(width, height, tile_width=0, channels=3,
+                     sigma=SIGMA_DEFAULT):
+    """Multi-channel :func:`gaussian_3xy`: channels ride a leading batch
+    axis (the reference's demo carries RGB as a Halide Tuple,
+    ``demo_gaussian_filter.cpp:57``). Both rotated passes run the
+    per-slice completion kernels with cross-pass tails chaining, so the
+    px modes keep their 2-touch-per-pass structure per channel."""
+    tile_width = tile_width or auto_tile_width(min(width, height))
+    W3 = gaussian_weights(sigma, 3)
+    c = Dim("c", channels)
+    x = Dim("x", width)
+    y = Dim("y", height)
+    F = RecFilter("Gaussian_3xy_rgb")
+    F.set_clamped_image_border()
+    F[c, y, x] = np.zeros((channels, height, width), dtype="float32")
+    F.add_filter(+x, W3)
+    F.add_filter(-x, W3)
+    F.add_filter(+y, W3)
+    F.add_filter(-y, W3)
+    F.split(x, tile_width, y, tile_width)
+    return F
+
+
 def gaussian_3x_3y(width, height, tile_width=0, sigma=SIGMA_DEFAULT) -> List[RecFilter]:
     """Cascade by dimension (``gaussian_filter_3x_3y.cpp:42-51``)."""
     tile_width = tile_width or auto_tile_width(min(width, height))

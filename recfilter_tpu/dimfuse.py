@@ -975,7 +975,6 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             return (y, tails_out) if next_tails is not None else y
 
     if (nprod_k and rot and P > 1 and n <= _CHAIN_MATMUL_MAX_TILES
-            and tails_in is None and next_tails is None
             and epilogue is None):
         # Rotated emit with a leading channel/batch group (DoG's dual
         # radius, RGB planes): the kernel's transposed write would fold P
@@ -983,6 +982,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         # leading slice (P is static and small) and restack — each slice
         # stays 2 HBM touches + a tails read, vs the split-einsum
         # fallback's chunked HBM streams (measured 2x slower here).
+        # Cross-pass tails chaining composes per slice: lines flatten
+        # P-major, so slice p's incoming tails are tails_in[:, :, p*R:]
+        # and the per-slice extracted next-pass tails concatenate along
+        # the line axis into exactly the next pass's (n2, 8, PR') layout.
         from .kernels import completion as _completion
 
         interp = jax.default_backend() != "tpu"
@@ -994,10 +997,14 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             CMp = (None if bands is not None else jnp.asarray(
                 _completion.pad_solve_matrix(CMfull, n, S), dtype=acc))
             ys = []
+            touts = []
             for p in range(P):
                 xq = X[p].reshape(R, n, T)
-                braw_t = _completion.tails_pass(
-                    xq, Gcat, nprod=nprod_k, interpret=interp)
+                if tails_in is not None:
+                    braw_t = tails_in[:, :, p * R : (p + 1) * R]
+                else:
+                    braw_t = _completion.tails_pass(
+                        xq, Gcat, nprod=nprod_k, interpret=interp)
                 if bands is not None:
                     Nt8 = _banded_solve_apply(bands, braw_t, S)
                 else:
@@ -1009,12 +1016,21 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 Yk = _completion.completion_pass(
                     xq, np.asarray(mats.Btot), Rcat, Nt8, rot=True,
                     nprod=nprod_k, interpret=interp,
-                    carries_transposed=True)
+                    carries_transposed=True, next_tails=next_tails)
+                if next_tails is not None:
+                    Yk, t_p = Yk
+                    touts.append(t_p)
                 ys.append(Yk.reshape((n, T) + tuple(rows)))
+            tails_out = None
+            if next_tails is not None and all(t is not None for t in touts):
+                if pad:
+                    touts = [t[:, :, : n * T - pad] for t in touts]
+                tails_out = jnp.concatenate(
+                    [t.reshape(t.shape[0], 8, -1) for t in touts], axis=-1)
             y = jnp.stack(ys).reshape(lead + (n * T,) + tuple(rows))
             if pad:
                 y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1 - nrow)
-            return y
+            return (y, tails_out) if next_tails is not None else y
 
     Gcat = pad_rows8(Gcat)
     braw = apply(Gcat, X, fast=True)[..., :S]  # (P, *rows, n, S)

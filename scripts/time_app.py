@@ -54,6 +54,9 @@ def _apps(w, h, tile):
 
         return fuse_cascade(apps.gaussian_3x_3y(w, h, tile))
 
+    def gaussian3_rgb():
+        return apps.gaussian_3xy_rgb(w, h, tile).as_func()
+
     def bicubic():
         return apps.bicubic(w, h, tile).as_func()
 
@@ -109,6 +112,9 @@ def _apps(w, h, tile):
         "gaussian3": (gaussian3, 0.5),
         "gaussian_cascaded": (gaussian_cascaded, 0.5),
         "gaussian_cascaded_fused": (gaussian_cascaded_fused, 0.5),
+        # RGB: 4th element = leading input dims (channels); Mpix counts
+        # every processed plane pixel.
+        "gaussian3_rgb": (gaussian3_rgb, 0.5, True, (3,)),
         "bicubic": (bicubic, 1e-2),
         "biquintic": (biquintic, 1e-2),
         "box1": (box1, 1e-7),
@@ -163,16 +169,24 @@ def main():
         np.random.default_rng(0).standard_normal((ns.width, ns.width)) * 0.01,
         jnp.float32,
     )
-    mpix = ns.width * ns.width / 1e6
     for name in names:
-        build, scale = registry[name][:2]
+        entry = registry[name]
+        build, scale = entry[:2]
+        lead = entry[3] if len(entry) > 3 else ()
+        mpix = int(np.prod(lead, dtype=np.int64)) * ns.width * ns.width / 1e6 \
+            if lead else ns.width * ns.width / 1e6
+        inp = img if not lead else jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                tuple(lead) + (ns.width, ns.width)) * 0.01,
+            jnp.float32,
+        )
         fn = build()
         # The loop scale now applies once per BODY (see bench.make_loop);
         # within a body the compositions run unscaled. The double-integral
         # composites grow fastest per application — cap their unscaled
         # composition depth so f32 iterates cannot overflow mid-body.
         pb = 2 if name in ("dog_sat", "box3_sat") else 4
-        ms = slope_ms_per_iter(fn, img, scale=scale, per_body=pb)
+        ms = slope_ms_per_iter(fn, inp, scale=scale, per_body=pb)
         print(
             json.dumps(
                 {

@@ -96,6 +96,21 @@ def test_gaussian_3xy_matches_true_gaussian():
     assert err < 2e-2, f"max abs err {err}"
 
 
+def test_gaussian_3xy_rgb_matches_per_channel():
+    """The RGB variant (leading channel axis, per-slice kernels + chained
+    tails) must equal the 2-D filter applied to each channel plane."""
+    from recfilter_tpu.apps import gaussian_3xy_rgb
+
+    w, sigma = 48, 3.0
+    chw = np.stack([
+        rf.generate_random_image(w, w, lo=0, hi=1, seed=s) for s in (6, 7, 8)
+    ])
+    out = np.asarray(gaussian_3xy_rgb(w, w, 8, sigma=sigma).as_func()(chw))
+    F2 = gaussian_3xy(w, w, 8, sigma)
+    want = np.stack([np.asarray(F2.realize(chw[p])) for p in range(3)])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
 def test_gaussian_cascade_variants_agree():
     w, sigma = 32, 2.0
     img = rf.generate_random_image(w, w, lo=0, hi=1, seed=5)

@@ -601,6 +601,54 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
     assert np.abs(got2 - want).max() <= bound * scale
 
 
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+@pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
+def test_px_tails_chaining_leading_channel(mode, bound, border):
+    """The 2-D px chain with a leading channel group (RGB pipelines): both
+    rotated passes run the per-slice completion kernels and the cross-pass
+    tails chain composes per slice — pass 1 extracts pass 2's tails from
+    each slice's emitted blocks (P-major concat along the line axis), and
+    pass 2 consumes them sliced, paying P tails reads total instead of
+    2P. Oracle parity per channel to the mode's bound (interpret mode)."""
+    import jax.numpy as jnp
+
+    P = 3
+    scans = [
+        Scan(2, True, 0.9, (0.6, 0.2)),
+        Scan(1, False, 1.05, (0.4, 0.15)),
+    ]
+    spec = FilterSpec(
+        "PXCHAINC", (Dim("c", P), Dim("y", 256), Dim("x", 384)),
+        tuple(scans), tile_widths=(0, 128, 128), border=border,
+    )
+    x = _img(P, 256, 384, seed=17)
+    from recfilter_tpu.kernels import completion as _completion
+
+    calls = []
+    orig = _completion.tails_pass
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    _completion.tails_pass = counting
+    try:
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x), matmul_precision=mode
+            )
+        )
+    finally:
+        _completion.tails_pass = orig
+    # pass 1: one tails read per slice; pass 2: chained (zero reads)
+    assert len(calls) == P, f"expected {P} tails reads, saw {len(calls)}"
+    from recfilter_tpu import scan_core
+
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= bound * scale
+
+
 def test_px_tails_chaining_volume():
     """3-D px chain (volume regime): each lane block spans whole next-axis
     extents, so BOTH non-final passes emit the next pass's tails — only
