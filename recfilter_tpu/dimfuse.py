@@ -996,15 +996,58 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             bands = banded_solve_blocks(CMfull, n, S)
             CMp = (None if bands is not None else jnp.asarray(
                 _completion.pad_solve_matrix(CMfull, n, S), dtype=acc))
+            Btot_np = np.asarray(mats.Btot)
+            if tails_in is not None or next_tails is not None:
+                # Chained multi-pass executors (RGB pipelines): vmap — the
+                # pallas batching rule prepends a grid axis and writes
+                # every slice into ONE output buffer, killing the
+                # jnp.stack copy (~P·image·4B of HBM traffic per pass).
+                # Measured 4K RGB px6: 1.93 vs 2.27 ms for the loop.
+                Xs = X.reshape(P, R, n, T)
+                if tails_in is not None:
+                    braw_t = jnp.moveaxis(
+                        tails_in.reshape(tails_in.shape[0], 8, P, R), 2, 0)
+                else:
+                    braw_t = jax.vmap(lambda xq: _completion.tails_pass(
+                        xq, Gcat, nprod=nprod_k, interpret=interp))(Xs)
+                if bands is not None:
+                    Nt8 = jax.vmap(
+                        lambda b: _banded_solve_apply(bands, b, S))(braw_t)
+                else:
+                    Nt8 = jnp.einsum(
+                        "ts,psl->ptl", CMp, braw_t.reshape(P, n * 8, R),
+                        preferred_element_type=acc,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).reshape(P, n, 8, R)
+                Yk = jax.vmap(lambda xq, nt: _completion.completion_pass(
+                    xq, Btot_np, Rcat, nt, rot=True, nprod=nprod_k,
+                    interpret=interp, carries_transposed=True,
+                    next_tails=next_tails))(Xs, Nt8)
+                tails_out = None
+                if next_tails is not None:
+                    Yk, tb = Yk  # tb: (P, n2, 8, nT, r_a) or None
+                    if tb is not None:
+                        if pad:
+                            tb = tb[:, :, :, : n * T - pad]
+                        tb = tb.reshape(P, tb.shape[1], 8, -1)
+                        # P-major line order: the next pass's (n2, 8, PR')
+                        tails_out = jnp.moveaxis(tb, 0, 2).reshape(
+                            tb.shape[1], 8, -1)
+                y = Yk.reshape(lead + (n * T,) + tuple(rows))
+                if pad:
+                    y = jax.lax.slice_in_dim(
+                        y, 0, n * T - pad, axis=-1 - nrow)
+                return (y, tails_out) if next_tails is not None else y
+            # Unchained single-dimension stages (dog_sat's SAT2x/SAT2y):
+            # a Python loop over the P slices — XLA overlaps the
+            # independent per-slice kernel chains, which measured FASTER
+            # than one batched grid here (4K dog_sat px6 4.22 vs 5.20 ms
+            # vmapped) despite the extra jnp.stack emit.
             ys = []
-            touts = []
             for p in range(P):
                 xq = X[p].reshape(R, n, T)
-                if tails_in is not None:
-                    braw_t = tails_in[:, :, p * R : (p + 1) * R]
-                else:
-                    braw_t = _completion.tails_pass(
-                        xq, Gcat, nprod=nprod_k, interpret=interp)
+                braw_t = _completion.tails_pass(
+                    xq, Gcat, nprod=nprod_k, interpret=interp)
                 if bands is not None:
                     Nt8 = _banded_solve_apply(bands, braw_t, S)
                 else:
@@ -1014,23 +1057,13 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                         precision=jax.lax.Precision.HIGHEST,
                     ).reshape(n, 8, R)
                 Yk = _completion.completion_pass(
-                    xq, np.asarray(mats.Btot), Rcat, Nt8, rot=True,
-                    nprod=nprod_k, interpret=interp,
-                    carries_transposed=True, next_tails=next_tails)
-                if next_tails is not None:
-                    Yk, t_p = Yk
-                    touts.append(t_p)
+                    xq, Btot_np, Rcat, Nt8, rot=True, nprod=nprod_k,
+                    interpret=interp, carries_transposed=True)
                 ys.append(Yk.reshape((n, T) + tuple(rows)))
-            tails_out = None
-            if next_tails is not None and all(t is not None for t in touts):
-                if pad:
-                    touts = [t[:, :, : n * T - pad] for t in touts]
-                tails_out = jnp.concatenate(
-                    [t.reshape(t.shape[0], 8, -1) for t in touts], axis=-1)
             y = jnp.stack(ys).reshape(lead + (n * T,) + tuple(rows))
             if pad:
                 y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1 - nrow)
-            return (y, tails_out) if next_tails is not None else y
+            return y
 
     Gcat = pad_rows8(Gcat)
     braw = apply(Gcat, X, fast=True)[..., :S]  # (P, *rows, n, S)

@@ -516,6 +516,9 @@ def test_px_rotated_leading_channel_per_slice_kernels(mode, bound):
         )
     finally:
         completion_mod.tails_pass = orig
+    # unchained single-dim stage: one kernel pipeline per slice (the
+    # chained multi-pass form uses one vmapped call instead — see
+    # test_px_tails_chaining_leading_channel)
     assert calls["tails"] == 2, "expected one kernel pipeline per slice"
     assert got.shape == (2, 256, 64)  # rotated emit: (c, x, y)
     oracle_scans = [Scan(1, True, 0.9, (0.6, 0.25, -0.1))]  # axis within a slice
@@ -605,11 +608,11 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
 @pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
 def test_px_tails_chaining_leading_channel(mode, bound, border):
     """The 2-D px chain with a leading channel group (RGB pipelines): both
-    rotated passes run the per-slice completion kernels and the cross-pass
-    tails chain composes per slice — pass 1 extracts pass 2's tails from
-    each slice's emitted blocks (P-major concat along the line axis), and
-    pass 2 consumes them sliced, paying P tails reads total instead of
-    2P. Oracle parity per channel to the mode's bound (interpret mode)."""
+    rotated passes run the vmapped per-slice completion kernels and the
+    cross-pass tails chain composes per slice — pass 1 extracts pass 2's
+    tails from each slice's emitted blocks (P-major along the line axis),
+    and pass 2 consumes them sliced, so only pass 1 pays a tails read.
+    Oracle parity per channel to the mode's bound (interpret mode)."""
     import jax.numpy as jnp
 
     P = 3
@@ -640,8 +643,8 @@ def test_px_tails_chaining_leading_channel(mode, bound, border):
         )
     finally:
         _completion.tails_pass = orig
-    # pass 1: one tails read per slice; pass 2: chained (zero reads)
-    assert len(calls) == P, f"expected {P} tails reads, saw {len(calls)}"
+    # pass 1: one vmapped tails read; pass 2: chained (zero reads)
+    assert len(calls) == 1, f"expected 1 vmapped tails read, saw {len(calls)}"
     from recfilter_tpu import scan_core
 
     want = scan_core.oracle_apply(spec, x.astype(np.float64))
