@@ -652,6 +652,29 @@ def test_px_tails_chaining_leading_channel(mode, bound, border):
     assert np.abs(got - want).max() <= bound * scale
 
 
+def test_px_volume_leading_channel():
+    """A 3-D volume under a leading channel batch (rot_axes=3, P>1): the
+    per-slice kernel pipeline must hold f32 grade across all three
+    rotated passes (dual-field volumes; interpret mode)."""
+    import jax.numpy as jnp
+
+    P = 2
+    scans = [Scan(3, True, 0.9, (0.5,)), Scan(2, False, 1.05, (0.4,)),
+             Scan(1, True, 1.0, (0.3,))]
+    spec = FilterSpec(
+        "VOLC", (Dim("c", P), Dim("z", 32), Dim("y", 64), Dim("x", 128)),
+        tuple(scans), tile_widths=(0, 32, 64, 128),
+    )
+    x = _img(P, 32, 64, 128, seed=21)
+    got = np.asarray(
+        dimfuse.apply_filter_fused(spec, jnp.asarray(x),
+                                   matmul_precision="px6")
+    )
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 2e-6 * scale
+
+
 def test_px_tails_chaining_volume():
     """3-D px chain (volume regime): each lane block spans whole next-axis
     extents, so BOTH non-final passes emit the next pass's tails — only
