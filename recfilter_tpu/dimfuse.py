@@ -558,6 +558,12 @@ _CHAIN_MATMUL_MAX_TILES = 256
 # saves). Re-enable if/when a split-bf16 moments kernel lands.
 _MOMENTS_CHAIN = False
 
+# 2-D split-bf16 overlapped path (overlap2d.fused_2d_px): the 3-touch
+# structure (moments kernel → carry solves → VMEM-fused dual completion)
+# with the px compensated products — replaces the 5-touch rotation-chained
+# pipeline for trailing-2-D px filters where its static gates hold.
+_OVERLAP_PX_2D = True
+
 
 def _chain_solve_assoc(b, scan: Scan, T: int, em, last: bool):
     """Solve one scan's cross-tile recurrence with an associative scan.
@@ -1154,7 +1160,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
     return (y, tails_out) if next_tails is not None else y
 
-def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp):
+def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
     """Both passes' raw tails from ONE read of the image (2-D px chain).
 
     The chained-tails mechanism extracts pass 2's tails inside pass 1's
@@ -1192,11 +1198,22 @@ def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp):
     Gy = np.concatenate([np.asarray(g) for g in m2.G], axis=1)
 
     X4 = x.reshape(1, n2, T2, w).astype(jnp.float32)
-    bA, U = k2d.moments2d(X4, Gy, Gx, interp)
-    # U (1, n2, n1, T2, Kx) → pass-1 lines layout (n1, 8, h)
-    braw_x = jnp.transpose(U[0], (1, 3, 0, 2)).reshape(n1, Kx, h)
-    if Kx < 8:
-        braw_x = jnp.pad(braw_x, ((0, 0), (0, 8 - Kx), (0, 0)))
+    if nprod:
+        # Split-bf16 moments kernel: same accuracy grade as the px
+        # completion kernels, no HIGHEST operand-conversion copies.
+        bA_t, U_t = k2d.moments2d_px(X4, Gy, Gx, nprod=nprod,
+                                     interpret=interp)
+        bA = bA_t[:, :, :Ky]                       # (1, n2, Ky, w)
+        # U_t (1, n2, n1*8, T2) → pass-1 lines layout (n1, 8, h)
+        braw_x = jnp.transpose(
+            U_t[0].reshape(n2, n1, 8, T2), (1, 2, 0, 3)
+        ).reshape(n1, 8, h)
+    else:
+        bA, U = k2d.moments2d(X4, Gy, Gx, interp)
+        # U (1, n2, n1, T2, Kx) → pass-1 lines layout (n1, 8, h)
+        braw_x = jnp.transpose(U[0], (1, 3, 0, 2)).reshape(n1, Kx, h)
+        if Kx < 8:
+            braw_x = jnp.pad(braw_x, ((0, 0), (0, 8 - Kx), (0, 0)))
 
     # Solve N_x for the carry-sized y-tails identity (pass 1 re-solves the
     # identical system from the same raw tails — XLA CSE merges them).
@@ -1280,6 +1297,28 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     # exactly. Every pass contracts over lanes and no standalone relayout
     # copy sits between the passes (D=2: images; D=3: volumes).
     Ds = len(groups)
+
+    # 3-touch px overlapped path for trailing-2-D filters: both dims'
+    # carries from one read (moments kernel + overlap identity), then ONE
+    # fused dual-completion kernel (dim-A completion never touches HBM).
+    # Strictly fewer image touches than the rotation chain below (3 vs 5)
+    # at the same compensated product counts.
+    if (_OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}
+            and cdt == jnp.float32):
+        nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision)
+        if nprod >= 3:
+            from . import overlap2d
+
+            ax_a, ax_b = nd - 2, nd - 1
+            y = overlap2d.fused_2d_px(
+                x, ax_a, [spec.scans[i] for i in groups[ax_a]],
+                ax_b, [spec.scans[i] for i in groups[ax_b]],
+                spec.border, nprod, jax.default_backend() != "tpu",
+                epilogue=epilogue, eaux=eaux,
+            )
+            if y is not None:
+                return y.astype(dtype)
+
     if 2 <= Ds <= 5 and set(groups) == set(range(nd - Ds, nd)):
         order = [nd - 1 - i for i in range(Ds)]
         plans = {}
@@ -1322,6 +1361,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     [spec.scans[j] for j in groups[order[0]]], plans[order[0]],
                     [spec.scans[j] for j in groups[order[1]]], plans[order[1]],
                     clamp, jax.default_backend() != "tpu",
+                    nprod=_kernel_nprod(cdt, matmul_dtype, matmul_precision),
                 )
                 if moments is not None:
                     tails_next = moments[0]

@@ -120,6 +120,362 @@ def final2d(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_cat, NB_cat,
     )(Ba, Ra, Bb, Rb, x, NA_cat, NB_cat)
 
 
+# ---------------------------------------------------------------------------
+# Split-bf16 (px) twins: the 3-touch pipeline at compensated-f32 accuracy
+# ---------------------------------------------------------------------------
+#
+# The HIGHEST-dot kernels above tie the 5-touch dimfuse pipeline at matched
+# accuracy (measured round 2 — Mosaic lowers a HIGHEST f32 dot to 6 passes
+# with operand-conversion copies). These twins run the SAME 3-touch
+# structure with the completion-kernel precision scheme
+# (``kernels/completion.py``): operands split into bf16 chunks in VMEM, the
+# ``nprod`` compensated cross products run as ONE stacked-contraction MXU
+# dot, carries ride slot-padded transposed layouts. Per-tile matrix
+# variants (clamp edges, pad projector) only ever differ at the
+# globally-first/last tiles (``dimfuse.prepare_dim_pass``), so the kernels
+# take ≤3 distinct variants as VMEM-resident constants and select by grid
+# position — streaming a per-tile stack per grid step would double HBM
+# traffic.
+
+from .completion import (_SLOTS, _nchunks, _prods, _split_const_np,
+                         _split_vmem, pad_solve_matrix)
+
+
+def _variants3(stack) -> np.ndarray:
+    """(n|1, r, c) per-tile stack → (1|3, r, c) distinct variants
+    [interior, first, last]. prepare_dim_pass's per-tile stacks are uniform
+    except at tiles 0 and n-1 (clamp edges / pad projector); stack[1] is
+    interior whenever n > 2 (the builder copies the interior representative
+    into every non-edge row)."""
+    M = np.asarray(stack, np.float64)
+    n = M.shape[0]
+    if n == 1:
+        return M
+    interior = M[1] if n > 2 else M[0]
+    return np.stack([interior, M[0], M[n - 1]])
+
+
+def _cat_split(M, pairs, nc) -> jnp.ndarray:
+    """bf16 chunk-concat of a (v, r, c) variant stack along the LAST axis
+    (the contraction axis): (v, r, nprod·c)."""
+    chunks = _split_const_np(M, nc)
+    return jnp.asarray(np.concatenate([chunks[i] for i, _ in pairs], axis=2))
+
+
+def _pad_slots(M, k_axis: int = 2) -> np.ndarray:
+    """Zero-pad a carry axis (size K ≤ 8) up to the 8-slot sublane quantum."""
+    M = np.asarray(M, np.float64)
+    k = M.shape[k_axis]
+    if k == _SLOTS:
+        return M
+    pad = [(0, 0)] * M.ndim
+    pad[k_axis] = (0, _SLOTS - k)
+    return np.pad(M, pad)
+
+
+def _sel_variant(ref, idx, n: int):
+    """Pick the [interior, first, last] variant for tile ``idx`` (traced)."""
+    if ref.shape[0] == 1:
+        return ref[0]
+    return jnp.where(idx == 0, ref[1], jnp.where(idx == n - 1, ref[2],
+                                                 ref[0]))
+
+
+def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
+    """Lane-block width: the largest multiple of Tb that divides W and fits
+    the cap (grid steps must tile W exactly). Default cap 1024 measured
+    faster than 512 on the fused dual-completion kernel (more independent
+    B-dots per step amortize the dependent A-dot → split chain)."""
+    import os
+
+    if not cap:
+        cap = int(os.environ.get("RECFILTER_PX2D_LB", "1024"))
+    nb = W // Tb
+    best = 1
+    for d in range(1, nb + 1):
+        if nb % d == 0 and d * Tb <= cap:
+            best = d
+    return best * Tb
+
+
+def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
+                       nprod, kb, Tb, na, nb):
+    """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
+    moments, all from one VMEM split of the block."""
+    a = pl.program_id(1)
+    l = pl.program_id(2)
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
+    Ga = _sel_variant(Ga_ref, a, na)
+    xcat0 = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
+    o1_ref[:] = jax.lax.dot_general(
+        Ga, xcat0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for c in range(kb):
+        xc = jnp.concatenate(
+            [xs[j][:, c * Tb:(c + 1) * Tb] for _, j in pairs], axis=1)
+        Gb = _sel_variant(Gb_ref, l * kb + c, nb)
+        o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
+            Gb, xc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
+    """Pass 1 (px): both dimensions' raw tails from ONE read of x.
+
+    x       : (p, na, Ta, W) f32, W = nb·Tb
+    G_a_cat : (na|1, Ka, Ta);  G_b_cat : (nb|1, Kb, Tb)
+    returns : bA_t (p, na, 8, W)   — dim-A tails, slot-padded transposed
+              U_t  (p, na, nb·8, Ta) — dim-B moments of raw x, transposed
+    """
+    p, na, Ta, W = x.shape
+    Ga = np.asarray(G_a_cat)
+    Gb = np.asarray(G_b_cat)
+    Tb = Gb.shape[2]
+    nb = W // Tb
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Gav = _cat_split(_variants3(_pad_slots(Ga, 1)), pairs, nc)
+    Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
+    Lb = _lb_px(W, Tb)
+    kb = Lb // Tb
+    kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
+                   na=na, nb=nb)
+
+    def _run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((p, na, _SLOTS, W), jnp.float32),
+                jax.ShapeDtypeStruct((p, na, nb * _SLOTS, Ta), jnp.float32),
+            ),
+            grid=(p, na, W // Lb),
+            in_specs=[
+                pl.BlockSpec(Gav.shape, lambda i, a, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(Gbv.shape, lambda i, a, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, Ta, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((None, None, _SLOTS, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, kb * _SLOTS, Ta),
+                             lambda i, a, l: (i, a, l, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Gav, Gbv, x)
+
+    # VJP via the einsum twins (pallas_call has no autodiff rule); both
+    # outputs are linear in x. Twins pinned to HIGHEST (TPU grad contract).
+    Gan = jnp.asarray(_pad_slots(Ga, 1)[np.minimum(np.arange(na),
+                                                   Ga.shape[0] - 1)],
+                      jnp.float32)
+    Gbn = jnp.asarray(_pad_slots(Gb, 1)[np.minimum(np.arange(nb),
+                                                   Gb.shape[0] - 1)],
+                      jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _ref(x):
+        xf = x.astype(jnp.float32)
+        bA = jnp.einsum("aks,pasw->pakw", Gan, xf, precision=hi,
+                        preferred_element_type=jnp.float32)
+        xr = xf.reshape(p, na, Ta, nb, Tb)
+        U = jnp.einsum("bkt,pasbt->pabks", Gbn, xr, precision=hi,
+                       preferred_element_type=jnp.float32)
+        return bA, U.reshape(p, na, nb * _SLOTS, Ta)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x: (_run(x), x),
+             lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
+    return f(x)
+
+
+def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
+                     mode: int = 1):
+    """One (Ta, Lb) x-block + both dims' carry blocks → (Ta, Lb) out-block.
+
+    Z (dim-A completion) lives only in VMEM: Z = Ba·x + Ra·NA via stacked
+    split products, re-split in-register, then per lane sub-tile
+    Y_c = Z_c·Bbᵀ + Rb·NB_c. All image-sized dots are single-pass bf16 MXU
+    products on exact chunks with f32 accumulation.
+
+    ``mode`` selects the dependency structure (measured on chip):
+      0 — one whole-block A-dot, then per-sub-tile B chains (the A-dot →
+          z-split → B-dots path serializes MXU behind VPU once per step);
+      1 — per-sub-tile A-dots: kb INDEPENDENT z_c → split → Y_c chains,
+          letting the scheduler overlap chain c's VPU split with chain
+          c±1's MXU dots."""
+    Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, nA_ref, nB_ref = refs[:7]
+    aux_refs = refs[7:7 + naux]
+    o_ref = refs[7 + naux]
+    a = pl.program_id(1)
+    l = pl.program_id(2)
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
+    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
+    ns_a = _split_vmem(nA_ref[:], nc)
+    nacat = jnp.concatenate([ns_a[j] for _, j in pairs], axis=0)
+    Ba = _sel_variant(Ba_ref, a, na)
+    Ra = _sel_variant(Ra_ref, a, na)
+    dn_a = (((1,), (0,)), ((), ()))
+
+    def a_dot(xc, nac):
+        z = jax.lax.dot_general(Ba, xc, dn_a,
+                                preferred_element_type=jnp.float32)
+        return z + jax.lax.dot_general(Ra, nac, dn_a,
+                                       preferred_element_type=jnp.float32)
+
+    if mode == 0:
+        zs_full = _split_vmem(a_dot(xcat, nacat), nc)
+    for c in range(kb):
+        sl = slice(c * Tb, (c + 1) * Tb)
+        if mode == 0:
+            zs = [zj[:, sl] for zj in zs_full]
+        else:
+            zs = _split_vmem(a_dot(xcat[:, sl], nacat[:, sl]), nc)
+        zc = jnp.concatenate([zs[j] for _, j in pairs], axis=1)
+        gb = l * kb + c
+        Bb = _sel_variant(Bb_ref, gb, nb)
+        Rb = _sel_variant(Rb_ref, gb, nb)
+        y = jax.lax.dot_general(zc, Bb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        ns_b = _split_vmem(nB_ref[c * _SLOTS:(c + 1) * _SLOTS, :], nc)
+        nbcat = jnp.concatenate([ns_b[j] for _, j in pairs], axis=0)
+        y = y + jax.lax.dot_general(nbcat, Rb, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        o_ref[:, sl] = y.astype(o_ref.dtype)
+    if epilogue is not None:
+        o_ref[:] = epilogue(o_ref[:], *(r[:] for r in aux_refs)).astype(
+            o_ref.dtype)
+
+
+def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
+               nprod: int, interpret: bool, epilogue=None, eaux=()):
+    """Fused passes 2+3 (px): read x once, dim-A completion Z in VMEM,
+    emit the dim-B completion. The split-bf16 twin of :func:`final2d`.
+
+    x        : (p, na, Ta, W) f32 (or bf16 with nprod=1), W = nb·Tb
+    Btot_a   : (na|1, Ta, Ta);  Rhat_a_cat: (na|1, Ta, Ka)
+    Btot_b   : (nb|1, Tb, Tb);  Rhat_b_cat: (nb|1, Tb, Kb)
+    NA_t     : (p, na, 8, W) f32   — dim-A carries, slot-padded transposed
+    NB_t     : (p, na, nb·8, Ta) f32 — dim-B carries, slot-padded transposed
+    epilogue : optional elementwise combine applied to each out-block in
+               VMEM; ``eaux`` arrays share x's (p, na, Ta, W) layout.
+    returns  : (p, na, Ta, W) in x.dtype
+    """
+    p, na, Ta, W = x.shape
+    Bb0 = np.asarray(Btot_b)
+    Tb = Bb0.shape[1]
+    nb = W // Tb
+    Ka = np.asarray(Rhat_a_cat).shape[-1]
+    Kb = np.asarray(Rhat_b_cat).shape[-1]
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Bav = _cat_split(_variants3(Btot_a), pairs, nc)
+    Rav = _cat_split(_variants3(_pad_slots(Rhat_a_cat)), pairs, nc)
+    Bbv = _cat_split(_variants3(Bb0), pairs, nc)
+    Rbv = _cat_split(_variants3(_pad_slots(Rhat_b_cat)), pairs, nc)
+    Lb = _lb_px(W, Tb)
+    kb = Lb // Tb
+    import os
+
+    kern = partial(_final_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
+                   na=na, nb=nb, naux=len(eaux), epilogue=epilogue,
+                   mode=int(os.environ.get("RECFILTER_PX2D_KMODE", "1")))
+
+    def _run(x, NA_t, NB_t, *eaux):
+        operands = [Bav, Rav, Bbv, Rbv, x, NA_t, NB_t, *(
+            jnp.asarray(a, jnp.float32) for a in eaux)]
+        in_specs = [
+            pl.BlockSpec(Bav.shape, lambda i, a, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(Rav.shape, lambda i, a, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(Bbv.shape, lambda i, a, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(Rbv.shape, lambda i, a, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, Ta, Lb), lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Lb),
+                         lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, kb * _SLOTS, Ta),
+                         lambda i, a, l: (i, a, l, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((None, None, Ta, Lb), lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM)
+            for _ in eaux
+        ]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(p, na, W // Lb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (None, None, Ta, Lb), lambda i, a, l: (i, a, 0, l),
+                memory_space=pltpu.VMEM,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(*operands)
+
+    # Einsum twin for the VJP — linear in (x, NA_t, NB_t); HIGHEST-pinned.
+    hi = jax.lax.Precision.HIGHEST
+    Ban = jnp.asarray(np.asarray(Btot_a, np.float64)[
+        np.minimum(np.arange(na), np.asarray(Btot_a).shape[0] - 1)],
+        jnp.float32)
+    Ran = jnp.asarray(_pad_slots(Rhat_a_cat)[
+        np.minimum(np.arange(na), np.asarray(Rhat_a_cat).shape[0] - 1)],
+        jnp.float32)
+    Bbn = jnp.asarray(np.asarray(Btot_b, np.float64)[
+        np.minimum(np.arange(nb), Bb0.shape[0] - 1)], jnp.float32)
+    Rbn = jnp.asarray(_pad_slots(Rhat_b_cat)[
+        np.minimum(np.arange(nb), np.asarray(Rhat_b_cat).shape[0] - 1)],
+        jnp.float32)
+
+    def _ref(x, NA_t, NB_t, *eaux):
+        xf = x.astype(jnp.float32)
+        z = (jnp.einsum("aos,pasw->paow", Ban, xf, precision=hi,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("aok,pakw->paow", Ran, NA_t, precision=hi,
+                          preferred_element_type=jnp.float32))
+        zr = z.reshape(p, na, Ta, nb, Tb)
+        NBr = NB_t.reshape(p, na, nb, _SLOTS, Ta)
+        y = (jnp.einsum("bot,pasbt->pasbo", Bbn, zr, precision=hi,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bok,pabks->pasbo", Rbn, NBr, precision=hi,
+                          preferred_element_type=jnp.float32))
+        y = y.reshape(p, na, Ta, W)
+        if epilogue is not None:
+            y = epilogue(y, *(jnp.asarray(a, jnp.float32) for a in eaux))
+        return y.astype(x.dtype)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(
+        lambda x, NA_t, NB_t, *eaux: (_run(x, NA_t, NB_t, *eaux),
+                                      (x, NA_t, NB_t, eaux)),
+        lambda res, ct: jax.vjp(
+            lambda xx, nn, mm, *ee: _ref(xx, nn, mm, *ee),
+            res[0], res[1], res[2], *res[3]
+        )[1](ct),
+    )
+    return f(x, NA_t, NB_t, *eaux)
+
+
 def _moments_kernel(Ga_ref, Gb_ref, x_ref, ba_ref, u_ref, *, nb, Tb,
                     b_stacked):
     Ga = Ga_ref[:]

@@ -177,6 +177,134 @@ def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
     )
 
 
+def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
+                axis_b: int, scans_b: Sequence[Scan],
+                border: str, nprod: int, interpret: bool,
+                epilogue=None, eaux=()):
+    """Split-bf16 (px) 3-touch 2-D executor — the shipping twin of the
+    ``use_kernels`` path: ``moments2d_px`` (one read → both dims' raw
+    tails) → HIGHEST carry solves → ``final2d_px`` (one read → Y, dim-A
+    completion VMEM-resident). Same compensated product counts as the px
+    completion kernels, at 3 image touches instead of dimfuse's 5.
+
+    Requires the scanned dims to be the TRAILING two axes (leading axes
+    fold into the kernel grid). Returns None when a static gate fails
+    (tiny extents, clamp with non-dividing width, huge tile counts,
+    carries past the 8-slot sublane quantum) — callers fall back to the
+    rotation-chained dimfuse pipeline.
+    """
+    from .kernels import final2d as k2d
+    from .kernels.completion import _SLOTS, _expand_stack, pad_solve_matrix
+
+    nd = x.ndim
+    if axis_a != nd - 2 or axis_b != nd - 1:
+        return None
+    T = k2d.LANE_TILE
+    wa, wb = x.shape[axis_a], x.shape[axis_b]
+    if wa < T or wb < T:
+        return None
+    clamp = border == BorderMode.CLAMP
+    na, nb = -(-wa // T), -(-wb // T)
+    pad_a, pad_b = na * T - wa, nb * T - wb
+    if clamp and (pad_a or pad_b):
+        return None
+    if na > dimfuse._CHAIN_MATMUL_MAX_TILES or \
+            nb > dimfuse._CHAIN_MATMUL_MAX_TILES:
+        return None
+    ma = dimfuse.prepare_dim_pass(scans_a, T, na, clamp, pad_slots=pad_a)
+    mb = dimfuse.prepare_dim_pass(scans_b, T, nb, clamp, pad_slots=pad_b)
+    Ka, Kb = int(sum(ma.orders)), int(sum(mb.orders))
+    if Ka > _SLOTS or Kb > _SLOTS:
+        return None
+
+    shape = x.shape
+    if pad_a or pad_b:
+        pads = [(0, 0)] * nd
+        pads[axis_a], pads[axis_b] = (0, pad_a), (0, pad_b)
+        x = jnp.pad(x, pads)
+    p = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
+    W = nb * T
+    X4 = x.reshape(p, na, T, W)
+
+    hi = jax.lax.Precision.HIGHEST
+    Ga_cat = np.concatenate([np.asarray(g) for g in ma.G], axis=1)
+    Gb_cat = np.concatenate([np.asarray(g) for g in mb.G], axis=1)
+    Ra_cat = np.concatenate([np.asarray(r) for r in ma.Rhat], axis=2)
+    Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
+
+    # ---- pass 1 (one read of x): dim-A raw tails + dim-B moments ---------
+    bA_t, U_t = k2d.moments2d_px(X4, Ga_cat, Gb_cat, nprod=nprod,
+                                 interpret=interpret)
+
+    # ---- dim-A chain solve (slot-padded transposed layout) ---------------
+    CMa = dimfuse.combined_solve_matrix(ma, na)
+    bands_a = dimfuse.banded_solve_blocks(CMa, na, Ka)
+    if bands_a is not None:
+        NA_t = jax.vmap(
+            lambda b: dimfuse._banded_solve_apply(bands_a, b, Ka))(bA_t)
+    else:
+        CMa_p = jnp.asarray(pad_solve_matrix(CMa, na, Ka), jnp.float32)
+        NA_t = jnp.einsum(
+            "ts,psl->ptl", CMa_p, bA_t.reshape(p, na * _SLOTS, W),
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(p, na, _SLOTS, W)
+
+    # ---- dim-B raw tails from carry-sized data only ----------------------
+    # Gb ∘_B Z = Btot_A ∘_A (Gb ∘_B x) + Ra_cat ∘_A (Gb ∘_B N_A)
+    Ban = _expand_stack(ma.Btot, na)                      # (na, Ta, Ta)
+    Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
+    Gbn = _expand_stack(Gb_cat, nb)                       # (nb, Kb, Tb)
+    U = U_t.reshape(p, na, nb, _SLOTS, T)[:, :, :, :Kb]   # (p,na,nb,Kb,Ta)
+    term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
+                       preferred_element_type=jnp.float32)
+    NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
+    GN = jnp.einsum("bkt,pajbt->pabkj", Gbn, NAr, precision=hi,
+                    preferred_element_type=jnp.float32)
+    term2 = jnp.einsum("aoj,pabkj->pabko", Ran, GN, precision=hi,
+                       preferred_element_type=jnp.float32)
+    bB = term1 + term2                                    # (p,na,nb,Kb,Ta)
+    if Kb < _SLOTS:
+        bB = jnp.pad(bB, ((0, 0), (0, 0), (0, 0), (0, _SLOTS - Kb), (0, 0)))
+
+    # ---- dim-B chain solve ----------------------------------------------
+    CMb = dimfuse.combined_solve_matrix(mb, nb)
+    bands_b = dimfuse.banded_solve_blocks(CMb, nb, Kb)
+    if bands_b is not None:
+        bBl = jnp.moveaxis(bB, 2, 0).reshape(nb, _SLOTS, -1)
+        NBl = dimfuse._banded_solve_apply(bands_b, bBl, Kb)
+        NB_t = jnp.moveaxis(
+            NBl.reshape(nb, _SLOTS, p, na, T), 0, 2
+        ).reshape(p, na, nb * _SLOTS, T)
+    else:
+        CMb_p = jnp.asarray(pad_solve_matrix(CMb, nb, Kb), jnp.float32)
+        NB_t = jnp.einsum(
+            "ts,qsl->qtl", CMb_p,
+            bB.reshape(p * na, nb * _SLOTS, T),
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(p, na, nb * _SLOTS, T)
+
+    # ---- fused passes 2+3: read x once, emit Y ---------------------------
+    k_eaux = ()
+    if epilogue is not None:
+        k_eaux = []
+        for a_ in eaux:
+            a_ = jnp.asarray(a_, jnp.float32)
+            if pad_a or pad_b:
+                pads = [(0, 0)] * a_.ndim
+                pads[axis_a], pads[axis_b] = (0, pad_a), (0, pad_b)
+                a_ = jnp.pad(a_, pads)
+            k_eaux.append(a_.reshape(p, na, T, W))
+    Y4 = k2d.final2d_px(X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_t, NB_t,
+                        nprod=nprod, interpret=interpret,
+                        epilogue=epilogue, eaux=k_eaux)
+    y = Y4.reshape(x.shape)
+    if pad_a:
+        y = jax.lax.slice_in_dim(y, 0, wa, axis=axis_a)
+    if pad_b:
+        y = jax.lax.slice_in_dim(y, 0, wb, axis=axis_b)
+    return y
+
+
 def fused_2d_pass(
     x,
     axis_a: int,

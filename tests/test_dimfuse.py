@@ -541,9 +541,21 @@ def test_px_rotated_leading_channel_per_slice_kernels(mode, bound):
     assert float(jnp.abs(g_px - g_hi).max()) <= 1e-5 * gs
 
 
+
+@pytest.fixture
+def old_px_chain():
+    """Pin the 5-touch rotation-chained px pipeline: these tests verify its
+    cross-pass tails-chaining / in-kernel-epilogue mechanics specifically.
+    Trailing-2-D px filters otherwise route through the 3-touch overlapped
+    path (dimfuse._OVERLAP_PX_2D — covered in test_overlap2d)."""
+    prev = dimfuse._OVERLAP_PX_2D
+    dimfuse._OVERLAP_PX_2D = False
+    yield
+    dimfuse._OVERLAP_PX_2D = prev
+
 @pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
 @pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
-def test_px_tails_chaining_two_dims(mode, bound, border):
+def test_px_tails_chaining_two_dims(mode, bound, border, old_px_chain):
     """The 2-D px chain: the first pass's completion kernel extracts the
     second pass's tails from the blocks it emits (``next_tails``), and the
     second pass consumes them via ``tails_in`` — 2 HBM touches for pass 2.
@@ -606,7 +618,7 @@ def test_px_tails_chaining_two_dims(mode, bound, border):
 
 @pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
 @pytest.mark.parametrize("mode,bound", [("px3", 1e-4), ("px6", 2e-6)])
-def test_px_tails_chaining_leading_channel(mode, bound, border):
+def test_px_tails_chaining_leading_channel(mode, bound, border, old_px_chain):
     """The 2-D px chain with a leading channel group (RGB pipelines): both
     rotated passes run the vmapped per-slice completion kernels and the
     cross-pass tails chain composes per slice — pass 1 extracts pass 2's
@@ -735,7 +747,7 @@ def test_pallas_completion_clamp_pad_variants(mode):
 
 
 @pytest.mark.parametrize("mode", ["px3", "px6"])
-def test_px_epilogue_fused_into_kernel(mode):
+def test_px_epilogue_fused_into_kernel(mode, old_px_chain):
     """In px modes an elementwise epilogue must ride the completion kernel
     (applied per out-block in VMEM), not run as a separate post-kernel
     stream — and the result must equal the unfused combine."""

@@ -252,3 +252,143 @@ def test_fused_nd_pass_3d_clamp_and_routing():
     want = scan_core.oracle_apply(spec, x.astype(np.float64))
     np.testing.assert_allclose(got, want.astype(np.float32),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Split-bf16 (px) 3-touch path — fused_2d_px + routing (round 3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_px_path_matches_oracle(border):
+    """fused_2d_px (interpret) must hold the f32 SNR bar vs the f64 oracle:
+    compensated 6-product dots in both kernels, HIGHEST solves."""
+    from recfilter_tpu import iir
+
+    w3 = iir.gaussian_weights(2.0, 3)
+    spec = _spec(
+        [
+            Scan(1, True, w3[0], tuple(w3[1:])),
+            Scan(1, False, w3[0], tuple(w3[1:])),
+            Scan(0, True, w3[0], tuple(w3[1:])),
+            Scan(0, False, w3[0], tuple(w3[1:])),
+        ],
+        border=border, h=128, w=256, tiles=(128, 128),
+    )
+    x = _img(128, 256, seed=20)
+    got = overlap2d.fused_2d_px(
+        x, 0, [spec.scans[2], spec.scans[3]],
+        1, [spec.scans[0], spec.scans[1]], border, 6, True,
+    )
+    assert got is not None
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(
+        np.asarray(got), want.astype(np.float32), rtol=2e-5, atol=2e-6)
+
+
+def test_px_path_routing_and_non_dividing():
+    """apply_filter_fused with a px mode must route trailing-2-D filters
+    through fused_2d_px (zero border pads to the lane tile)."""
+    import jax.numpy as jnp
+
+    spec = _spec(
+        [
+            Scan(1, True, 1.0, (0.5, 0.25)),
+            Scan(0, False, 1.0, (0.4,)),
+        ],
+        h=130, w=250, tiles=(128, 128),
+    )
+    x = _img(130, 250, seed=21)
+    calls = []
+    orig = overlap2d.fused_2d_px
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    overlap2d.fused_2d_px = spy
+    try:
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x), matmul_precision="px6"))
+    finally:
+        overlap2d.fused_2d_px = orig
+    assert calls == [True]
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_px_path_batch_and_grad():
+    """Leading batch axis folds into the kernel grid; jax.grad flows
+    through the custom VJPs (einsum twins) at f32 grade."""
+    import jax
+    import jax.numpy as jnp
+
+    spec_scans = (
+        Scan(2, True, 1.0, (0.5,)),
+        Scan(1, True, 1.0, (0.4,)),
+    )
+    dims = (Dim("c", 2), Dim("y", 128), Dim("x", 128))
+    spec = FilterSpec("PXB", dims, spec_scans, tile_widths=(0, 128, 128))
+    x = _img(2, 128, 128, seed=22)
+
+    def f(v):
+        return jnp.sum(dimfuse.apply_filter_fused(
+            spec, v, matmul_precision="px6") ** 2)
+
+    got = np.asarray(dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), matmul_precision="px6"))
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=2e-5, atol=2e-6)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+    def f_ref(v):
+        return jnp.sum(scan_core.apply_filter(spec, v) ** 2)
+
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_px_path_epilogue_fused_into_final_kernel():
+    """In the 3-touch px route an elementwise epilogue must ride the fused
+    dual-completion kernel (applied per out-block in VMEM), matching the
+    unfused combine."""
+    import jax.numpy as jnp
+    from recfilter_tpu.kernels import final2d as k2d
+
+    spec = _spec(
+        [
+            Scan(1, True, 0.9, (0.6, 0.2)),
+            Scan(0, False, 1.05, (0.4, 0.15)),
+        ],
+        h=128, w=256, tiles=(128, 128),
+    )
+    x = _img(128, 256, seed=30)
+    aux = _img(128, 256, seed=31)
+
+    def combine(blur, image):
+        return 2.0 * image - 0.5 * blur
+
+    seen = []
+    orig = k2d.final2d_px
+
+    def spying(*a, **k):
+        seen.append(k.get("epilogue") is not None)
+        return orig(*a, **k)
+
+    k2d.final2d_px = spying
+    try:
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x), matmul_precision="px6",
+            epilogue=combine, eaux=(jnp.asarray(aux),),
+        ))
+    finally:
+        k2d.final2d_px = orig
+    assert seen == [True]
+    plain = np.asarray(dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), matmul_precision="px6"))
+    np.testing.assert_allclose(got, 2.0 * aux - 0.5 * plain, rtol=0,
+                               atol=1e-5 * np.abs(plain).max())
