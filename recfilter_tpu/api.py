@@ -208,7 +208,8 @@ class RecFilter:
         return self
 
     # ------------------------------------------------------------- execution
-    def as_func(self, epilogue: Optional[Callable] = None) -> Callable:
+    def as_func(self, epilogue: Optional[Callable] = None,
+                stencil=None) -> Callable:
         """Jittable function array→array running the filter
         (``RecFilter::as_func``, ``lib/recfilter.cpp:886``).
 
@@ -224,8 +225,23 @@ class RecFilter:
         the TPU analog of the reference's ``compute_at`` fusion of a
         pointwise consumer into the filter's last CUDA kernel
         (``apps/usm/unsharp_mask_optimized.cpp:61-71``). eaux arrays share
-        the OUTPUT layout (rotated when ``Plan.rotate_emit`` is set)."""
+        the OUTPUT layout (rotated when ``Plan.rotate_emit`` is set).
+
+        ``stencil`` — optional SHIFTED-tap consumer fused into the filter's
+        final pass: ``{"taps": [(offset, coeff), ...], "start": ..,
+        "end": ..}`` with offsets along the scanned axis — the analog of
+        the reference's ``compute_at`` of a stencil consumer into the
+        producer's kernel (``lib/recfilter.cpp:507-573``, used by DoG's
+        differencing stages ``apps/DoG/diff_gauss.cpp:93-101``). Requires
+        ``Plan.rotate_emit`` (single-dimension filters); the px kernel
+        modes fold the taps into the completion kernel via neighbor halo
+        strips at zero extra image streams. Applies before ``epilogue``."""
         spec = self.spec
+        if stencil is not None and not self._plan.rotate_emit:
+            raise ValueError(
+                "stencil consumers require Plan.rotate_emit "
+                "(single-dimension filters)"
+            )
         if spec.tuple_width:
             if epilogue is not None:
                 raise ValueError("epilogue is not supported on Tuple filters")
@@ -241,9 +257,10 @@ class RecFilter:
                 return tuple(y[i] for i in range(k))
 
             return tuple_fn
-        return self._executor(spec, epilogue)
+        return self._executor(spec, epilogue, stencil)
 
-    def _executor(self, spec: FilterSpec, epilogue=None) -> Callable:
+    def _executor(self, spec: FilterSpec, epilogue=None,
+                  stencil=None) -> Callable:
         plan = self._plan
         if plan.rotate_emit and plan.backend != "oracle":
             # The rotated-layout contract must survive backend fallback:
@@ -254,7 +271,7 @@ class RecFilter:
             return lambda x, *eaux: dimfuse.apply_filter_rotated(
                 spec, x, rot_axes=plan.rotate_emit,
                 matmul_precision=plan.matmul_precision,
-                epilogue=epilogue, eaux=eaux,
+                epilogue=epilogue, eaux=eaux, stencil=stencil,
             )
         backend = planner.resolve_backend(
             spec, plan, jax.default_backend()

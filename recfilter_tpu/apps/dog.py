@@ -107,28 +107,39 @@ def difference_of_gaussians(
     # the last axis and emits (c, y, x) — both stages run in the fast
     # lanes-contraction form with zero relayout copies between them. Without
     # this, SAT2y's y-axis einsums lower to convolutions ~4x off bandwidth.
+    #
+    # The double-differencing consumers ride each stage as FUSED STENCIL
+    # epilogues (per-channel taps for the dual radius): the reference fuses
+    # these reads into the producer kernel via ``compute_at``
+    # (``diff_gauss.cpp:93-101``, ``lib/recfilter.cpp:507-573``); here the
+    # px completion kernel combines neighbor halo strips in VMEM, so the
+    # differencing costs zero extra image streams (it was ~1.9 ms of
+    # full-image elementwise fusions at 4K).
+    def _ddiff_taps(B, norm):
+        s = 1.0 / (norm * norm)
+        return [(2 * B, s), (-1, -2.0 * s), (-2 * B - 2, s)]
+
+    stencil = {
+        "taps": [_ddiff_taps(B1, float(2 * B1 + 1)),
+                 _ddiff_taps(B2, float(2 * B2 + 1))],
+        "start": "zero",  # integral values are 0 in the zeroed margin
+        "end": "clamp",   # far edge holds real totals (see _shift_clamped)
+    }
+
     c = Dim("c", 2)
     SAT2x = RecFilter("SAT2x")
     SAT2x[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
     SAT2x.add_filter(+x, [1.0, 2.0, -1.0])
     SAT2x.split(x, tile_width)
     SAT2x.set_plan(rotate_emit=2)
-    sat2x = SAT2x.as_func()
+    sat2x = SAT2x.as_func(stencil=stencil)
 
     SAT2y = RecFilter("SAT2y")
     SAT2y[c, y, x] = np.zeros((2, height, width), dtype=np.float32)
     SAT2y.add_filter(+y, [1.0, 2.0, -1.0])
     SAT2y.split(y, tile_width)
     SAT2y.set_plan(rotate_emit=2)
-    sat2y = SAT2y.as_func()
-
-    def _ddiff(f, B, axis, norm):
-        # fused double differencing (see box.py:_double_diff)
-        return (
-            _shift_clamped(f, 2 * B, axis)
-            - 2.0 * _shift_clamped(f, -1, axis)
-            + _shift_clamped(f, -2 * B - 2, axis)
-        ) / (norm * norm)
+    sat2y = SAT2y.as_func(stencil=stencil)
 
     def fn(image):
         v = image.astype(jnp.float32)
@@ -137,16 +148,8 @@ def difference_of_gaussians(
         box1 = jnp.stack(
             [_diff_xy(s, B1, width, height), _diff_xy(s, B2, width, height)]
         )
-        s2x = sat2x(box1)  # rotated emit: (c, x, y)
-        box2x = jnp.stack(
-            [
-                _ddiff(s2x[0], B1, 0, float(2 * B1 + 1)),
-                _ddiff(s2x[1], B2, 0, float(2 * B2 + 1)),
-            ]
-        )
-        s2y = sat2y(box2x)  # rotated emit: back to (c, y, x)
-        g1 = _ddiff(s2y[0], B1, 0, float(2 * B1 + 1))
-        g2 = _ddiff(s2y[1], B2, 0, float(2 * B2 + 1))
-        return g1 - g2
+        box2x = sat2x(box1)  # integral+differencing fused; (c, x, y)
+        g = sat2y(box2x)     # fused again; back to (c, y, x)
+        return g[0] - g[1]
 
     return jax.jit(fn)

@@ -796,6 +796,111 @@ def fused_dim_pass(
 
 
 
+def _shift_mode(y, off: int, axis: int, mode: str):
+    """y shifted by ``off`` along ``axis``: pad (edge for "clamp",
+    zeros for "zero") + slice — the stencil fallback's building block."""
+    n = y.shape[axis]
+    lo, hi = max(off, 0), max(-off, 0)
+    pads = [(0, 0)] * y.ndim
+    pads[axis] = (hi, lo)
+    g = jnp.pad(y, pads, mode="edge" if mode == "clamp" else "constant")
+    return jax.lax.slice_in_dim(g, lo, lo + n, axis=axis)
+
+
+def apply_stencil(y, axis: int, taps, start: str = "zero",
+                  end: str = "clamp"):
+    """Shifted-tap consumer y[i] = Σ c_k·y[i+d_k] along ``axis`` with
+    border modes per direction — the XLA fallback twin of the in-kernel
+    stencil epilogue (kernels/completion._stencil_rows)."""
+    out = None
+    for d, c in taps:
+        t = y if d == 0 else _shift_mode(y, d, axis, end if d > 0 else start)
+        t = float(c) * t
+        out = t if out is None else out + t
+    return out
+
+
+def _stencil_taps_for(stencil, slice_idx=None):
+    """Resolve the taps list: shared ``[(off, coeff), ...]`` or per-slice
+    ``[[(off, coeff), ...], ...]`` (leading channel groups — DoG's dual
+    radius)."""
+    taps = stencil["taps"]
+    per_slice = (bool(taps) and isinstance(taps[0], (list, tuple))
+                 and bool(taps[0])
+                 and isinstance(taps[0][0], (list, tuple)))
+    if per_slice:
+        return taps[0 if slice_idx is None else slice_idx]
+    return taps
+
+
+def _stencil_halo(mats, braw_t, Nt8, taps, n, T, pad):
+    """Neighbor halo strips for the in-kernel stencil, from the extended
+    tails extraction: halo rows of z_t = (Btot rows)·x_t + (Rcat rows)·N_t;
+    the first term came out of tails_pass (extra_rows), the second is a
+    carry-sized einsum here. Returns (prev, nxt) in the kernel's shifted,
+    8-row-quantized layouts."""
+    hlo, hhi = _stencil_reach(taps)
+    He = hlo + hhi
+    halo_base = braw_t[:, 8:8 + He]                  # (n, He, q)
+    Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+    S = Rcat.shape[-1]
+    Rrows = np.concatenate([Rcat[:, :hlo, :], Rcat[:, T - hhi:, :]], axis=1)
+    Rp = np.zeros((n, He, 8))
+    Rp[:, :, :S] = Rrows[np.minimum(np.arange(n), Rrows.shape[0] - 1)]
+    halo = halo_base + jnp.einsum(
+        "nhs,nsq->nhq", jnp.asarray(Rp, jnp.float32), Nt8,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    head, tail = halo[:, :hlo], halo[:, hlo:]
+    prev = nxt = None
+    if hhi:
+        H8hi = -(-hhi // 8) * 8
+        tail_p = jnp.pad(tail, ((0, 0), (H8hi - hhi, 0), (0, 0)))
+        prev = jnp.concatenate(
+            [jnp.zeros_like(tail_p[:1]), tail_p[:-1]], axis=0)
+    if hlo:
+        H8lo = -(-hlo // 8) * 8
+        head_p = jnp.pad(head, ((0, 0), (0, H8lo - hlo), (0, 0)))
+        nxt = jnp.concatenate(
+            [head_p[1:], jnp.zeros_like(head_p[:1])], axis=0)
+    return prev, nxt
+
+
+def _stencil_fallback(y, stencil, axis: int):
+    """Apply a (possibly per-slice) stencil with plain XLA shifts — the
+    correctness path wherever the in-kernel fusion's static gates fail.
+    Per-slice taps index the FIRST array axis (negative ``axis`` stays
+    valid under that slicing)."""
+    taps = stencil["taps"]
+    start = stencil.get("start", "zero")
+    end = stencil.get("end", "clamp")
+    per_slice = (bool(taps) and isinstance(taps[0], (list, tuple))
+                 and bool(taps[0])
+                 and isinstance(taps[0][0], (list, tuple)))
+    if not per_slice:
+        return apply_stencil(y, axis, taps, start, end)
+    return jnp.stack([
+        apply_stencil(y[p], axis, _stencil_taps_for(stencil, p), start, end)
+        for p in range(y.shape[0])
+    ])
+
+
+def _stencil_reach(taps):
+    """(hlo, hhi): forward reach (rows needed from the NEXT tile's head)
+    and backward reach (rows from the PREVIOUS tile's tail)."""
+    hlo = max(max((int(d) for d, _ in taps), default=0), 0)
+    hhi = max(max((-int(d) for d, _ in taps), default=0), 0)
+    return hlo, hhi
+
+
+def _stencil_extra_rows(mats, taps, T: int):
+    """Per-tile (nv, hlo+hhi, T) Btot row stack for tails_pass's
+    extra_rows — the x-dependent part of the halo strips."""
+    hlo, hhi = _stencil_reach(taps)
+    B = np.asarray(mats.Btot)
+    return np.concatenate([B[:, :hlo, :], B[:, T - hhi:, :]], axis=1)
+
+
 def _kernel_epilogue_aux(epilogue, next_tails, rot, lead, P, n, T, rows,
                          PR, pad, eaux):
     """(epilogue-or-None, flat aux arrays) for the px completion kernel:
@@ -822,7 +927,7 @@ def _kernel_epilogue_aux(epilogue, next_tails, rot, lead, P, n, T, rows,
 def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                       matmul_precision: str = "highest",
                       epilogue=None, eaux=(),
-                      tails_in=None, next_tails=None):
+                      tails_in=None, next_tails=None, stencil=None):
     """One dimension pass along the LAST axis, optionally emitting the result
     with the trailing ``rot_axes`` axes rotated one step: the scanned axis
     moves to position ``-rot_axes`` and the other trailing axes shift right.
@@ -913,28 +1018,49 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         if _completion.completion_ok(T, PR, n, S, interp):
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
             xq = X.reshape(PR, n, T)
+            # In-kernel shifted-tap stencil consumer: the tails read also
+            # extracts the halo base rows (extra_rows), the halo strips
+            # complete at solve time, and the completion kernel fuses the
+            # tap combine into its emit — the whole consumer costs zero
+            # extra image streams.
+            st_extra = None
+            st_taps = None
+            if (stencil is not None and rot and pad == 0
+                    and tails_in is None and next_tails is None):
+                st_taps = _stencil_taps_for(stencil)
+                st_extra = _stencil_extra_rows(mats, st_taps, T)
             if tails_in is not None:
                 braw_t = tails_in  # extracted by the previous pass's kernel
             else:
                 braw_t = _completion.tails_pass(
-                    xq, Gcat, nprod=nprod_k, interpret=interp
-                )  # (n, 8, PR) slot-padded transposed tails
+                    xq, Gcat, nprod=nprod_k, interpret=interp,
+                    extra_rows=st_extra,
+                )  # (n, 8(+halo rows), PR) slot-padded transposed tails
+            braw8 = braw_t[:, :8] if st_extra is not None else braw_t
             CMfull = combined_solve_matrix(mats, n)
             bands = banded_solve_blocks(CMfull, n, S)
             if bands is not None:
                 # Decaying filters: block-banded solve, O(band·n·S²·lines)
                 # instead of the dense (n·S)²·lines matmul (which grows as
                 # O(W³) over image sizes — 0.26 ms of the 8K gaussian).
-                Nt8 = _banded_solve_apply(bands, braw_t, S)
+                Nt8 = _banded_solve_apply(bands, braw8, S)
             else:
                 CMp = jnp.asarray(
                     _completion.pad_solve_matrix(CMfull, n, S), dtype=acc,
                 )
                 Nt8 = jnp.einsum(
-                    "ts,sl->tl", CMp, braw_t.reshape(n * 8, PR),
+                    "ts,sl->tl", CMp, braw8.reshape(n * 8, PR),
                     preferred_element_type=acc,
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(n, 8, PR)
+            st_k = None
+            if st_extra is not None:
+                prev_h, nxt_h = _stencil_halo(mats, braw_t, Nt8, st_taps,
+                                              n, T, pad)
+                st_k = dict(taps=st_taps, prev=prev_h, nxt=nxt_h,
+                            start=stencil.get("start", "zero"),
+                            end=stencil.get("end", "clamp"))
+                stencil = None  # consumed in-kernel
             # Elementwise epilogue fused INTO the kernel (applied to each
             # out-block in VMEM).
             k_epi, ke_aux = _kernel_epilogue_aux(
@@ -944,6 +1070,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
                 nprod=nprod_k, interpret=interp, carries_transposed=True,
                 next_tails=next_tails, epilogue=k_epi, eaux=ke_aux,
+                stencil=st_k,
             )
             tails_out = None
             if next_tails is not None:
@@ -978,6 +1105,8 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 y = Y.reshape(lead + tuple(rows) + (n * T,))
                 if pad:
                     y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
+            if stencil is not None:
+                y = _stencil_fallback(y, stencil, (-1 - nrow) if rot else -1)
             return (y, tails_out) if next_tails is not None else y
 
     if (nprod_k and rot and P > 1 and n <= _CHAIN_MATMUL_MAX_TILES
@@ -1052,23 +1181,41 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             ys = []
             for p in range(P):
                 xq = X[p].reshape(R, n, T)
+                st_taps_p = st_extra_p = None
+                if stencil is not None and pad == 0:
+                    st_taps_p = _stencil_taps_for(stencil, p)
+                    st_extra_p = _stencil_extra_rows(mats, st_taps_p, T)
                 braw_t = _completion.tails_pass(
-                    xq, Gcat, nprod=nprod_k, interpret=interp)
+                    xq, Gcat, nprod=nprod_k, interpret=interp,
+                    extra_rows=st_extra_p)
+                braw8 = braw_t[:, :8] if st_extra_p is not None else braw_t
                 if bands is not None:
-                    Nt8 = _banded_solve_apply(bands, braw_t, S)
+                    Nt8 = _banded_solve_apply(bands, braw8, S)
                 else:
                     Nt8 = jnp.einsum(
-                        "ts,sl->tl", CMp, braw_t.reshape(n * 8, R),
+                        "ts,sl->tl", CMp, braw8.reshape(n * 8, R),
                         preferred_element_type=acc,
                         precision=jax.lax.Precision.HIGHEST,
                     ).reshape(n, 8, R)
+                st_k = None
+                if st_extra_p is not None:
+                    prev_h, nxt_h = _stencil_halo(mats, braw_t, Nt8,
+                                                  st_taps_p, n, T, pad)
+                    st_k = dict(taps=st_taps_p, prev=prev_h, nxt=nxt_h,
+                                start=stencil.get("start", "zero"),
+                                end=stencil.get("end", "clamp"))
                 Yk = _completion.completion_pass(
                     xq, Btot_np, Rcat, Nt8, rot=True, nprod=nprod_k,
-                    interpret=interp, carries_transposed=True)
+                    interpret=interp, carries_transposed=True,
+                    stencil=st_k)
                 ys.append(Yk.reshape((n, T) + tuple(rows)))
+            if stencil is not None and pad == 0:
+                stencil = None  # consumed in-kernel per slice
             y = jnp.stack(ys).reshape(lead + (n * T,) + tuple(rows))
             if pad:
                 y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1 - nrow)
+            if stencil is not None:
+                y = _stencil_fallback(y, stencil, -1 - nrow)
             return y
 
     Gcat = pad_rows8(Gcat)
@@ -1158,6 +1305,8 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         y = Y.reshape(lead + tuple(rows) + (n * T,))
         if pad:
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
+    if stencil is not None:
+        y = _stencil_fallback(y, stencil, (-1 - nrow) if rot else -1)
     return (y, tails_out) if next_tails is not None else y
 
 def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
@@ -1425,6 +1574,7 @@ def apply_filter_rotated(
     matmul_precision: str = "highest",
     epilogue=None,
     eaux=(),
+    stencil=None,
 ):
     """Layout-chained executor for SINGLE-dimension filters.
 
@@ -1445,6 +1595,16 @@ def apply_filter_rotated(
 
     ``epilogue(out, *eaux)`` — optional elementwise combine fused into the
     pass's emit; eaux arrays must be given in the ROTATED output layout.
+
+    ``stencil`` — optional shifted-tap consumer fused into the pass
+    (``{"taps": [(offset, coeff), ...], "start": "zero"|"clamp",
+    "end": "zero"|"clamp"}``; taps may be a per-slice list-of-lists over
+    the leading axis). Offsets address the SCANNED axis of the filter
+    output; the px kernel path folds the taps into the completion kernel
+    via neighbor halo strips (zero extra image streams — the TPU analog of
+    the reference's ``compute_at`` of a stencil consumer,
+    ``lib/recfilter.cpp:507-573``); every fallback applies the same taps
+    as XLA shifts. The stencil applies BEFORE any ``epilogue``.
     """
     groups = spec.scans_by_axis()
     if len(groups) != 1:
@@ -1470,6 +1630,8 @@ def apply_filter_rotated(
                 x, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
             )
         y = emit_rotated(x)
+        if stencil is not None:
+            y = _stencil_fallback(y, stencil, -rot_axes)
         if epilogue is not None:
             y = epilogue(y, *eaux)
         return y
@@ -1489,6 +1651,15 @@ def apply_filter_rotated(
     tiles = spec.tile_widths or (0,) * spec.ndim
     T = tiles[axis] or tile_default
     if x.ndim == 1:  # rot_axes is necessarily 1; the plain pass is the fast form
+        if stencil is not None:
+            y1 = fused_dim_pass(
+                x, 0, scans, T, spec.border, compute_dtype=cdt,
+                matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
+            )
+            y1 = _stencil_fallback(y1, stencil, -1)
+            if epilogue is not None:
+                y1 = epilogue(y1, *eaux)
+            return y1.astype(dtype)
         return fused_dim_pass(
             x, 0, scans, T, spec.border, compute_dtype=cdt,
             matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
@@ -1507,6 +1678,8 @@ def apply_filter_rotated(
                 xs, x.ndim - 1, s.causal, s.feedfwd, s.feedback, spec.border
             )
         y = emit_rotated(xs)
+        if stencil is not None:
+            y = _stencil_fallback(y, stencil, -rot_axes)
         if epilogue is not None:
             y = epilogue(y, *(jnp.asarray(a).astype(y.dtype) for a in eaux))
         return y.astype(dtype)
@@ -1514,6 +1687,6 @@ def apply_filter_rotated(
     y = _last_axis_pass_t(
         x, scans, plan, clamp, cdt, matmul_dtype,
         rot_axes=rot_axes, matmul_precision=matmul_precision,
-        epilogue=epilogue, eaux=eaux,
+        epilogue=epilogue, eaux=eaux, stencil=stencil,
     )
     return y.astype(dtype)

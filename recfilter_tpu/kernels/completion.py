@@ -99,9 +99,44 @@ def _nchunks(nprod: int) -> int:
     return 3 if nprod >= 6 else (2 if nprod >= 3 else 1)
 
 
+def _stencil_rows(acc, prev, nxt, t_id, *, taps, hhi8, hlo8, n, T,
+                  start: str, end: str):
+    """Shifted-tap combine along the scan axis (block rows), in VMEM.
+
+    ``acc`` (T, Lb) is the completed tile; ``prev``/``nxt`` are the
+    neighbor tiles' halo strips (top-/bottom-aligned inside their 8-row
+    quanta). Global borders: "zero" reads 0 past the array (the zero
+    halo strips at tiles 0/n-1 provide it); "clamp" replicates the
+    global first/last row — the reference's ``compute_at`` stencil
+    consumers read the producer at shifted, edge-clamped coordinates
+    (``apps/DoG/diff_gauss.cpp:93-101``)."""
+    Lb = acc.shape[1]
+    parts = [acc]
+    if hhi8:
+        parts.insert(0, prev)
+    if hlo8:
+        parts.append(nxt)
+    zext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else acc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, Lb), 0)
+    out = None
+    for d, c in taps:
+        term = jax.lax.slice(zext, (hhi8 + d, 0), (hhi8 + d + T, Lb)) \
+            if (hhi8 + d or hhi8 + d + T != zext.shape[0]) else zext
+        if d > 0 and end == "clamp":
+            lastrow = jnp.broadcast_to(acc[T - 1:T], (T, Lb))
+            term = jnp.where((t_id == n - 1) & (rows >= T - d), lastrow,
+                             term)
+        if d < 0 and start == "clamp":
+            firstrow = jnp.broadcast_to(acc[0:1], (T, Lb))
+            term = jnp.where((t_id == 0) & (rows < -d), firstrow, term)
+        term = term * c
+        out = term if out is None else out + term
+    return out
+
+
 def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                        t2: int = 0, ka: int = 0, naux: int = 0,
-                       epilogue=None):
+                       epilogue=None, stencil=None):
     """One (Lb, T) x-block + (8, Lb) carry block -> (T, Lb) (rot) or
     (Lb, T) out-block.
 
@@ -133,8 +168,16 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
         o_ref, o2_ref = refs[5 + naux:]
     else:
         B_ref, R_ref, N_ref, x_ref = refs[:4]
-        aux_refs = refs[4:4 + naux]
-        o_ref = refs[4 + naux]
+        i = 4
+        prev_ref = nxt_ref = None
+        if stencil is not None and stencil["hhi8"]:
+            prev_ref = refs[i]
+            i += 1
+        if stencil is not None and stencil["hlo8"]:
+            nxt_ref = refs[i]
+            i += 1
+        aux_refs = refs[i:i + naux]
+        o_ref = refs[i + naux]
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
@@ -155,6 +198,19 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                                   preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(ncat, R_ref[0], dc,
                                         preferred_element_type=jnp.float32)
+    # Shifted-tap stencil consumer fused into the emit (rot only): combine
+    # neighbor-halo strips with the completed tile in VMEM — the TPU analog
+    # of the reference's ``compute_at`` fusion of a stencil consumer
+    # (``lib/recfilter.cpp:507-573``). Applies BEFORE any pointwise
+    # epilogue (the stencil reads filter output, the epilogue reads the
+    # consumer's).
+    if stencil is not None:
+        acc = _stencil_rows(
+            acc, None if prev_ref is None else prev_ref[:],
+            None if nxt_ref is None else nxt_ref[:], pl.program_id(0),
+            taps=stencil["taps"], hhi8=stencil["hhi8"],
+            hlo8=stencil["hlo8"], n=stencil["n"], T=stencil["T"],
+            start=stencil["start"], end=stencil["end"])
     # Fused pointwise epilogue: the combine rides the out-block in VMEM —
     # the px-mode analog of the XLA dot-output fusion the einsum path gets
     # for free (reference: ``apps/usm/unsharp_mask_optimized.cpp:61-71``).
@@ -258,8 +314,30 @@ def _expand_stack(M, n: int):
                        jnp.float32)
 
 
+def _stencil_flat(yf, taps, start: str, end: str):
+    """Global-shift twin of :func:`_stencil_rows` on the flat (n·T, q)
+    rot layout — per-tile halo slices equal global shifts."""
+    L, q = yf.shape
+    out = None
+    for d, c in taps:
+        if d > 0:
+            tail = (jnp.broadcast_to(yf[L - 1:L], (d, q)) if end == "clamp"
+                    else jnp.zeros((d, q), yf.dtype))
+            sh = jnp.concatenate([yf[d:], tail], axis=0)
+        elif d < 0:
+            head = (jnp.broadcast_to(yf[0:1], (-d, q)) if start == "clamp"
+                    else jnp.zeros((-d, q), yf.dtype))
+            sh = jnp.concatenate([head, yf[:d]], axis=0)
+        else:
+            sh = yf
+        t = c * sh
+        out = t if out is None else out + t
+    return out
+
+
 def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
-                    carries_transposed, next_tails, kt, ka, epilogue):
+                    carries_transposed, next_tails, kt, ka, epilogue,
+                    st_static=None):
     """Einsum twin of the completion kernel — mathematically identical
     (f32 grade), used as the transpose/VJP rule (pallas_call itself has no
     autodiff). Must mirror the kernel's output STRUCTURE exactly."""
@@ -295,12 +373,17 @@ def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
             yq = yflat.reshape(n * T, n2, T2)
             braw2 = jnp.einsum("cst,rct->csr", G2n, yq,
                                precision=hi)[..., None]
-    if epilogue is not None:
+    if st_static is not None or epilogue is not None:
         flat = (jnp.transpose(y, (1, 2, 0)).reshape(n * T, q)
                 if rot else y.reshape(q, n * T))
-        out = epilogue(flat, *(jnp.asarray(a, jnp.float32) for a in eaux))
-        y = (out.reshape(n, T, q) if rot
-             else out.reshape(q, n, T))
+        if st_static is not None:
+            flat = _stencil_flat(flat, st_static["taps"],
+                                 st_static["start"], st_static["end"])
+        if epilogue is not None:
+            flat = epilogue(flat, *(jnp.asarray(a, jnp.float32)
+                                    for a in eaux))
+        y = (flat.reshape(n, T, q) if rot
+             else flat.reshape(q, n, T))
     elif rot:
         y = jnp.transpose(y, (1, 2, 0))
     y = y.astype(x.dtype)
@@ -312,7 +395,7 @@ def _completion_ref(x, Ncat, eaux, *, Btot, Rcat, S, rot,
 def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                     interpret: bool = False,
                     carries_transposed: bool = False,
-                    next_tails=None, epilogue=None, eaux=()):
+                    next_tails=None, epilogue=None, eaux=(), stencil=None):
     """Split-bf16 completion over a (q, n, T) array.
 
     ``x``: (q, n, T) f32 — or bf16 with ``nprod=1`` (the bf16 storage mode:
@@ -368,7 +451,31 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     if next_tails is not None:
         Gcat2, n2, T2 = next_tails
 
-    def _run(x, Ncat, *eaux):
+    # Shifted-tap stencil consumer (rot only): prev/nxt are the neighbor
+    # tiles' completed halo strips (see dimfuse's halo derivation); zero
+    # strips at the global ends give "zero" border semantics, in-kernel
+    # row selects give "clamp". Halo inputs get ZERO cotangents — the VJP
+    # twin recomputes the stencil from the global output, so the (x, Ncat)
+    # cotangents already carry the full consumer gradient.
+    st_static = None
+    halos = ()
+    if stencil is not None:
+        assert rot and next_tails is None, (
+            "stencil epilogue requires rot emit and no tails chaining"
+        )
+        prev_h = stencil.get("prev")
+        nxt_h = stencil.get("nxt")
+        halos = tuple(a for a in (prev_h, nxt_h) if a is not None)
+        st_static = dict(
+            taps=tuple((int(d), float(c)) for d, c in stencil["taps"]),
+            hhi8=0 if prev_h is None else int(prev_h.shape[1]),
+            hlo8=0 if nxt_h is None else int(nxt_h.shape[1]),
+            n=n, T=T, start=stencil.get("start", "zero"),
+            end=stencil.get("end", "zero"))
+    nhalo = len(halos)
+
+    def _run(x, Ncat, *rest):
+        halos_r, eaux = rest[:nhalo], rest[nhalo:]
         if qp != q:
             x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
         xf = x.reshape(qp, n * T)
@@ -387,7 +494,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
         kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
                        t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
-                       epilogue=epilogue)
+                       epilogue=epilogue, stencil=st_static)
         # Output dtype follows the storage dtype (bf16 mode emits bf16
         # blocks — half the write traffic); extracted tails stay f32.
         out_shape = (
@@ -463,6 +570,15 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                                  memory_space=pltpu.VMEM),
                 )
             operands.append(G2k)
+        for h in halos_r:
+            if qp != q:
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, qp - q)))
+            operands.append(h)
+            hr = h.shape[1]
+            in_specs.append(
+                pl.BlockSpec((None, hr, Lb), lambda t, l: (t, 0, l),
+                             memory_space=pltpu.VMEM)
+            )
         for a in eaux:
             a = jnp.asarray(a, jnp.float32)
             if qp != q:
@@ -517,45 +633,64 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         return _completion_ref(
             x, Ncat, eaux, Btot=Btot, Rcat=Rcat, S=S, rot=rot,
             carries_transposed=carries_transposed, next_tails=next_tails,
-            kt=kt, ka=ka, epilogue=epilogue)
+            kt=kt, ka=ka, epilogue=epilogue, st_static=st_static)
 
     f = jax.custom_vjp(_run)
-    f.defvjp(
-        lambda x, Ncat, *eaux: (_run(x, Ncat, *eaux), (x, Ncat, eaux)),
-        lambda res, ct: jax.vjp(
-            lambda xx, nn, *ee: _ref(xx, nn, *ee), res[0], res[1], *res[2]
-        )[1](ct),
-    )
-    return f(x, Ncat, *eaux)
+
+    def _fwd(x, Ncat, *rest):
+        return _run(x, Ncat, *rest), (x, Ncat, rest)
+
+    def _bwd(res, ct):
+        x0, N0, rest0 = res
+        cts = jax.vjp(
+            lambda xx, nn, *ee: _ref(xx, nn, *ee), x0, N0, *rest0[nhalo:]
+        )[1](ct)
+        return (cts[0], cts[1],
+                *(jnp.zeros_like(h) for h in rest0[:nhalo]), *cts[2:])
+
+    f.defvjp(_fwd, _bwd)
+    return f(x, Ncat, *halos, *eaux)
 
 
 def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int):
-    """One (Lb, T) x-block -> (8, Lb) slot-padded transposed tails block.
+    """One (Lb, T) x-block -> (rows, Lb) slot-padded transposed tails block.
     Same stacked-contraction form as :func:`_completion_kernel`."""
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:], nc)
     xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=1)
-    dn = (((1,), (1,)), ((), ()))  # (8,np*T)x(Lb,np*T) -> (8,Lb)
+    dn = (((1,), (1,)), ((), ()))  # (rows,np*T)x(Lb,np*T) -> (rows,Lb)
     o_ref[:] = jax.lax.dot_general(G_ref[0], xcat, dn,
                                    preferred_element_type=jnp.float32)
 
 
-def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
+def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
+               extra_rows=None):
     """Split-bf16 local-tails extraction over a (q, n, T) array.
 
     ``Gcat``: (nv, S, T) stacked per-scan tail rows (nv in {1, n}).
     Returns the transposed slot-padded layout (n, 8, q) that
     :func:`pad_solve_matrix`'s solve and :func:`completion_pass`'s carry
     input consume directly — one read of X, no HIGHEST einsum copies.
+
+    ``extra_rows``: optional (nv2, He, T) per-tile row stack appended BELOW
+    the 8 tail slots — the same read then also emits ``E·x`` per tile
+    (stencil-halo base rows, see ``completion_pass``'s stencil). Output
+    grows to (n, 8 + ceil8(He), q); rows [8, 8+He) carry E·x.
     """
     q, n, T = x.shape
     nv, S, _ = np.asarray(Gcat).shape
     assert S <= _SLOTS and nv in (1, n)
+    He = 0 if extra_rows is None else int(np.asarray(extra_rows).shape[1])
+    He8 = -(-He // _SLOTS) * _SLOTS
+    rows = _SLOTS + He8
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
-    Gp = np.zeros((max(nv, n), _SLOTS, T), np.float64)
+    Gp = np.zeros((max(nv, n), rows, T), np.float64)
     Gp[:, :S] = np.asarray(Gcat, np.float64)[np.minimum(np.arange(n), nv - 1)]
+    if He:
+        E = np.asarray(extra_rows, np.float64)
+        Gp[:, _SLOTS:_SLOTS + He] = E[np.minimum(np.arange(n), E.shape[0] - 1)]
     Gs = _split_const(Gp, nc)
     Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)
 
@@ -567,22 +702,22 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False):
         xf = x.reshape(qp, n * T)
         y = pl.pallas_call(
             partial(_tails_kernel, nprod=nprod),
-            out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n * rows, qp), jnp.float32),
             grid=(n, qp // Lb),
             in_specs=(
-                [pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (t, 0, 0),
+                [pl.BlockSpec((1, rows, nprod * T), lambda t, l: (t, 0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                               memory_space=pltpu.VMEM)]
             ),
-            out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
+            out_specs=pl.BlockSpec((rows, Lb), lambda t, l: (t, l),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")
             ),
             interpret=interpret,
         )(Gcat_k, xf)
-        y = y.reshape(n, _SLOTS, qp)
+        y = y.reshape(n, rows, qp)
         return y[..., :q] if qp != q else y
 
     # VJP via the einsum twin (see completion_pass): y = Gp ∘ x, linear.

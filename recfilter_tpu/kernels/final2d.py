@@ -308,12 +308,13 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
     Y_c = Z_c·Bbᵀ + Rb·NB_c. All image-sized dots are single-pass bf16 MXU
     products on exact chunks with f32 accumulation.
 
-    ``mode`` selects the dependency structure (measured on chip):
-      0 — one whole-block A-dot, then per-sub-tile B chains (the A-dot →
-          z-split → B-dots path serializes MXU behind VPU once per step);
-      1 — per-sub-tile A-dots: kb INDEPENDENT z_c → split → Y_c chains,
-          letting the scheduler overlap chain c's VPU split with chain
-          c±1's MXU dots."""
+    ``mode`` selects the dependency structure (measured on chip, 4K px6):
+      0 — one whole-block A-dot, then per-sub-tile B chains. 0.515 ms at
+          Lb=2048 — the DEFAULT.
+      1 — per-sub-tile A-dots (kb independent z_c → split → Y_c chains,
+          intended to let the scheduler overlap VPU splits with MXU dots).
+          Measured SLOWER (0.580 ms): the narrow (T, np·T)×(np·T, Tb)
+          A-dots lose more to per-dot overhead than the overlap wins."""
     Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, nA_ref, nB_ref = refs[:7]
     aux_refs = refs[7:7 + naux]
     o_ref = refs[7 + naux]
@@ -391,7 +392,7 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
 
     kern = partial(_final_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
                    na=na, nb=nb, naux=len(eaux), epilogue=epilogue,
-                   mode=int(os.environ.get("RECFILTER_PX2D_KMODE", "1")))
+                   mode=int(os.environ.get("RECFILTER_PX2D_KMODE", "0")))
 
     def _run(x, NA_t, NB_t, *eaux):
         operands = [Bav, Rav, Bbv, Rbv, x, NA_t, NB_t, *(

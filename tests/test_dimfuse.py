@@ -894,3 +894,93 @@ def test_banded_solve_blocks_structure_and_equivalence():
     msat = dimfuse.prepare_dim_pass(sat, 128, n, False)
     CMs = dimfuse.combined_solve_matrix(msat, n)
     assert dimfuse.banded_solve_blocks(CMs, n, 1) is None
+
+
+# ---------------------------------------------------------------------------
+# Fused stencil consumers (round 3 — the reference's compute_at analog)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("start,end", [("zero", "clamp"), ("clamp", "zero"),
+                                       ("zero", "zero")])
+def test_stencil_kernel_path_matches_fallback(start, end):
+    """The in-kernel stencil (halo strips + VMEM tap combine, px path at
+    T=128) must equal the XLA-shift fallback applied after the plain
+    pass, for every border-mode combination."""
+    import jax.numpy as jnp
+
+    scans = [Scan(1, True, 1.0, (2.0, -1.0))]  # 2nd-order integrator
+    spec = FilterSpec("ST", (Dim("y", 64), Dim("x", 256)), tuple(scans),
+                      tile_widths=(0, 128))
+    x = _img(64, 256, seed=40) * 0.01
+    taps = [(10, 0.25), (-1, -2.0), (-12, 1.0)]
+    stencil = {"taps": taps, "start": start, "end": end}
+
+    from recfilter_tpu.kernels import completion as _completion
+
+    seen = []
+    orig = _completion.completion_pass
+
+    def spying(*a, **k):
+        seen.append(k.get("stencil") is not None)
+        return orig(*a, **k)
+
+    _completion.completion_pass = spying
+    try:
+        got = np.asarray(dimfuse.apply_filter_rotated(
+            spec, jnp.asarray(x), rot_axes=2, matmul_precision="px6",
+            stencil=stencil))
+    finally:
+        _completion.completion_pass = orig
+    assert seen == [True], "stencil did not ride the completion kernel"
+    plain = np.asarray(dimfuse.apply_filter_rotated(
+        spec, jnp.asarray(x), rot_axes=2, matmul_precision="px6"))
+    want = np.asarray(dimfuse.apply_stencil(
+        jnp.asarray(plain), -2, taps, start, end))
+    scale = np.abs(want).max() + 1e-30
+    assert np.abs(got - want).max() <= 2e-6 * scale
+
+
+def test_stencil_per_slice_kernel_and_grad():
+    """Per-slice taps (leading channel axis, the DoG dual radius) through
+    the per-slice kernel branch; jax.grad must flow through the stencil's
+    custom VJP (halo inputs carry zero cotangent — the twin recomputes the
+    consumer globally) at f32 grade."""
+    import jax
+    import jax.numpy as jnp
+
+    scans = [Scan(2, True, 1.0, (2.0, -1.0))]
+    spec = FilterSpec("STC", (Dim("c", 2), Dim("y", 48), Dim("x", 256)),
+                      tuple(scans), tile_widths=(0, 0, 128))
+    x = _img(2, 48, 256, seed=41) * 0.01
+    taps = [[(6, 1.0), (-1, -2.0), (-8, 1.0)],
+            [(10, 1.0), (-1, -2.0), (-12, 1.0)]]
+    stencil = {"taps": taps, "start": "zero", "end": "clamp"}
+
+    def run(v, mode):
+        return dimfuse.apply_filter_rotated(
+            spec, v, rot_axes=2, matmul_precision=mode, stencil=stencil)
+
+    got = np.asarray(run(jnp.asarray(x), "px6"))
+    plain = np.asarray(dimfuse.apply_filter_rotated(
+        spec, jnp.asarray(x), rot_axes=2, matmul_precision="highest"))
+    want = np.stack([
+        np.asarray(dimfuse.apply_stencil(
+            jnp.asarray(plain[p]), -2, taps[p], "zero", "clamp"))
+        for p in range(2)
+    ])
+    # The differencing consumer CANCELS the integrator's magnitude, so
+    # px-grade error is relative to the PRODUCER's scale (|z|), not the
+    # consumer's — the same amplification the unfused pipeline has.
+    zscale = np.abs(plain).max() + 1e-30
+    assert np.abs(got - want).max() <= 2e-5 * zscale
+
+    ct = jnp.asarray(_img(2, 256, 48, seed=42))
+
+    def loss(mode):
+        return jax.grad(
+            lambda v: (run(v, mode) * ct).sum())(jnp.asarray(x))
+
+    g_px, g_hi = np.asarray(loss("px6")), np.asarray(loss("highest"))
+    gs = np.abs(g_hi).max() + 1e-30
+    assert np.abs(g_px - g_hi).max() <= 1e-5 * gs
