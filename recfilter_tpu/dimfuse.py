@@ -1309,6 +1309,91 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         y = _stencil_fallback(y, stencil, (-1 - nrow) if rot else -1)
     return (y, tails_out) if next_tails is not None else y
 
+def dim_pass_stages(x, axis: int, scans: Sequence[Scan], tile_width: int,
+                    border: str = BorderMode.ZERO):
+    """Every internal stage value of one fused dimension pass, computed
+    from the SHIPPING executor's matrices (prepare_dim_pass /
+    combined-solve algebra) — the debugging surface behind
+    ``RecFilter.func(name)`` (``lib/recfilter.h:296-302``).
+
+    Returns a dict with per-scan lists (i indexes ``scans``):
+
+      * ``intra[i]``  — raw local tails G_i·x, shape lead + (n, k_i)
+        (the reference's Intra/Intra_Tail terms, ``lib/split.cpp:256-499``)
+      * ``tdeps[i]``  — cross-scan residual Σ_{j<i} H_ij·N_j onto scan i's
+        tails (``create_tail_residual_term``, ``lib/split.cpp:912-1004``)
+      * ``ctail[i]``  — completed carries N_i (the natural incoming
+        vectors; ``create_complete_tail_term``, ``lib/split.cpp:743-867``)
+      * ``deps[i]``   — per-tile injection residual Rhat_i·N_i in image
+        layout lead + (n, T) (``create_final_residual_term``,
+        ``lib/split.cpp:1008-1130``)
+      * ``final[i]``  — the image after scans 0..i of this dimension
+        (x's shape; the prefix scans[:i+1] completion)
+
+    ``lead`` are x's other axes (scanned axis moved last). Raises when the
+    dimension is untileable (order exceeds any legal tile / clamp with no
+    divisor) — stage views are defined by the tiled algebra.
+    """
+    clamp = border == BorderMode.CLAMP
+    w = x.shape[axis]
+    kmax = max(s.order for s in scans)
+    plan = _plan_tiles(w, tile_width, kmax, clamp)
+    if plan is None:
+        raise ValueError(
+            "dimension not tileable; per-stage view undefined (the "
+            "executor would route this case to the lax.scan core)"
+        )
+    T, n, pad = plan
+    if pad:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, pad)
+        x = jnp.pad(x, pads)
+    xm = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+    lead = xm.shape[:-1]
+    X = xm.reshape(lead + (n, T))
+    hi = jax.lax.Precision.HIGHEST
+
+    def ap(Mstack, V):
+        M = np.asarray(Mstack, np.float64)
+        Mn = jnp.asarray(
+            M[np.minimum(np.arange(n), M.shape[0] - 1)], jnp.float32)
+        return jnp.einsum("nos,...ns->...no", Mn, V,
+                          preferred_element_type=jnp.float32, precision=hi)
+
+    mats = prepare_dim_pass(scans, T, n, clamp, pad_slots=pad)
+    m = len(scans)
+    out = {"intra": [], "tdeps": [], "ctail": [], "deps": [], "final": []}
+    N = []
+    for i in range(m):
+        k = scans[i].order
+        b = ap(mats.G[i], X)
+        td = jnp.zeros_like(b)
+        for j in range(i):
+            td = td + ap(mats.H[i][j], N[j])
+        bi = b + td
+        CM = jnp.asarray(mats.CM[i], jnp.float32)
+        lines = bi.reshape(-1, n * k)
+        Ni = jnp.einsum("ls,ts->lt", lines, CM,
+                        preferred_element_type=jnp.float32,
+                        precision=hi).reshape(lead + (n, k))
+        N.append(Ni)
+        out["intra"].append(b)
+        out["tdeps"].append(td)
+        out["ctail"].append(Ni)
+        out["deps"].append(ap(mats.Rhat[i], Ni))
+        # the prefix scans[:i+1] completion IS the image after scan i
+        mp = mats if i == m - 1 else prepare_dim_pass(
+            scans[: i + 1], T, n, clamp, pad_slots=pad)
+        y = ap(mp.Btot, X)
+        for j in range(i + 1):
+            y = y + ap(mp.Rhat[j], N[j])
+        y = jnp.moveaxis(y.reshape(lead + (n * T,)), -1, axis)
+        if pad:
+            y = jax.lax.slice_in_dim(y, 0, w, axis=axis)
+        out["final"].append(y)
+    return out
+
+
 def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
     """Both passes' raw tails from ONE read of the image (2-D px chain).
 

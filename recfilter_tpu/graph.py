@@ -52,41 +52,78 @@ class Stage:
 def build_graph(spec: FilterSpec) -> List[Stage]:
     """Synthesize the stage DAG for a (possibly tiled) filter.
 
-    Untiled: a single full-scan stage per scan. Tiled: per scan, the intra
-    tail extraction (INTRA_N), the completed-carry solve (INTER), and the
-    completion term feeding the final result (REINDEX), following the
-    reference's naming scheme (``lib/split.cpp:20-30``).
+    Untiled: a single full-scan stage per scan. Tiled: per scan the full
+    reference stage set (naming scheme ``lib/split.cpp:20-30``):
+
+      * ``Intra``  (INTRA_N) — raw per-tile local tails G_i·x
+        (``extract_tails_from_each_scan``, ``lib/split.cpp:256-499``)
+      * ``Intra_TDeps`` (INLINE) — earlier same-dimension scans' completed
+        tails' residual onto scan i's tails
+        (``create_tail_residual_term``, ``lib/split.cpp:912-1004``);
+        present when the scan has same-dim predecessors
+      * ``Intra_CTail`` (INTER) — the sequential cross-tile carry solve
+        (``create_complete_tail_term``, ``lib/split.cpp:743-867``)
+      * ``Deps`` (REINDEX) — per-tile carry-injection residual Rhat_i·N_i
+        (``create_final_residual_term``, ``lib/split.cpp:1008-1130``)
+      * ``Final`` (REINDEX) — the image after this scan's completion
+        (``add_residuals_to_final_result``, ``lib/split.cpp:1647-1780``)
+
+    Every stage evaluates through ``RecFilter.func(name)`` from the
+    SHIPPING dimfuse executor's matrices (``dimfuse.dim_pass_stages``),
+    not a legacy path — what you inspect is what runs.
     """
     stages: List[Stage] = [
         Stage(spec.name, INLINE, None, None, (), "pure initialization")
     ]
     prev = spec.name
     tiles = spec.tile_widths or (0,) * spec.ndim
+    seen_in_dim: dict = {}
     for i, s in enumerate(spec.scans):
         dim = spec.dims[s.axis]
         cz = "" if s.causal else "a"
         if tiles[s.axis]:
             intra = f"{spec.name}_Intra_{dim.name}_{cz}{i}"
+            tdeps = f"{spec.name}_Intra_TDeps_{dim.name}_{cz}{i}"
             ctail = f"{spec.name}_Intra_CTail_{dim.name}_{cz}{i}"
+            deps = f"{spec.name}_Deps_{dim.name}_{cz}{i}"
             final = f"{spec.name}_Final_{dim.name}_{cz}{i}"
             stages.append(
                 Stage(
                     intra, INTRA_N, s.axis, i, (prev,),
-                    "per-tile local tails b = P·B·x (MXU matmul)",
+                    "raw per-tile local tails b_i = G_i·x (MXU matmul)",
+                )
+            )
+            ctail_consumes = [intra]
+            if seen_in_dim.get(s.axis):
+                stages.append(
+                    Stage(
+                        tdeps, INLINE, s.axis, i,
+                        tuple(seen_in_dim[s.axis]),
+                        "cross-scan tail residual Σ_j H_ij·N_j",
+                    )
+                )
+                ctail_consumes.append(tdeps)
+            stages.append(
+                Stage(
+                    ctail, INTER, s.axis, i, tuple(ctail_consumes),
+                    "cross-tile carry solve N_i = CM_i·(b_i + TDeps) "
+                    "(block-Toeplitz matmul)",
                 )
             )
             stages.append(
                 Stage(
-                    ctail, INTER, s.axis, i, (intra,),
-                    "cross-tile carry solve s = M·b (block-Toeplitz matmul)",
+                    deps, REINDEX, s.axis, i, (ctail,),
+                    "per-tile injection residual Rhat_i·N_i",
                 )
             )
             stages.append(
                 Stage(
-                    final, REINDEX, s.axis, i, (prev, ctail),
-                    "completion y = [R|B]·[s_prev; x] (fused matmul)",
+                    final, REINDEX, s.axis, i, (prev, deps),
+                    "completion y_i = Btot_i·x + Σ_j Rhat_ij·N_j "
+                    "(fused matmul)",
                 )
             )
+            seen_in_dim.setdefault(s.axis, []).append(ctail)
             prev = final
         else:
             full = f"{spec.name}_Scan_{dim.name}_{cz}{i}"

@@ -189,7 +189,10 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
     import os
 
     if not cap:
-        cap = int(os.environ.get("RECFILTER_PX2D_LB", "1024"))
+        # Measured on chip (4K px6 fused dual-completion): 0.512 ms at
+        # 2048 vs 0.525 at 1024 vs 0.572 at 512 — bigger blocks amortize
+        # the per-step dependent A-dot → split → B-dots chain.
+        cap = int(os.environ.get("RECFILTER_PX2D_LB", "2048"))
     nb = W // Tb
     best = 1
     for d in range(1, nb + 1):

@@ -62,12 +62,21 @@ def band_blocks(taps: np.ndarray, T: int):
 
 
 def _fir_kernel(*refs, ch_pairs, nc: int, rot: bool, kT: int, C: int,
-                contract: bool, nblk: int, inv_s=None):
+                contract: bool, nblk: int, inv_s=None, P8: int = 0,
+                Q8: int = 0):
     """One (Lb, kT·T) block (+ 2 one-tile strips) -> (kT·T, Lb) (rot) or
     (Lb, kT·T) out block, per output channel.
 
     refs: W_ref, x_ref, xm_ref, xp_ref, o_ref — with a leading C axis on
-    the x/o refs when ``contract``/bank applies."""
+    the x/o refs when ``contract``/bank applies.
+
+    Corner-dot decomposition: the neighbour tiles only feed the P (resp.
+    Q) boundary output rows, so instead of three full (T,T) position dots
+    per chunk pair the kernel runs ONE pair-stacked (T, npair·T) dot for
+    the current tile plus two skinny (P8/Q8-row) corner dots — MXU cost
+    npair·(T+P8+Q8) instead of 3·npair·T MACs per output element (2.7x
+    for small supports). The corner outputs pad back onto the block rows
+    (rot) / lanes (flat) — 8-row quanta, no misalignment."""
     W_ref, x_ref, xm_ref, xp_ref, o_ref = refs
     g = pl.program_id(1)
     T = xm_ref.shape[-1]
@@ -91,39 +100,70 @@ def _fir_kernel(*refs, ch_pairs, nc: int, rot: bool, kT: int, C: int,
         xms = [chunks(xm_ref[:] * pm)]
         xps = [chunks(xp_ref[:] * nm)]
 
-    dn_rot = (((1,), (1,)), ((), ()))   # (T,T)x(Lb,T) -> (T,Lb)
-    dn_flat = (((1,), (1,)), ((), ()))  # (Lb,T)x(T,T) -> (Lb,T)
+    def tile_cat(cin, tau, pairs):
+        """Pair-stacked (Lb, npair·T) chunk concat of tile ``tau``
+        (tau = -1 / kT selects the neighbour strips)."""
+        if tau < 0:
+            blocks = [xms[cin][j] for _, j in pairs]
+        elif tau >= kT:
+            blocks = [xps[cin][j] for _, j in pairs]
+        else:
+            sl = slice(tau * T, (tau + 1) * T)
+            blocks = [xs[cin][j][:, sl] for _, j in pairs]
+        return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+            blocks, axis=1)
 
     for co in range(C):
+        cat_cache = {}
         for tau in range(kT):
             acc = None
             for cin in range(Cin):
-                # W_ref layout: (C, 3, T, wslots*T) — position-major
-                # blocks, chunk i of the channel's pair p at lanes
-                # [p*T, (p+1)*T).
-                sub = None
-                for p, (i, j) in enumerate(ch_pairs[co * Cin + cin]):
-                    sl = slice(p * T, (p + 1) * T)
-                    wb = W_ref[co * Cin + cin]
-                    cur = xs[cin][j][:, tau * T:(tau + 1) * T]
-                    prv = (xms[cin][j] if tau == 0
-                           else xs[cin][j][:, (tau - 1) * T:tau * T])
-                    nxt = (xps[cin][j] if tau == kT - 1
-                           else xs[cin][j][:, (tau + 1) * T:(tau + 2) * T])
-                    for pos, xb in ((0, prv), (1, cur), (2, nxt)):
-                        w = wb[pos, :, sl]
-                        if rot:
-                            t = jax.lax.dot_general(
-                                w, xb, dn_rot,
-                                preferred_element_type=jnp.float32)
-                        else:
-                            t = jax.lax.dot_general(
-                                xb, w, dn_flat,
-                                preferred_element_type=jnp.float32)
-                        sub = t if sub is None else sub + t
-                if inv_s is not None and inv_s[co * Cin + cin] != 1.0:
+                idx = co * Cin + cin
+                pairs = ch_pairs[idx]
+                npair = len(pairs)
+                key = (cin, tuple(j for _, j in pairs))
+
+                def cat(tt, key=key, cin=cin, pairs=pairs):
+                    ck = (key, tt)
+                    if ck not in cat_cache:
+                        cat_cache[ck] = tile_cat(cin, tt, pairs)
+                    return cat_cache[ck]
+
+                wb = W_ref[idx]
+                wcur = wb[0:T, :npair * T]
+                if rot:
+                    dn = (((1,), (1,)), ((), ()))  # (r,npT)x(Lb,npT)->(r,Lb)
+                    sub = jax.lax.dot_general(
+                        wcur, cat(tau), dn,
+                        preferred_element_type=jnp.float32)
+                    if P8:
+                        tp = jax.lax.dot_general(
+                            wb[T:T + P8, :npair * T], cat(tau - 1), dn,
+                            preferred_element_type=jnp.float32)
+                        sub = sub + jnp.pad(tp, ((0, T - P8), (0, 0)))
+                    if Q8:
+                        tn = jax.lax.dot_general(
+                            wb[T + P8:T + P8 + Q8, :npair * T], cat(tau + 1),
+                            dn, preferred_element_type=jnp.float32)
+                        sub = sub + jnp.pad(tn, ((T - Q8, 0), (0, 0)))
+                else:
+                    dn = (((1,), (1,)), ((), ()))  # (Lb,npT)x(r,npT)->(Lb,r)
+                    sub = jax.lax.dot_general(
+                        cat(tau), wcur, dn,
+                        preferred_element_type=jnp.float32)
+                    if P8:
+                        tp = jax.lax.dot_general(
+                            cat(tau - 1), wb[T:T + P8, :npair * T], dn,
+                            preferred_element_type=jnp.float32)
+                        sub = sub + jnp.pad(tp, ((0, 0), (0, T - P8)))
+                    if Q8:
+                        tn = jax.lax.dot_general(
+                            cat(tau + 1), wb[T + P8:T + P8 + Q8, :npair * T],
+                            dn, preferred_element_type=jnp.float32)
+                        sub = sub + jnp.pad(tn, ((0, 0), (T - Q8, 0)))
+                if inv_s is not None and inv_s[idx] != 1.0:
                     # integer-scaled exact band: undo the channel's scale
-                    sub = sub * inv_s[co * Cin + cin]
+                    sub = sub * inv_s[idx]
                 acc = sub if acc is None else acc + sub
             if rot:
                 blk = acc.astype(o_ref.dtype)
@@ -230,16 +270,26 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
         inv_s = None
         ch_pairs = [gen_pairs] * (Cout * Cin)
     wslots = max(len(p) for p in ch_pairs)
-    # W constant: (Cout*Cin, 3, T, wslots*T) — per channel, position-major
-    # (prev, cur, next) blocks, band chunk i of that channel's pair p
-    # (channels with the reduced exact-integer set leave the tail slots 0).
-    Wk = np.zeros((Cout * Cin, 3, T, wslots * T), np.float32)
+    K = taps_k.shape[1]
+    P = (K - 1) // 2
+    Q = K - 1 - P
+    P8 = -(-P // 8) * 8 if P else 0
+    Q8 = -(-Q // 8) * 8 if Q else 0
+    # W constant: (Cout*Cin, T+P8+Q8, wslots*T) — per channel: rows [0:T]
+    # the current-tile block, [T:T+P8] the prev-tile corner rows (only the
+    # first P output rows read the previous tile), [T+P8:] the next-tile
+    # corner rows [T-Q8:T]; band chunk i of the channel's pair p at lanes
+    # [p*T, (p+1)*T) (reduced exact-integer channels leave tail slots 0).
+    Wk = np.zeros((Cout * Cin, T + P8 + Q8, wslots * T), np.float32)
     for c in range(Cout * Cin):
-        Wb = band_blocks(taps_k[c], T)  # (3, T, T) float64
-        Ws = _split_const_np(np.transpose(Wb, (1, 0, 2)).reshape(T, 3 * T), nc)
+        Wb = band_blocks(taps_k[c], T)  # (3, T, T) float64 [prev, cur, next]
+        rows = np.concatenate(
+            [Wb[1]]
+            + ([Wb[0][:P8]] if P8 else [])
+            + ([Wb[2][T - Q8:]] if Q8 else []), axis=0)
+        Ws = _split_const_np(rows, nc)
         for p, (i, _) in enumerate(ch_pairs[c]):
-            chunk = np.asarray(Ws[i], np.float32).reshape(T, 3, T)
-            Wk[c, :, :, p * T:(p + 1) * T] = np.transpose(chunk, (1, 0, 2))
+            Wk[c, :, p * T:(p + 1) * T] = np.asarray(Ws[i], np.float32)
     Wk = jnp.asarray(Wk, jnp.bfloat16)
 
     # Row-block size from the VMEM budget: in-block + chunks + out-block.
@@ -252,8 +302,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     grid = (qp // Lb, nblk)
     if contract:
         in_specs = [
-            pl.BlockSpec((Cout * Cin, 3, T, wslots * T),
-                         lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout * Cin, T + P8 + Q8, wslots * T),
+                         lambda l, g: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cin, Lb, kT * T), lambda l, g: (0, l, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Cin, Lb, T),
@@ -266,8 +316,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
         ]
     else:
         in_specs = [
-            pl.BlockSpec((Cout * Cin, 3, T, wslots * T),
-                         lambda l, g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout * Cin, T + P8 + Q8, wslots * T),
+                         lambda l, g: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Lb, kT * T), lambda l, g: (l, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lb, T),
@@ -310,7 +360,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
             x = jnp.pad(x, cfg)
         y = pl.pallas_call(
             partial(_fir_kernel, ch_pairs=ch_pairs, nc=nc, rot=rot, kT=kT,
-                    C=Cout, contract=contract, nblk=nblk, inv_s=inv_s),
+                    C=Cout, contract=contract, nblk=nblk, inv_s=inv_s,
+                    P8=P8, Q8=Q8),
             out_shape=out_shape,
             grid=grid,
             in_specs=in_specs,

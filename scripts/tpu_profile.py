@@ -20,6 +20,9 @@ def main():
     p.add_argument("--width", "-w", type=int, default=4096)
     p.add_argument("--tile", "-t", type=int, default=32)
     p.add_argument("--trace-dir", default="/tmp/recfilter_trace")
+    p.add_argument("--app", default="", help="time_app registry name "
+                   "(default: the bench headline filter)")
+    p.add_argument("--precision", default="")
     ns = p.parse_args()
 
     import jax
@@ -28,8 +31,18 @@ def main():
 
     from bench import _build_filter, slope_ms_per_iter
 
-    F = _build_filter(ns.width, ns.width, tile=ns.tile)
-    fn = F.as_func()
+    if ns.precision:
+        from recfilter_tpu import planner
+
+        planner.set_default_matmul_precision(ns.precision)
+    if ns.app:
+        from time_app import _apps
+
+        entry = _apps(ns.width, ns.width, ns.tile)[ns.app]
+        fn = entry[0]()
+    else:
+        F = _build_filter(ns.width, ns.width, tile=ns.tile)
+        fn = F.as_func()
     img = jnp.asarray(
         np.random.default_rng(0).standard_normal((ns.width, ns.width)) * 0.01,
         dtype=jnp.float32,

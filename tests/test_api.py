@@ -389,3 +389,99 @@ def test_fuse_cascade_validation():
     b.add_filter(+y, [1.0, 0.5])
     with _pytest.raises(ValueError):
         api.fuse_cascade([a, b])  # border mismatch
+
+
+def test_func_stages_match_shipping_executor():
+    """VERDICT r2 #6: func("..CTail..") must equal the dimfuse combined
+    N-solve for a tiled 2-scan filter, TDeps the H-coupling, and the last
+    Final the shipping executor's output."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse
+
+    h, w, T = 24, 20, 5
+    x = rf.Dim("x", w)
+    y = rf.Dim("y", h)
+    F = rf.RecFilter("DBG")
+    img = np.random.default_rng(3).standard_normal((h, w)).astype(np.float32)
+    F[y, x] = img
+    F.add_filter(+x, [1.0, 0.5, 0.2])
+    F.add_filter(-x, [0.9, 0.4])
+    F.split(x, T)
+    spec = F.spec
+    scans = list(spec.scans)
+
+    # hand-computed combined solve (the shipping algebra)
+    n = w // T
+    mats = dimfuse.prepare_dim_pass(scans, T, n, False)
+    X = jnp.asarray(img).reshape(h, n, T)
+    hi = __import__("jax").lax.Precision.HIGHEST
+    braw = [
+        jnp.einsum("os,ans->ano", jnp.asarray(g[0], jnp.float32), X,
+                   precision=hi)
+        for g in mats.G
+    ]
+    CM0 = jnp.asarray(mats.CM[0], jnp.float32)
+    N0 = jnp.einsum("ls,ts->lt", braw[0].reshape(h, -1), CM0,
+                    precision=hi).reshape(h, n, 2)
+    got_ct0 = np.asarray(F.func("DBG_Intra_CTail_x_0"))
+    np.testing.assert_allclose(np.asarray(N0), got_ct0, rtol=1e-5, atol=1e-6)
+
+    # scan 1's TDeps is the H-coupling of scan 0's carries
+    td = jnp.einsum("oj,anj->ano", jnp.asarray(mats.H[1][0][0], jnp.float32),
+                    N0, precision=hi)
+    got_td = np.asarray(F.func("DBG_Intra_TDeps_x_a1"))
+    np.testing.assert_allclose(np.asarray(td), got_td, rtol=1e-5, atol=1e-6)
+
+    # the last Final equals the shipping executor's output
+    got_final = np.asarray(F.func("DBG_Final_x_a1"))
+    want = np.asarray(F.as_func()(jnp.asarray(img)))
+    np.testing.assert_allclose(got_final, want, rtol=1e-5, atol=1e-5)
+
+    # graph carries the full reference stage vocabulary
+    names = [s.name for s in rf.graph.build_graph(spec)]
+    assert "DBG_Intra_TDeps_x_a1" in names
+    assert "DBG_Deps_x_0" in names
+
+
+def test_print_hl_code_replays_plan():
+    """VERDICT r2 #9: the re-runnable dump reconstructs the Plan
+    (backend/precision/rotate_emit), so a dumped program reproduces
+    performance, not just semantics — round-trip re-executes with the
+    same resolved backend and matches numerically."""
+    import io
+    import contextlib
+
+    import jax.numpy as jnp
+
+    w = 24
+    x = rf.Dim("x", w)
+    y = rf.Dim("y", w)
+    F = rf.RecFilter("RT")
+    img = np.random.default_rng(5).standard_normal((w, w)).astype(np.float32)
+    F[y, x] = img
+    F.add_filter(+x, [1.0, 0.5])
+    F.add_filter(+y, [1.0, 0.4])
+    F.split(x, 8, y, 8)
+    F.set_plan(backend="overlap", matmul_precision="px3")
+    with contextlib.redirect_stdout(io.StringIO()):
+        code = F.print_hl_code()
+    assert "set_plan(" in code and "backend='overlap'" in code \
+        and "matmul_precision='px3'" in code
+    ns = {"image": img}
+    exec(code, ns)
+    F2 = ns["F"]
+    assert F2._plan.backend == "overlap"
+    assert F2._plan.matmul_precision == "px3"
+    np.testing.assert_allclose(
+        np.asarray(F2.as_func()(jnp.asarray(img))),
+        np.asarray(F.as_func()(jnp.asarray(img))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # a default-plan filter round-trips without any set_plan line
+    G = rf.RecFilter("RT2")
+    G[y, x] = img
+    G.add_filter(+x, [1.0, 0.5])
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert "set_plan" not in G.print_hl_code()
