@@ -288,15 +288,14 @@ def _select_rcat(Rcats: np.ndarray, D: int, d, dtype):
     return jax.lax.dynamic_index_in_dim(R, sel, axis=0, keepdims=False)
 
 
-def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
-                           backend, interpret, pad: int = 0):
-    """All of one dimension's scans with a SINGLE carry exchange.
-
-    Each device runs the zero-state local cascade scan by scan, recording
-    every scan's natural boundary carry along the way; one ``all_gather``
-    moves the stacked carries; the combined device-level solve and a single
-    rank-ΣK correction complete all scans at once.
-    """
+def _seq_solve_gather(y, axis, spec, scan_ids, tile_width, D, name,
+                      backend, interpret, pad: int = 0):
+    """Local cascade + one ``all_gather`` + combined solve; returns
+    ``(y_local, Rsel, N)`` with the correction NOT yet applied (N is the
+    carry-sized solved state, (..., S) with ``axis`` moved last) — callers
+    either inject immediately (:func:`_apply_seq_corr`) or defer the
+    injection past later local dimension passes (exchange/compute
+    overlap, see ``sharded_apply_filter``)."""
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
     clamp = spec.border == BorderMode.CLAMP
@@ -319,9 +318,29 @@ def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
     prec = jax.lax.Precision.HIGHEST
     N = jnp.einsum("sz,...z->...s", rows, flat, precision=prec)
     Rsel = _select_rcat(Rcats, D, d, y.dtype)
-    corr = jnp.einsum("tk,...k->...t", Rsel, N, precision=prec)
+    return y, Rsel, N
+
+
+def _apply_seq_corr(y, axis, Rsel, N):
+    """Inject a solved carry correction: y += Rsel·N along ``axis``."""
+    corr = jnp.einsum("tk,...k->...t", Rsel, N,
+                      precision=jax.lax.Precision.HIGHEST)
     ym = jnp.moveaxis(y, axis, -1) + corr
     return jnp.moveaxis(ym, -1, axis)
+
+
+def _seq_dim_pass_combined(y, axis, spec, scan_ids, tile_width, D, name,
+                           backend, interpret, pad: int = 0):
+    """All of one dimension's scans with a SINGLE carry exchange.
+
+    Each device runs the zero-state local cascade scan by scan, recording
+    every scan's natural boundary carry along the way; one ``all_gather``
+    moves the stacked carries; the combined device-level solve and a single
+    rank-ΣK correction complete all scans at once.
+    """
+    y, Rsel, N = _seq_solve_gather(y, axis, spec, scan_ids, tile_width, D,
+                                   name, backend, interpret, pad)
+    return _apply_seq_corr(y, axis, Rsel, N)
 
 
 def _ks_chain(b, scan, seg: int, D: int, name: str, prec):
@@ -372,17 +391,11 @@ def _ks_chain(b, scan, seg: int, D: int, name: str, prec):
     return s_prev
 
 
-def _seq_dim_pass_ring(y, axis, spec, scan_ids, tile_width, D, name,
-                       backend, interpret, pad: int = 0):
-    """All of one dimension's scans with ``ppermute`` carry exchanges.
-
-    The pod-scale alternative to :func:`_seq_dim_pass_combined`: per scan,
-    a Kogge–Stone doubling chain moves only order-k states between
-    neighbors-at-distance-2^j (log₂ D messages of O(k·lines) each) instead
-    of all-gathering every device's carries. Cross-scan H couplings and the
-    final Rcat correction are identical; each scan's chain consumes the
-    previous scans' solved states locally.
-    """
+def _seq_solve_ring(y, axis, spec, scan_ids, tile_width, D, name,
+                    backend, interpret, pad: int = 0):
+    """Local cascade + Kogge–Stone ``ppermute`` chains; returns
+    ``(y_local, Rsel, N)`` with the correction not yet applied (see
+    :func:`_seq_solve_gather`)."""
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
     clamp = spec.border == BorderMode.CLAMP
@@ -406,11 +419,24 @@ def _seq_dim_pass_ring(y, axis, spec, scan_ids, tile_width, D, name,
             b = b + jnp.einsum("ok,...k->...o", Hsel, Ns[j], precision=prec)
         Ns.append(_ks_chain(b, s, seg, D, name, prec))
     Ncat = jnp.concatenate(Ns, axis=-1)
-
     Rsel = _select_rcat(Rcats, D, d, y.dtype)
-    corr = jnp.einsum("tk,...k->...t", Rsel, Ncat, precision=prec)
-    ym = jnp.moveaxis(y, axis, -1) + corr
-    return jnp.moveaxis(ym, -1, axis)
+    return y, Rsel, Ncat
+
+
+def _seq_dim_pass_ring(y, axis, spec, scan_ids, tile_width, D, name,
+                       backend, interpret, pad: int = 0):
+    """All of one dimension's scans with ``ppermute`` carry exchanges.
+
+    The pod-scale alternative to :func:`_seq_dim_pass_combined`: per scan,
+    a Kogge–Stone doubling chain moves only order-k states between
+    neighbors-at-distance-2^j (log₂ D messages of O(k·lines) each) instead
+    of all-gathering every device's carries. Cross-scan H couplings and the
+    final Rcat correction are identical; each scan's chain consumes the
+    previous scans' solved states locally.
+    """
+    y, Rsel, Ncat = _seq_solve_ring(y, axis, spec, scan_ids, tile_width, D,
+                                    name, backend, interpret, pad)
+    return _apply_seq_corr(y, axis, Rsel, Ncat)
 
 
 def sharded_apply_filter(
@@ -509,7 +535,25 @@ def sharded_apply_filter(
 
     def local_fn(xl):
         y = xl.astype(jnp.float32)
-        for ax, ids in spec.scans_by_axis().items():
+        groups = list(spec.scans_by_axis().items())
+        seq_pos = [gi for gi, (ax, _) in enumerate(groups)
+                   if shard_of.get(ax, (None, 1))[1] > 1]
+        # Exchange/compute overlap: with ONE sharded scan dimension
+        # followed by local dimension passes, the carry collective's
+        # result is not needed until the very end — every operator is
+        # linear, so the later local passes apply to the UNCORRECTED
+        # array while the collective is in flight, the solved carry state
+        # N (carry-sized: S/seg of the data) runs through the same local
+        # passes, and one injection closes the pipeline. XLA's
+        # latency-hiding scheduler overlaps the issued all_gather/ppermute
+        # with the local passes' compute — the SURVEY §5.7 blueprint
+        # ("overlap carry exchange with the next dimension's intra pass").
+        # Latency model per exchange: gather moves D·S·lines floats in one
+        # log-depth collective; ring moves S·lines per hop × log₂D hops;
+        # overlap hides up to a full local pass (~ms) of either.
+        defer_ok = len(seq_pos) == 1 and seq_pos[0] < len(groups) - 1
+        pending = None  # (axis, Rsel, N) — deferred carry injection
+        for gi, (ax, ids) in enumerate(groups):
             T = tiles[ax] or 32
             T = min(T, y.shape[ax])
             name, D = shard_of.get(ax, (None, 1))
@@ -520,15 +564,31 @@ def sharded_apply_filter(
                 use_ring = exchange == "ring" or (
                     exchange == "auto" and D > 8
                 )
-                seq_pass = (
-                    _seq_dim_pass_ring if use_ring else _seq_dim_pass_combined
-                )
-                y = seq_pass(
+                solve = _seq_solve_ring if use_ring else _seq_solve_gather
+                y, Rsel, N = solve(
                     y, ax, spec, ids, T, D, name, backend, interpret,
                     pad=pads.get(ax, 0),
                 )
+                if defer_ok:
+                    pending = (ax, Rsel, N)
+                else:
+                    y = _apply_seq_corr(y, ax, Rsel, N)
             else:
                 y = _local_apply_dim(y, spec, ax, ids, T, backend, interpret)
+                if pending is not None:
+                    # run the same (linear) pass over the carry-sized N —
+                    # its layout dropped the seq axis (moved last), so
+                    # later axes shift down by one
+                    pax, Rsel, N = pending
+                    nax = ax if ax < pax else ax - 1
+                    N = _local_apply_dim(
+                        N, spec, nax, ids, min(T, N.shape[nax]), backend,
+                        interpret,
+                    )
+                    pending = (pax, Rsel, N)
+        if pending is not None:
+            pax, Rsel, N = pending
+            y = _apply_seq_corr(y, pax, Rsel, N)
         return y.astype(jnp.dtype(spec.dtype))
 
     fn = jax.shard_map(

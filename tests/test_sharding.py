@@ -6,6 +6,7 @@ order-k carry exchange. All results must match the single-device oracle.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -404,3 +405,51 @@ def test_host_sharded_io_roundtrip_and_filter(tmp_path):
     paths = pio.save_npy_sharded(y, str(tmp_path / "out"))
     back = pio.assemble_npy_shards(paths, y.shape)
     np.testing.assert_allclose(back, np.asarray(y), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("exchange", ["gather", "ring"])
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
+def test_exchange_overlap_deferral(exchange, border):
+    """The carry injection of a sharded scan dimension defers past later
+    LOCAL dimension passes (exchange/compute overlap — the collective's
+    result is consumed only at the end; every operator is linear, so the
+    correction runs through the same local passes carry-sized). Must match
+    the oracle, and the deferral must actually engage."""
+    from recfilter_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh((4,), ("seq",))
+    spec = FilterSpec(
+        "OVL",
+        (Dim("y", 24), Dim("x", 32)),
+        (
+            Scan(1, True, 1.0, (0.5, 0.2)),
+            Scan(1, False, 0.9, (0.4,)),
+            Scan(0, True, 1.0, (0.3, 0.1)),
+        ),
+        border=border,
+        tile_widths=(4, 4),
+    )
+    x = np.random.default_rng(11).standard_normal((24, 32)).astype(np.float32)
+
+    calls = []
+    orig = sh._apply_seq_corr
+
+    def spy(y, axis, Rsel, N):
+        calls.append(axis)
+        return orig(y, axis, Rsel, N)
+
+    sh._apply_seq_corr = spy
+    try:
+        got = np.asarray(
+            sh.sharded_apply_filter(
+                spec, Plan(interpret=True), mesh, jnp.asarray(x),
+                seq_axis=1, exchange=exchange,
+            )
+        )
+    finally:
+        sh._apply_seq_corr = orig
+    # one injection, after the y-dimension local pass (deferral engaged)
+    assert calls == [1]
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
