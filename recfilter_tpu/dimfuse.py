@@ -1062,10 +1062,14 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                             end=stencil.get("end", "clamp"))
                 stencil = None  # consumed in-kernel
             # Elementwise epilogue fused INTO the kernel (applied to each
-            # out-block in VMEM).
+            # out-block in VMEM). Order contract: a stencil consumer reads
+            # the FILTER output, the epilogue the consumer's — so when the
+            # stencil could not fuse (pending fallback), the epilogue must
+            # defer past it.
+            deferred_epi = epilogue is not None and stencil is not None
             k_epi, ke_aux = _kernel_epilogue_aux(
-                epilogue, next_tails, rot, lead, P, n, T, rows, PR, pad,
-                eaux)
+                None if deferred_epi else epilogue, next_tails, rot, lead,
+                P, n, T, rows, PR, pad, eaux)
             Yk = _completion.completion_pass(
                 xq, np.asarray(mats.Btot), Rcat, Nt8, rot=rot,
                 nprod=nprod_k, interpret=interp, carries_transposed=True,
@@ -1088,7 +1092,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 Y = Yk.reshape((P, n, T) + tuple(rows))
             else:
                 Y = Yk.reshape((P,) + tuple(rows) + (n, T))
-            if epilogue is not None and k_epi is None:
+            if epilogue is not None and k_epi is None and not deferred_epi:
                 if rot:
                     nat_ax, tshape = len(lead), (P, n, T) + tuple(rows)
                 else:
@@ -1107,6 +1111,9 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                     y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
             if stencil is not None:
                 y = _stencil_fallback(y, stencil, (-1 - nrow) if rot else -1)
+                if deferred_epi:
+                    y = epilogue(
+                        y, *(jnp.asarray(a).astype(y.dtype) for a in eaux))
             return (y, tails_out) if next_tails is not None else y
 
     if (nprod_k and rot and P > 1 and n <= _CHAIN_MATMUL_MAX_TILES
@@ -1287,7 +1294,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         Y = apply(mats.Btot, X, fast=True, out_t=rot)
         Y = Y + apply(Rcat, Ncat.astype(cdt), out_t=rot)
 
-    if epilogue is not None:
+    if epilogue is not None and stencil is None:
         # Natural output layout: rot → lead + (nT,) + rows (scanned axis at
         # len(lead)); in-place → lead + rows + (nT,).
         if rot:
@@ -1306,7 +1313,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         if pad:
             y = jax.lax.slice_in_dim(y, 0, n * T - pad, axis=-1)
     if stencil is not None:
+        # stencil before epilogue (the consumer-order contract)
         y = _stencil_fallback(y, stencil, (-1 - nrow) if rot else -1)
+        if epilogue is not None:
+            y = epilogue(y, *(jnp.asarray(a).astype(y.dtype) for a in eaux))
     return (y, tails_out) if next_tails is not None else y
 
 def dim_pass_stages(x, axis: int, scans: Sequence[Scan], tile_width: int,

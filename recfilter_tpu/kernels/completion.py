@@ -733,6 +733,130 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
     return f(x)
 
 
+def tails_pass_traced(x, Gcat, *, nprod: int = 6, interpret: bool = False):
+    """Traced-matrix twin of :func:`tails_pass` (uniform stack).
+
+    ``Gcat`` is a TRACED (S, T) jnp matrix — the learnable executor's
+    coefficient-dependent tail rows. Same kernel; the chunk operands are
+    built with in-graph bf16 splits (3 chunks of an f32 matrix are exact),
+    and the custom VJP returns cotangents for BOTH ``x`` and ``Gcat`` via
+    the einsum twin, so coefficient training differentiates through the
+    kernel path."""
+    q, n, T = x.shape
+    S = int(Gcat.shape[0])
+    assert S <= _SLOTS
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Lb, qp = _block_geom(q, T, nprod, 0)
+
+    def _run(x, Gcat):
+        Gp = jnp.pad(Gcat.astype(jnp.float32), ((0, _SLOTS - S), (0, 0)))
+        Gs = _split_vmem(Gp, nc)
+        Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)[None]
+        if qp != q:
+            x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
+        xf = x.reshape(qp, n * T)
+        y = pl.pallas_call(
+            partial(_tails_kernel, nprod=nprod),
+            out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
+            grid=(n, qp // Lb),
+            in_specs=[
+                pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_SLOTS, Lb), lambda t, l: (t, l),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Gcat_k, xf)
+        y = y.reshape(n, _SLOTS, qp)
+        return y[..., :q] if qp != q else y
+
+    def _ref(x, Gcat):
+        Gp = jnp.pad(Gcat.astype(jnp.float32), ((0, _SLOTS - S), (0, 0)))
+        return jnp.einsum("st,qnt->nsq", Gp, x.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x, G: (_run(x, G), (x, G)),
+             lambda res, ct: jax.vjp(_ref, res[0], res[1])[1](ct))
+    return f(x, Gcat)
+
+
+def completion_pass_traced(x, Btot, Rcat, Nt8, *, nprod: int = 6,
+                           interpret: bool = False):
+    """Traced-matrix twin of :func:`completion_pass` (rot=False, uniform
+    stack, transposed carries).
+
+    ``Btot`` (T, T) and ``Rcat`` (T, S) are TRACED jnp matrices; ``Nt8``
+    is the slot-padded transposed carry array (n, 8, q). Same kernel as
+    the static path; the custom VJP differentiates through x, the
+    matrices, AND the carries (einsum twin) — the learnable executor's
+    pass-B at px-kernel speed."""
+    q, n, T = x.shape
+    S = int(Rcat.shape[-1])
+    assert S <= _SLOTS
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Lb, qp = _block_geom(q, T, nprod, 0)
+    kern = partial(_completion_kernel, nprod=nprod, rot=False, naux=0,
+                   epilogue=None, stencil=None)
+
+    def _run(x, Btot, Rcat, Nt8):
+        Bs = _split_vmem(Btot.astype(jnp.float32), nc)
+        Bcat_k = jnp.concatenate([Bs[i] for i, _ in pairs], axis=-1)[None]
+        Rp = jnp.pad(Rcat.astype(jnp.float32),
+                     ((0, 0), (0, _SLOTS - S)))
+        Rs = _split_vmem(Rp, nc)
+        Rcat_k = jnp.concatenate([Rs[i] for i, _ in pairs], axis=-1)[None]
+        if qp != q:
+            x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
+            Nt8 = jnp.pad(Nt8, ((0, 0), (0, 0), (0, qp - q)))
+        xf = x.reshape(qp, n * T)
+        y = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((qp, n * T), jnp.float32),
+            grid=(n, qp // Lb),
+            in_specs=[
+                pl.BlockSpec((1, T, nprod * T), lambda t, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Lb, T), lambda t, l: (l, t),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Bcat_k, Rcat_k, Nt8.astype(jnp.float32), xf)
+        y = y.reshape(qp, n, T)
+        return y[:q] if qp != q else y
+
+    def _ref(x, Btot, Rcat, Nt8):
+        hi = jax.lax.Precision.HIGHEST
+        return (jnp.einsum("os,qns->qno", Btot.astype(jnp.float32),
+                           x.astype(jnp.float32), precision=hi)
+                + jnp.einsum("ou,nuq->qno", Rcat.astype(jnp.float32),
+                             Nt8.astype(jnp.float32)[:, :S, :],
+                             precision=hi))
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(
+        lambda x, B, R, N: (_run(x, B, R, N), (x, B, R, N)),
+        lambda res, ct: jax.vjp(_ref, *res)[1](ct),
+    )
+    return f(x, Btot, Rcat, Nt8)
+
+
 def pad_solve_matrix(CMfull, n: int, S: int) -> np.ndarray:
     """Embed the (n·S, n·S) combined-solve matrix into the 8-slot padded
     layout: (n·8, n·8), zero rows/cols on the pad slots — so the solve can

@@ -204,24 +204,36 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
 def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
                        nprod, kb, Tb, na, nb):
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
-    moments, all from one VMEM split of the block."""
+    moments, all from one VMEM split of the block.
+
+    The pass is DMA-bound (skinny 8-row dots), so the compensated
+    products run as SEPARATE per-chunk-pair dots — no stacked-operand
+    concat copies competing with the stream; the G chunk constants ride
+    the lane axis of one operand, sliced per pair."""
     a = pl.program_id(1)
     l = pl.program_id(2)
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
+    Ta = x_ref.shape[0]
     Ga = _sel_variant(Ga_ref, a, na)
-    xcat0 = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
-    o1_ref[:] = jax.lax.dot_general(
-        Ga, xcat0, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    for c in range(kb):
-        xc = jnp.concatenate(
-            [xs[j][:, c * Tb:(c + 1) * Tb] for _, j in pairs], axis=1)
-        Gb = _sel_variant(Gb_ref, l * kb + c, nb)
-        o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
-            Gb, xc, (((1,), (1,)), ((), ())),
+    acc1 = None
+    for p, (i, j) in enumerate(pairs):
+        t = jax.lax.dot_general(
+            Ga[:, p * Ta:(p + 1) * Ta], xs[j], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        acc1 = t if acc1 is None else acc1 + t
+    o1_ref[:] = acc1
+    for c in range(kb):
+        Gb = _sel_variant(Gb_ref, l * kb + c, nb)
+        acc2 = None
+        for p, (i, j) in enumerate(pairs):
+            t = jax.lax.dot_general(
+                Gb[:, p * Tb:(p + 1) * Tb],
+                xs[j][:, c * Tb:(c + 1) * Tb], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc2 = t if acc2 is None else acc2 + t
+        o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
 
 
 def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
@@ -241,7 +253,11 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
     pairs = _prods(nprod)
     Gav = _cat_split(_variants3(_pad_slots(Ga, 1)), pairs, nc)
     Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
-    Lb = _lb_px(W, Tb)
+    import os
+
+    # Moments is DMA-bound with a light VMEM footprint (x + chunks only) —
+    # bigger lane blocks than the dual-completion kernel pay off.
+    Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
                    na=na, nb=nb)
@@ -326,12 +342,27 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
     xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
-    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
     ns_a = _split_vmem(nA_ref[:], nc)
-    nacat = jnp.concatenate([ns_a[j] for _, j in pairs], axis=0)
     Ba = _sel_variant(Ba_ref, a, na)
     Ra = _sel_variant(Ra_ref, a, na)
     dn_a = (((1,), (0,)), ((), ()))
+    Ta = x_ref.shape[0]
+
+    if mode == 2:
+        # per-pair A-dots: skip the stacked-operand concat copies
+        z = None
+        for p, (i, j) in enumerate(pairs):
+            t = jax.lax.dot_general(
+                Ba[:, p * Ta:(p + 1) * Ta], xs[j], dn_a,
+                preferred_element_type=jnp.float32)
+            t = t + jax.lax.dot_general(
+                Ra[:, p * _SLOTS:(p + 1) * _SLOTS], ns_a[j], dn_a,
+                preferred_element_type=jnp.float32)
+            z = t if z is None else z + t
+        zs_full = _split_vmem(z, nc)
+    else:
+        xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
+        nacat = jnp.concatenate([ns_a[j] for _, j in pairs], axis=0)
 
     def a_dot(xc, nac):
         z = jax.lax.dot_general(Ba, xc, dn_a,
@@ -343,10 +374,10 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
         zs_full = _split_vmem(a_dot(xcat, nacat), nc)
     for c in range(kb):
         sl = slice(c * Tb, (c + 1) * Tb)
-        if mode == 0:
-            zs = [zj[:, sl] for zj in zs_full]
-        else:
+        if mode == 1:
             zs = _split_vmem(a_dot(xcat[:, sl], nacat[:, sl]), nc)
+        else:
+            zs = [zj[:, sl] for zj in zs_full]
         zc = jnp.concatenate([zs[j] for _, j in pairs], axis=1)
         gb = l * kb + c
         Bb = _sel_variant(Bb_ref, gb, nb)

@@ -25,6 +25,8 @@ import numpy as np
 
 from .spec import BorderMode, FilterSpec
 
+_SLOTS8 = 8  # carry slots per tile (kernels/completion._SLOTS)
+
 # CLAUDE.md precision invariant: XLA's default f32 dot on TPU is single-pass
 # bf16 (~1e-2 rel error); every f32 matmul in the learnable executors
 # requests HIGHEST so training optimizes the same filter production
@@ -329,6 +331,45 @@ def fused_dim_learnable(x, params, tile_width: int, clamp: bool = False):
                 params, T, pad_slots=pad, clamp_edges=("last",))))
     elif pad:
         overrides.append((n - 1, _dim_mats_learnable(params, T, pad_slots=pad)))
+
+    # px-kernel route (VERDICT r2 #8): the traced matrices run through the
+    # SAME split-bf16 tails/completion kernels as production inference —
+    # chunk operands built in-graph (exact 3-chunk bf16 splits of f32
+    # matrices), coefficient cotangents via the kernels' einsum twins. The
+    # carry solves stay associative-scan (traced W powers). Falls through
+    # to the einsum path for per-tile variants (clamp/pad), non-128 tiles,
+    # or audio-scale tile counts.
+    S_all = int(sum(b[4] for b in base))
+    if (not overrides and T == 128 and n <= 512 and S_all <= _SLOTS8
+            and X.dtype == jnp.float32 and X.shape[0] >= 8):
+        from .kernels import completion as _completion
+
+        interp = jax.default_backend() != "tpu"
+        L = X.shape[0]
+        Gcat = jnp.concatenate(G, axis=0)  # (S, T)
+        braw_t = _completion.tails_pass_traced(
+            X, Gcat, nprod=6, interpret=interp)  # (n, 8, L)
+        offs = np.cumsum([0] + [b[4] for b in base])
+        Ns = []
+        for i, (_, _, _, W, k, causal) in enumerate(base):
+            b = jnp.transpose(
+                braw_t[:, offs[i]:offs[i + 1], :], (2, 0, 1))  # (L, n, k)
+            b = b.astype(W.dtype)  # x64 test mode: solves run in f64
+            for j in range(i):
+                b = b + jnp.einsum("ko,lno->lnk", H[i][j], Ns[j],
+                                   precision=_PREC)
+            Ns.append(_chain_solve_learnable(b, W, k, causal))
+        Ncat = jnp.concatenate(Ns, axis=-1)          # (L, n, S)
+        Nt8 = jnp.transpose(Ncat, (1, 2, 0))         # (n, S, L)
+        if S_all < _SLOTS8:
+            Nt8 = jnp.pad(Nt8, ((0, 0), (0, _SLOTS8 - S_all), (0, 0)))
+        Rcat = jnp.concatenate(Rhat, axis=1)         # (T, S)
+        Y = _completion.completion_pass_traced(
+            X, Btot, Rcat, Nt8, nprod=6, interpret=interp)  # (L, n, T)
+        Y = Y.reshape(L, n * T)
+        if pad:
+            Y = Y[:, :w]
+        return Y.reshape(shape)
 
     N = [None] * len(base)
     for i, (_, _, _, W, k, causal) in enumerate(base):

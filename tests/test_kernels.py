@@ -162,3 +162,45 @@ def test_plan_knobs_line_block_and_unroll():
     # ... but never exceeds the VMEM budget.
     auto = fused._pick_line_block(8192, quantum=8, limit=4096)
     assert fused._pick_line_block(8192, quantum=8, limit=4096, request=10**6) == auto
+
+
+def test_stencil2d_kernel_matches_shift_oracle():
+    """Fused 2-D stencil bank (row-halo strips + in-block lane shifts) vs
+    the pad/slice oracle: dual-radius 4-corner differencing with mixed
+    clamp/zero edge semantics, plus gradients through the custom VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from recfilter_tpu.kernels import stencil2d
+    from recfilter_tpu.apps.dog import _diff_xy
+
+    rng = np.random.default_rng(44)
+    H, W = 96, 160
+    s = rng.standard_normal((H, W)).astype(np.float32)
+
+    def taps(B):
+        sc = 1.0 / float((2 * B + 1) ** 2)
+        return [(B, B, sc), (B, -B - 1, -sc), (-B - 1, B, -sc),
+                (-B - 1, -B - 1, sc)]
+
+    got = stencil2d.stencil2d_pass(
+        jnp.asarray(s), [taps(3), taps(7)], interpret=True)
+    assert got is not None
+    want = np.stack([np.asarray(_diff_xy(jnp.asarray(s), B, W, H))
+                     for B in (3, 7)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-6)
+
+    # gradient via the shift twin
+    ct = jnp.asarray(rng.standard_normal((2, H, W)).astype(np.float32))
+
+    def f(v):
+        return (stencil2d.stencil2d_pass(
+            v, [taps(3), taps(7)], interpret=True) * ct).sum()
+
+    def f_ref(v):
+        y = jnp.stack([_diff_xy(v, B, W, H) for B in (3, 7)])
+        return (y * ct).sum()
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(s)))
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(s)))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-5)

