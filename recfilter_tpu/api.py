@@ -314,6 +314,7 @@ class RecFilter:
             return lambda x: overlap2d.apply_filter_overlap(
                 spec, x, use_kernels=uk, interpret=interp,
                 matmul_dtype=mmd,
+                matmul_precision=plan.matmul_precision,
             )
         if backend == "blocked":
             return lambda x: tiling.apply_filter(spec, x)

@@ -1547,10 +1547,13 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     # fused dual-completion kernel (dim-A completion never touches HBM).
     # Strictly fewer image touches than the rotation chain below (3 vs 5)
     # at the same compensated product counts.
-    if (_OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}
-            and cdt == jnp.float32):
+    if _OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}:
         nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision)
-        if nprod >= 3:
+        # f32 px modes (compensated products) AND the bf16 storage mode
+        # (nprod=1: plain products, bf16 image touches — half the traffic
+        # of the f32 modes on the same 3-touch structure).
+        if (cdt == jnp.float32 and nprod >= 3) or (
+                cdt == jnp.bfloat16 and nprod == 1):
             from . import overlap2d
 
             ax_a, ax_b = nd - 2, nd - 1

@@ -318,11 +318,16 @@ def fused_2d_pass(
     use_kernels: bool = False,
     interpret: bool = False,
     matmul_dtype=jnp.float32,
+    matmul_precision: str = "highest",
 ):
     """Apply dim-A scans then dim-B scans with cross-dimension carry fusion.
 
     Falls back to two :func:`dimfuse.fused_dim_pass` calls when a dimension
     needs the scan-core path (tiny/prime clamp widths) or huge tile counts.
+
+    With ``use_kernels`` and a px ``matmul_precision``, the pass runs the
+    split-bf16 3-touch pipeline (:func:`fused_2d_px` — the shipping 2-D
+    default); HIGHEST keeps the original f32-dot kernels.
     """
     clamp = border == BorderMode.CLAMP
     cdt = compute_dtype
@@ -333,8 +338,15 @@ def fused_2d_pass(
             jnp.swapaxes(x, axis_a, axis_b), axis_b, scans_a, Ta,
             axis_a, scans_b, Tb, border, cdt,
             use_kernels=use_kernels, interpret=interpret,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
         ).swapaxes(axis_a, axis_b)
+    if use_kernels and cdt == jnp.float32:
+        nprod = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+        if nprod and axis_b == x.ndim - 1 and axis_a == x.ndim - 2:
+            y = fused_2d_px(x, axis_a, scans_a, axis_b, scans_b, border,
+                            nprod, interpret)
+            if y is not None:
+                return y
 
     wa, wb = x.shape[axis_a], x.shape[axis_b]
     ka = max(s.order for s in scans_a)
@@ -438,7 +450,8 @@ def fused_2d_pass(
 
 def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
                          use_kernels: bool = False, interpret: bool = False,
-                         matmul_dtype=jnp.float32):
+                         matmul_dtype=jnp.float32,
+                         matmul_precision: str = "highest"):
     """Whole-filter executor with 2-D cross-dimension fusion where possible.
 
     Scanned dims are consumed pairwise (in first-appearance order) through
@@ -478,7 +491,7 @@ def apply_filter_overlap(spec: FilterSpec, x, tile_default: int = 32,
                 tiles[ax_b] or tile_default,
                 spec.border, cdt,
                 use_kernels=use_kernels, interpret=interpret,
-                matmul_dtype=matmul_dtype,
+                matmul_dtype=matmul_dtype, matmul_precision=matmul_precision,
             )
             i += 2
         else:

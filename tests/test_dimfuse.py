@@ -795,7 +795,7 @@ def test_px_epilogue_fused_into_kernel(mode, old_px_chain):
                                atol=1e-5 * np.abs(plain).max())
 
 
-def test_bf16_storage_kernel_path_and_chaining():
+def test_bf16_storage_kernel_path_and_chaining(old_px_chain):
     """bf16 storage mode routes through the completion kernels (nprod=1,
     bf16 blocks in/out — half the image traffic) with tails chaining, and
     holds the bf16 rounding bound."""

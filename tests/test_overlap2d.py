@@ -392,3 +392,44 @@ def test_px_path_epilogue_fused_into_final_kernel():
         spec, jnp.asarray(x), matmul_precision="px6"))
     np.testing.assert_allclose(got, 2.0 * aux - 0.5 * plain, rtol=0,
                                atol=1e-5 * np.abs(plain).max())
+
+
+def test_px_path_bf16_storage_mode():
+    """bf16 storage routes through the 3-touch overlapped path with one
+    plain product (half the image traffic of the f32 modes) and holds the
+    bf16 rounding bound."""
+    import jax.numpy as jnp
+    from recfilter_tpu.kernels import final2d as k2d
+
+    spec = _spec(
+        [
+            Scan(1, True, 0.9, (0.6, 0.2)),
+            Scan(0, False, 1.05, (0.4, 0.15)),
+        ],
+        h=128, w=256, tiles=(128, 128),
+    )
+    import dataclasses
+    spec = dataclasses.replace(spec, dtype="bfloat16")
+    x = _img(128, 256, seed=33)
+
+    seen = []
+    orig = k2d.final2d_px
+
+    def spy(xk, *a, **k):
+        seen.append((xk.dtype, k.get("nprod")))
+        return orig(xk, *a, **k)
+
+    k2d.final2d_px = spy
+    try:
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x, jnp.bfloat16),
+            matmul_precision="px6").astype(jnp.float32))
+    finally:
+        k2d.final2d_px = orig
+    assert seen == [(jnp.bfloat16, 1)]
+    want = scan_core.oracle_apply(spec.with_dtype("float32")
+                                  if hasattr(spec, "with_dtype") else
+                                  dataclasses.replace(spec, dtype="float32"),
+                                  x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 3e-2 * scale
