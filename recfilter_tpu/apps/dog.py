@@ -164,10 +164,8 @@ def difference_of_gaussians(
             interpret=jax.default_backend() != "tpu",
         )
         if box1 is None:  # no divisor row block — XLA shift fallback
-            box1 = jnp.stack([
-                _diff_xy(s, B1, width, height),
-                _diff_xy(s, B2, width, height),
-            ])
+            box1 = (_diff_xy(s, B1, width, height),
+                    _diff_xy(s, B2, width, height))
         b0 = sat2x_c[0](box1[0])   # (x, y), integral+differencing fused
         b1 = sat2x_c[1](box1[1])
         g0 = sat2y_0(b0)           # (y, x)

@@ -50,7 +50,7 @@ def _lane_shift(v, dx: int, W: int, clamp_pos: bool, interpret: bool):
     return jnp.where(cols < -dx, jnp.zeros_like(v), rolled)
 
 
-def _stencil2d_kernel(x_ref, prev_ref, nxt_ref, o_ref, *, taps_c, Rb, W,
+def _stencil2d_kernel(x_ref, prev_ref, nxt_ref, *o_refs, taps_c, Rb, W,
                       hp8, hn8, nblk, single, interpret):
     g = pl.program_id(0)
     pm = jnp.where(g > 0, 1.0, 0.0).astype(x_ref.dtype)
@@ -76,10 +76,7 @@ def _stencil2d_kernel(x_ref, prev_ref, nxt_ref, o_ref, *, taps_c, Rb, W,
             t = _lane_shift(t, dx, W, clamp_pos=True,
                             interpret=interpret) * coeff
             acc = t if acc is None else acc + t
-        if single:
-            o_ref[:] = acc.astype(o_ref.dtype)
-        else:
-            o_ref[c] = acc.astype(o_ref.dtype)
+        o_refs[c][:] = acc.astype(o_refs[c].dtype)
 
 
 def stencil2d_pass(x, taps_c, *, interpret: bool = False):
@@ -119,13 +116,15 @@ def stencil2d_pass(x, taps_c, *, interpret: bool = False):
     kn = Rb // sn
 
     def _run(x):
-        out_shape = (jax.ShapeDtypeStruct((H, W), x.dtype) if C == 1 else
-                     jax.ShapeDtypeStruct((C, H, W), x.dtype))
-        out_spec = (pl.BlockSpec((Rb, W), lambda g: (g, 0),
-                                 memory_space=pltpu.VMEM) if C == 1 else
-                    pl.BlockSpec((C, Rb, W), lambda g: (0, g, 0),
-                                 memory_space=pltpu.VMEM))
-        return pl.pallas_call(
+        # one SEPARATE output buffer per channel: consumers slice per
+        # channel, and slicing a stacked (C, H, W) pallas output costs a
+        # full copy (xplane: 0.29 ms at 4K for DoG's dual radius)
+        out_shape = tuple(jax.ShapeDtypeStruct((H, W), x.dtype)
+                          for _ in range(C))
+        out_spec = tuple(pl.BlockSpec((Rb, W), lambda g: (g, 0),
+                                      memory_space=pltpu.VMEM)
+                         for _ in range(C))
+        y = pl.pallas_call(
             kern,
             out_shape=out_shape,
             grid=(nblk,),
@@ -146,6 +145,7 @@ def stencil2d_pass(x, taps_c, *, interpret: bool = False):
             ),
             interpret=interpret,
         )(x, x, x)
+        return y[0] if C == 1 else y
 
     # VJP via the XLA shift twin (linear in x).
     def _ref(x):
@@ -167,7 +167,7 @@ def stencil2d_pass(x, taps_c, *, interpret: bool = False):
                 t = t * coeff
                 acc = t if acc is None else acc + t
             outs.append(acc)
-        return outs[0] if C == 1 else jnp.stack(outs)
+        return outs[0] if C == 1 else tuple(outs)
 
     f = jax.custom_vjp(_run)
     f.defvjp(lambda x: (_run(x), x),

@@ -243,12 +243,13 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
         NA_t = jax.vmap(
             lambda b: dimfuse._banded_solve_apply(bands_a, b, Ka))(bA_t)
     else:
-        # compensated split dot instead of HIGHEST: same f32 grade for the
-        # error-dominant solve, without HIGHEST's operand-conversion copies
-        # (xplane: the two solves cost ~0.06 ms of the 0.50 ms pipeline)
-        NA_t = dimfuse._split_einsum(
-            "ts,psl->ptl", pad_solve_matrix(CMa, na, Ka),
-            bA_t.reshape(p, na * _SLOTS, W), 6, jnp.float32,
+        # MEASURED: a compensated split dot here regressed the pipeline
+        # 0.529 -> 0.579 ms (the transposed-solve chunk products don't
+        # fuse; each round-trips HBM) — HIGHEST keeps the solve at 0.03.
+        CMa_p = jnp.asarray(pad_solve_matrix(CMa, na, Ka), jnp.float32)
+        NA_t = jnp.einsum(
+            "ts,psl->ptl", CMa_p, bA_t.reshape(p, na * _SLOTS, W),
+            preferred_element_type=jnp.float32, precision=hi,
         ).reshape(p, na, _SLOTS, W)
 
     # ---- dim-B raw tails from carry-sized data only ----------------------
@@ -278,9 +279,11 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
             NBl.reshape(nb, _SLOTS, p, na, T), 0, 2
         ).reshape(p, na, nb * _SLOTS, T)
     else:
-        NB_t = dimfuse._split_einsum(
-            "ts,qsl->qtl", pad_solve_matrix(CMb, nb, Kb),
-            bB.reshape(p * na, nb * _SLOTS, T), 6, jnp.float32,
+        CMb_p = jnp.asarray(pad_solve_matrix(CMb, nb, Kb), jnp.float32)
+        NB_t = jnp.einsum(
+            "ts,qsl->qtl", CMb_p,
+            bB.reshape(p * na, nb * _SLOTS, T),
+            preferred_element_type=jnp.float32, precision=hi,
         ).reshape(p, na, nb * _SLOTS, T)
 
     # ---- fused passes 2+3: read x once, emit Y ---------------------------

@@ -188,14 +188,15 @@ def test_stencil2d_kernel_matches_shift_oracle():
     assert got is not None
     want = np.stack([np.asarray(_diff_xy(jnp.asarray(s), B, W, H))
                      for B in (3, 7)])
-    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.stack([np.asarray(g) for g in got]),
+                               want, rtol=0, atol=1e-6)
 
     # gradient via the shift twin
     ct = jnp.asarray(rng.standard_normal((2, H, W)).astype(np.float32))
 
     def f(v):
-        return (stencil2d.stencil2d_pass(
-            v, [taps(3), taps(7)], interpret=True) * ct).sum()
+        y = stencil2d.stencil2d_pass(v, [taps(3), taps(7)], interpret=True)
+        return (jnp.stack(y) * ct).sum()
 
     def f_ref(v):
         y = jnp.stack([_diff_xy(v, B, W, H) for B in (3, 7)])
