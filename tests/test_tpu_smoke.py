@@ -286,3 +286,53 @@ def test_learnable_training_step_kernel_speed_on_chip():
     print(f"train {ms_train:.3f} ms vs inference {ms_inf:.3f} ms")
     # forward+backward = ~2 forwards; the bar allows 2x plus harness slack
     assert ms_train <= 2.5 * ms_inf, (ms_train, ms_inf)
+
+
+def test_overlap_px_and_stencil_on_chip():
+    """Round-3 kernels on real Mosaic: the 3-touch overlapped px executor
+    (moments2d_px + final2d_px, clamp edge variants selected by grid
+    position) and an in-kernel shifted-tap stencil consumer — both vs the
+    numpy oracle at f32 grade. One compile each."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, overlap2d, scan_core
+    from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+    import recfilter_tpu as rf
+
+    h, w = 256, 384
+    wts = rf.gaussian_weights(2.0, 3)
+    spec = FilterSpec(
+        "PXC", (Dim("y", h), Dim("x", w)),
+        (
+            Scan(1, True, wts[0], tuple(wts[1:])),
+            Scan(1, False, wts[0], tuple(wts[1:])),
+            Scan(0, True, wts[0], tuple(wts[1:])),
+            Scan(0, False, wts[0], tuple(wts[1:])),
+        ),
+        border=BorderMode.CLAMP, tile_widths=(128, 128),
+    )
+    x = _img(h, w, seed=11)
+    y = overlap2d.fused_2d_px(
+        jnp.asarray(x), 0, [spec.scans[2], spec.scans[3]],
+        1, [spec.scans[0], spec.scans[1]], spec.border, 6, False,
+    )
+    assert y is not None
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(y) - want).max() <= 1e-5 * scale
+
+    # in-kernel stencil consumer on a rotated single-dim pass
+    sspec = FilterSpec("ST", (Dim("y", 64), Dim("x", 256)),
+                       (Scan(1, True, 1.0, (2.0, -1.0)),),
+                       tile_widths=(0, 128))
+    xs = _img(64, 256, seed=12)
+    taps = [(10, 0.25), (-1, -2.0), (-12, 1.0)]
+    got = np.asarray(dimfuse.apply_filter_rotated(
+        sspec, jnp.asarray(xs), rot_axes=2, matmul_precision="px6",
+        stencil={"taps": taps, "start": "zero", "end": "clamp"}))
+    plain = scan_core.oracle_apply(sspec, xs.astype(np.float64))
+    ref = np.asarray(dimfuse.apply_stencil(
+        jnp.asarray(plain.T.astype(np.float32)), -2, taps, "zero", "clamp"))
+    zscale = np.abs(plain).max()
+    assert np.abs(got - ref).max() <= 1e-5 * zscale
