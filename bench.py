@@ -9,6 +9,14 @@ is the fraction of the HBM-bandwidth roofline achieved: the fused executor
 needs 2 HBM touches per pixel per dimension pass (2 passes, f32) = 16
 bytes/pixel; v5e HBM ≈ 819 GB/s → roofline ≈ 51.2 Gpix/s.
 
+Round 3: the shipping 2-D px executor is the 3-touch overlapped pipeline
+(12 B/px — ``overlap2d.fused_2d_px``), so bandwidth is no longer the
+binding constraint at the default precision: true-f32 (px6) costs 12
+single-pass bf16 MXU products per pixel-pass-pair ≈ 0.26 ms of pure MXU at
+4K, which sits at the 16 B/px roofline itself. ``vs_baseline`` keeps the
+16 B/px definition for cross-round comparability; the JSON also reports
+the executor's actual bytes/px so the MXU-vs-DMA balance is explicit.
+
 Note: the chained fori_loop adds one full-image loop-carry copy per
 iteration (~0.09 ms at 4K, visible in xplane traces) that a production
 single-dispatch call does not pay — the reported number is therefore a
@@ -205,6 +213,7 @@ def main():
                 # reference's correctness bar), not round 1's loose
                 # throughput mode (~5e-2 err, reported here for context).
                 "precision_mode": "px6 (true-f32 default)",
+                "pipeline": "3-touch overlapped (12 B/px; MXU-bound at px6)",
                 "throughput_mode_mpix_s": round(pixels / ms_fast / 1e3, 1),
             }
         )

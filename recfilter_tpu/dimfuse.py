@@ -1549,10 +1549,17 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     # at the same compensated product counts.
     if _OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}:
         nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision)
-        # f32 px modes (compensated products) AND the bf16 storage mode
+        # f32 px modes (compensated products), the bf16 storage mode
         # (nprod=1: plain products, bf16 image touches — half the traffic
-        # of the f32 modes on the same 3-touch structure).
-        if (cdt == jnp.float32 and nprod >= 3) or (
+        # of the f32 modes on the same 3-touch structure), AND the f32
+        # throughput mode ("default" = XLA's own single-pass bf16 dots —
+        # one plain kernel product is the same rounding class, and the
+        # 3-touch structure beats the einsum chain's 5 touches: 8K
+        # gaussian3 measured 4.40 ms on the einsum chain at default).
+        if (nprod == 0 and cdt == jnp.float32 and matmul_dtype is None
+                and matmul_precision == "default"):
+            nprod = 1
+        if (cdt == jnp.float32 and nprod >= 1) or (
                 cdt == jnp.bfloat16 and nprod == 1):
             from . import overlap2d
 

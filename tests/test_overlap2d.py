@@ -433,3 +433,38 @@ def test_px_path_bf16_storage_mode():
                                   x.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 3e-2 * scale
+
+
+def test_px_path_throughput_mode():
+    """matmul_precision="default" (the throughput mode) routes through the
+    3-touch path with one plain product — the same rounding class as XLA's
+    single-pass bf16 dots, on 3 image touches instead of 5."""
+    import jax.numpy as jnp
+    from recfilter_tpu.kernels import final2d as k2d
+
+    spec = _spec(
+        [
+            Scan(1, True, 0.9, (0.6, 0.2)),
+            Scan(0, False, 1.05, (0.4, 0.15)),
+        ],
+        h=128, w=256, tiles=(128, 128),
+    )
+    x = _img(128, 256, seed=35)
+
+    seen = []
+    orig = k2d.final2d_px
+
+    def spy(xk, *a, **k):
+        seen.append(k.get("nprod"))
+        return orig(xk, *a, **k)
+
+    k2d.final2d_px = spy
+    try:
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x), matmul_precision="default"))
+    finally:
+        k2d.final2d_px = orig
+    assert seen == [1]
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 3e-2 * scale
