@@ -407,11 +407,16 @@ def _split_chunks(npasses: int) -> int:
 def _kernel_nprod(cdt, mmd, matmul_precision: str) -> int:
     """Completion-kernel product count for this configuration, or 0 when
     the kernel path does not apply. f32 storage: the px modes' compensated
-    product counts. bf16 storage (bf16 matmuls): one plain product — the
-    kernel is then strictly a bandwidth win over the einsum path (2 bf16
-    image touches per pass, chained tails) at identical rounding."""
+    product counts, and ONE plain product for the throughput mode
+    ("default" — XLA's own f32 dot is a single bf16 MXU pass, so the
+    kernel matches its rounding class while keeping the chained-tails /
+    fused-stencil structure; measured 4K gaussian3 0.389 → 0.277 ms).
+    bf16 storage (bf16 matmuls): one plain product — the kernel is then
+    strictly a bandwidth win over the einsum path (2 bf16 image touches
+    per pass, chained tails) at identical rounding."""
     if cdt == jnp.float32 and mmd is None:
-        return {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+        return {"px3": 3, "px4": 4, "px6": 6,
+                "default": 1}.get(matmul_precision, 0)
     if cdt == jnp.bfloat16 and mmd is not None and jnp.dtype(mmd) == jnp.bfloat16:
         return 1
     return 0
@@ -1556,9 +1561,6 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
         # one plain kernel product is the same rounding class, and the
         # 3-touch structure beats the einsum chain's 5 touches: 8K
         # gaussian3 measured 4.40 ms on the einsum chain at default).
-        if (nprod == 0 and cdt == jnp.float32 and matmul_dtype is None
-                and matmul_precision == "default"):
-            nprod = 1
         if (cdt == jnp.float32 and nprod >= 1) or (
                 cdt == jnp.bfloat16 and nprod == 1):
             from . import overlap2d
