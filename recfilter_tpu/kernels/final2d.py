@@ -181,6 +181,47 @@ def _sel_variant(ref, idx, n: int):
                                                  ref[0]))
 
 
+def _level_slices(nprod: int, nc: int):
+    """Antidiagonal product levels as (const_block_start, nblocks,
+    scratch_block_start), in :func:`_prods` order (smallest-magnitude
+    level first), in units of one chunk's extent.
+
+    Each level l = i+j of the compensated scheme touches every chunk
+    index at most once, so with the image chunks stacked highest-index
+    first ([c_{nc-1}; …; c_0], :func:`_stack_split`) a level's dot
+    operand is a CONTIGUOUS slice of the scratch — no per-pair operand
+    concats (which duplicate chunk data ~2x: 6 K-blocks from 3 chunks).
+    ``_prods``'s pair order is already level-major with the chunk index
+    ascending inside a level, so the existing ``_cat_split`` constants
+    double as level constants sliced at [start : start+nblocks]."""
+    pairs = _prods(nprod)
+    out = []
+    col = 0
+    for lvl in sorted({i + j for i, j in pairs}, reverse=True):
+        js = sorted([j for i, j in pairs if i + j == lvl], reverse=True)
+        assert js == list(range(js[0], js[-1] - 1, -1))
+        out.append((col, len(js), nc - 1 - js[0]))
+        col += len(js)
+    return out
+
+
+def _stack_split(x, nc: int, axis: int = 0):
+    """f32 → bf16 chunk scratch stacked highest chunk index first along
+    ``axis`` (the contraction axis), so :func:`_level_slices` offsets
+    index it contiguously. One aligned-block concat instead of the
+    per-pair operand concats (no chunk duplication)."""
+    if nc == 1:
+        return x.astype(jnp.bfloat16)
+    chunks = []
+    rem = x
+    for _ in range(nc - 1):
+        c = rem.astype(jnp.bfloat16)
+        chunks.append(c)
+        rem = rem - c.astype(jnp.float32)
+    chunks.append(rem.astype(jnp.bfloat16))
+    return jnp.concatenate(chunks[::-1], axis=axis)
+
+
 def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
     """Lane-block width: the largest multiple of Tb that divides W and fits
     the cap (grid steps must tile W exactly). Default cap 1024 measured
@@ -202,21 +243,51 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
 
 
 def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
-                       nprod, kb, Tb, na, nb):
+                       nprod, kb, Tb, na, nb, mode: int = 0):
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
     moments, all from one VMEM split of the block.
 
-    The pass is DMA-bound (skinny 8-row dots), so the compensated
-    products run as SEPARATE per-chunk-pair dots — no stacked-operand
-    concat copies competing with the stream; the G chunk constants ride
-    the lane axis of one operand, sliced per pair."""
+    ``mode`` 1 (default): antidiagonal level dots (see
+    ``_final_px_kernel`` mode 3) — the dim-A tails slice a chunk-stacked
+    scratch, the dim-B moments lane-stack each sub-tile's chunks (one
+    small concat per sub-tile buys 2x fewer skinny dot issues). Measured
+    0.516 vs 0.530 ms on the 4K px6 pipeline — the OPPOSITE verdict from
+    the dual-completion kernel (mode 3 there), because this pass is
+    dot-issue-bound (M=8 skinny dots), not MXU-throughput-bound.
+    ``mode`` 0: per-chunk-pair dots, G chunk constants sliced per pair."""
     a = pl.program_id(1)
     l = pl.program_id(2)
     nc = _nchunks(nprod)
-    pairs = _prods(nprod)
-    xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
     Ta = x_ref.shape[0]
     Ga = _sel_variant(Ga_ref, a, na)
+    if mode == 1:
+        levels = _level_slices(nprod, nc)
+        xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
+        acc1 = None
+        for col, ln, st in levels:
+            t = jax.lax.dot_general(
+                Ga[:, col * Ta:(col + ln) * Ta],
+                xstk[st * Ta:(st + ln) * Ta], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc1 = t if acc1 is None else acc1 + t
+        o1_ref[:] = acc1
+        for c in range(kb):
+            sl = slice(c * Tb, (c + 1) * Tb)
+            Gb = _sel_variant(Gb_ref, l * kb + c, nb)
+            lstk = (xstk[:, sl] if nc == 1 else jnp.concatenate(
+                [xstk[r * Ta:(r + 1) * Ta, sl] for r in range(nc)], axis=1))
+            acc2 = None
+            for col, ln, st in levels:
+                t = jax.lax.dot_general(
+                    Gb[:, col * Tb:(col + ln) * Tb],
+                    lstk[:, st * Tb:(st + ln) * Tb],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc2 = t if acc2 is None else acc2 + t
+            o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
+        return
+    pairs = _prods(nprod)
+    xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
     acc1 = None
     for p, (i, j) in enumerate(pairs):
         t = jax.lax.dot_general(
@@ -260,7 +331,8 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
     Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
-                   na=na, nb=nb)
+                   na=na, nb=nb,
+                   mode=int(os.environ.get("RECFILTER_PXM_KMODE", "1")))
 
     def _run(x):
         return pl.pallas_call(
@@ -333,7 +405,18 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
       1 — per-sub-tile A-dots (kb independent z_c → split → Y_c chains,
           intended to let the scheduler overlap VPU splits with MXU dots).
           Measured SLOWER (0.580 ms): the narrow (T, np·T)×(np·T, Tb)
-          A-dots lose more to per-dot overhead than the overlap wins."""
+          A-dots lose more to per-dot overhead than the overlap wins.
+      3 — antidiagonal level dots on chunk-stacked scratch: each level
+          i+j of the compensated scheme reads a CONTIGUOUS slice of the
+          [c2; c1; c0] chunk stack, so the per-pair operand concats
+          (which duplicate chunk data ~2x) disappear — 3 dots + 2 f32
+          adds per completion instead of one K-duplicated dot. The z
+          split runs per lane sub-tile, interleaving VPU splits with
+          the MXU B-dots. Measured SLOWER (0.640 vs 0.528 ms, 4K px6
+          pipeline): Mosaic's operand concats are cheaper than the
+          extra dot issues + inter-level f32 adds — the kernel is
+          compute-bound on the 12 MXU products themselves, not on the
+          VPU copies."""
     Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, nA_ref, nB_ref = refs[:7]
     aux_refs = refs[7:7 + naux]
     o_ref = refs[7 + naux]
@@ -341,12 +424,57 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
     l = pl.program_id(2)
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
+    Ta = x_ref.shape[0]
+
+    if mode == 3:
+        Ba = _sel_variant(Ba_ref, a, na)
+        Ra = _sel_variant(Ra_ref, a, na)
+        levels = _level_slices(nprod, nc)
+        xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
+        nstk = _stack_split(nA_ref[:], nc)
+        z = None
+        for col, ln, st in levels:
+            t = jax.lax.dot_general(
+                Ba[:, col * Ta:(col + ln) * Ta],
+                xstk[st * Ta:(st + ln) * Ta], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = t + jax.lax.dot_general(
+                Ra[:, col * _SLOTS:(col + ln) * _SLOTS],
+                nstk[st * _SLOTS:(st + ln) * _SLOTS],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = t if z is None else z + t
+        for c in range(kb):
+            sl = slice(c * Tb, (c + 1) * Tb)
+            gb = l * kb + c
+            Bb = _sel_variant(Bb_ref, gb, nb)
+            Rb = _sel_variant(Rb_ref, gb, nb)
+            zstk = _stack_split(z[:, sl], nc, axis=1)
+            nbstk = _stack_split(nB_ref[c * _SLOTS:(c + 1) * _SLOTS, :], nc)
+            y = None
+            for col, ln, st in levels:
+                t = jax.lax.dot_general(
+                    zstk[:, st * Tb:(st + ln) * Tb],
+                    Bb[:, col * Tb:(col + ln) * Tb],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t = t + jax.lax.dot_general(
+                    nbstk[st * _SLOTS:(st + ln) * _SLOTS],
+                    Rb[:, col * _SLOTS:(col + ln) * _SLOTS],
+                    (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = t if y is None else y + t
+            o_ref[:, sl] = y.astype(o_ref.dtype)
+        if epilogue is not None:
+            o_ref[:] = epilogue(o_ref[:], *(r[:] for r in aux_refs)).astype(
+                o_ref.dtype)
+        return
+
     xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
     ns_a = _split_vmem(nA_ref[:], nc)
     Ba = _sel_variant(Ba_ref, a, na)
     Ra = _sel_variant(Ra_ref, a, na)
     dn_a = (((1,), (0,)), ((), ()))
-    Ta = x_ref.shape[0]
 
     if mode == 2:
         # per-pair A-dots: skip the stacked-operand concat copies
