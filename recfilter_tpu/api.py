@@ -209,7 +209,7 @@ class RecFilter:
 
     # ------------------------------------------------------------- execution
     def as_func(self, epilogue: Optional[Callable] = None,
-                stencil=None) -> Callable:
+                stencil=None, stencil2d=None) -> Callable:
         """Jittable function array→array running the filter
         (``RecFilter::as_func``, ``lib/recfilter.cpp:886``).
 
@@ -235,13 +235,27 @@ class RecFilter:
         differencing stages ``apps/DoG/diff_gauss.cpp:93-101``). Requires
         ``Plan.rotate_emit`` (single-dimension filters); the px kernel
         modes fold the taps into the completion kernel via neighbor halo
-        strips at zero extra image streams. Applies before ``epilogue``."""
+        strips at zero extra image streams. Applies before ``epilogue``.
+
+        ``stencil2d`` — per-channel 2-D shifted-tap consumer banks
+        ``[[(dy, dx, coeff), ...], ...]`` over the trailing two axes
+        (positive offsets clamp at the far edges, negative offsets read
+        zero — the SAT-differencing contract,
+        ``apps/DoG/diff_gauss.cpp:29-38``). The returned function emits a
+        TUPLE of per-channel arrays; on the 3-touch 2-D px executor the
+        bank fuses into the final kernel so the filter output never
+        touches HBM, elsewhere it runs as the standalone fused stencil
+        kernel / XLA shifts. Mutually exclusive with epilogue/stencil."""
         spec = self.spec
         if stencil is not None and not self._plan.rotate_emit:
             raise ValueError(
                 "stencil consumers require Plan.rotate_emit "
                 "(single-dimension filters)"
             )
+        if stencil2d is not None and (epilogue is not None
+                                      or stencil is not None):
+            raise ValueError(
+                "stencil2d is mutually exclusive with epilogue/stencil")
         if spec.tuple_width:
             if epilogue is not None:
                 raise ValueError("epilogue is not supported on Tuple filters")
@@ -257,11 +271,15 @@ class RecFilter:
                 return tuple(y[i] for i in range(k))
 
             return tuple_fn
-        return self._executor(spec, epilogue, stencil)
+        return self._executor(spec, epilogue, stencil, stencil2d)
 
     def _executor(self, spec: FilterSpec, epilogue=None,
-                  stencil=None) -> Callable:
+                  stencil=None, stencil2d=None) -> Callable:
         plan = self._plan
+        if stencil2d is not None and plan.rotate_emit:
+            raise ValueError(
+                "stencil2d applies to the natural output layout; "
+                "unset Plan.rotate_emit")
         if plan.rotate_emit and plan.backend != "oracle":
             # The rotated-layout contract must survive backend fallback:
             # apply_filter_rotated itself routes integers / untiled widths /
@@ -281,8 +299,24 @@ class RecFilter:
 
             return lambda x, *eaux: dimfuse.apply_filter_fused(
                 spec, x, matmul_precision=plan.matmul_precision,
-                epilogue=epilogue, eaux=eaux,
+                epilogue=epilogue, eaux=eaux, stencil2d=stencil2d,
             )
+        if stencil2d is not None:
+            # Non-einsum backends: the bank runs as the standalone fused
+            # stencil kernel (TPU, 2-D) or XLA shifts after the filter.
+            from .kernels import stencil2d as st2d
+
+            inner = self._executor(spec)
+
+            def _with_stencil(x):
+                y = inner(x)
+                if y.ndim == 2 and jax.default_backend() == "tpu":
+                    out = st2d.stencil2d_pass(y, stencil2d)
+                    if out is not None:
+                        return out if isinstance(out, tuple) else (out,)
+                return st2d.stencil2d_ref(y, stencil2d)
+
+            return _with_stencil
         if epilogue is not None:
             # Non-einsum backends: run the combine after the filter (one jit
             # program — XLA still fuses the elementwise stream, just not

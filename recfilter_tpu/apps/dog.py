@@ -94,12 +94,22 @@ def difference_of_gaussians(
     x = Dim("x", width)
     y = Dim("y", height)
 
+    def _diffxy_taps(B):
+        s = 1.0 / float((2 * B + 1) ** 2)
+        return [(B, B, s), (B, -B - 1, -s), (-B - 1, B, -s),
+                (-B - 1, -B - 1, s)]
+
+    # The dual-radius 4-corner differencing consumers fuse into the SAT's
+    # own dual-completion kernel (``stencil2d=``): the summed-area table
+    # never touches HBM — the reference ``compute_at``-fuses these reads
+    # into the producer (``diff_gauss.cpp:29-38,84-91``). Falls back to
+    # the standalone fused stencil kernel / XLA shifts off-gate.
     SAT = RecFilter("SAT")
     SAT[y, x] = np.zeros((height, width), dtype=np.float32)
     SAT.add_filter(+x, [1.0, 1.0])
     SAT.add_filter(+y, [1.0, 1.0])
     SAT.split_all_dimensions(tile_width)
-    sat = SAT.as_func()
+    sat_box = SAT.as_func(stencil2d=[_diffxy_taps(B1), _diffxy_taps(B2)])
 
     # The two single-dimension integral stages chain ROTATED layouts
     # (Plan.rotate_emit): SAT2x consumes the natural (c, y, x) layout (x is
@@ -147,25 +157,11 @@ def difference_of_gaussians(
     sat2y_1 = SAT2y.as_func(stencil=_stencil(B2),
                             epilogue=lambda o, a: a - o)
 
-    def _diffxy_taps(B):
-        s = 1.0 / float((2 * B + 1) ** 2)
-        return [(B, B, s), (B, -B - 1, -s), (-B - 1, B, -s),
-                (-B - 1, -B - 1, s)]
-
     def fn(image):
         v = image.astype(jnp.float32)
-        s = sat(v)
-        # dual-radius box from one SAT in ONE fused 2-D stencil kernel
-        # (2 HBM touches; the XLA pad/slice form cost 0.78 ms at 4K)
-        from ..kernels import stencil2d
-
-        box1 = stencil2d.stencil2d_pass(
-            s, [_diffxy_taps(B1), _diffxy_taps(B2)],
-            interpret=jax.default_backend() != "tpu",
-        )
-        if box1 is None:  # no divisor row block — XLA shift fallback
-            box1 = (_diff_xy(s, B1, width, height),
-                    _diff_xy(s, B2, width, height))
+        # SAT + dual-radius box differencing in ONE fused kernel pipeline
+        # (the SAT itself never reaches HBM on the 3-touch px executor)
+        box1 = sat_box(v)
         b0 = sat2x_c[0](box1[0])   # (x, y), integral+differencing fused
         b1 = sat2x_c[1](box1[1])
         g0 = sat2y_0(b0)           # (y, x)

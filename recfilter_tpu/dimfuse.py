@@ -1510,21 +1510,42 @@ def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
 
 def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                        matmul_dtype=None, matmul_precision: str = "highest",
-                       epilogue=None, eaux=()):
+                       epilogue=None, eaux=(), stencil2d=None):
     """Whole-filter executor: one fused pass per scanned dimension.
 
     ``epilogue(out, *eaux)`` — optional elementwise combine fused into the
     LAST dimension pass's completion matmul (eaux arrays share the filter's
     output shape/layout); the TPU analog of the reference's ``compute_at``
     of a pointwise consumer into the filter's final kernel
-    (``apps/usm/unsharp_mask_optimized.cpp:61-71``)."""
+    (``apps/usm/unsharp_mask_optimized.cpp:61-71``).
+
+    ``stencil2d`` — per-channel 2-D shifted-tap consumer banks
+    ``[[(dy, dx, coeff), ...], ...]`` over the trailing two axes (border
+    semantics per ``kernels.stencil2d.stencil2d_pass``); fused into the
+    3-touch 2-D executor's emit when its gates hold, else applied as the
+    standalone stencil kernel / XLA shifts on the filter output. Returns
+    a TUPLE of per-channel arrays. Mutually exclusive with ``epilogue``."""
     from . import scan_core
+
+    if stencil2d is not None:
+        assert epilogue is None and not eaux
+
+        def _st_fallback(y):
+            from .kernels import stencil2d as st2d
+
+            if y.ndim == 2 and jax.default_backend() == "tpu":
+                out = st2d.stencil2d_pass(y, stencil2d)
+                if out is not None:
+                    return out if isinstance(out, tuple) else (out,)
+            return st2d.stencil2d_ref(y, stencil2d)
 
     dtype = jnp.dtype(spec.dtype)
     if jnp.issubdtype(dtype, jnp.integer):
         y = scan_core.apply_filter(spec, x)
         if epilogue is not None:
             y = epilogue(y, *eaux)
+        if stencil2d is not None:
+            return _st_fallback(y)
         return y
     if dtype == jnp.bfloat16:
         # Production bf16 mode: bf16 storage between passes (half the HBM
@@ -1570,9 +1591,11 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                 x, ax_a, [spec.scans[i] for i in groups[ax_a]],
                 ax_b, [spec.scans[i] for i in groups[ax_b]],
                 spec.border, nprod, jax.default_backend() != "tpu",
-                epilogue=epilogue, eaux=eaux,
+                epilogue=epilogue, eaux=eaux, stencil2d=stencil2d,
             )
             if y is not None:
+                if stencil2d is not None:
+                    return tuple(c.astype(dtype) for c in y)
                 return y.astype(dtype)
 
     if 2 <= Ds <= 5 and set(groups) == set(range(nd - Ds, nd)):
@@ -1650,6 +1673,8 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     tails_next = None if final else moments[1]
                 else:
                     x, tails_next = r if nt is not None else (r, None)
+            if stencil2d is not None:
+                return _st_fallback(x.astype(dtype))
             return x.astype(dtype)
 
     axes = list(groups)
@@ -1669,6 +1694,8 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             epilogue=epilogue if final else None,
             eaux=eaux if final else (),
         )
+    if stencil2d is not None:
+        return _st_fallback(x.astype(dtype))
     return x.astype(dtype)
 
 

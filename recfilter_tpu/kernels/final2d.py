@@ -242,8 +242,8 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
     return best * Tb
 
 
-def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
-                       nprod, kb, Tb, na, nb, mode: int = 0):
+def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
+                       nprod, kb, Tb, na, nb, h8: int = 0, mode: int = 0):
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
     moments, all from one VMEM split of the block.
 
@@ -254,12 +254,27 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
     0.516 vs 0.530 ms on the 4K px6 pipeline — the OPPOSITE verdict from
     the dual-completion kernel (mode 3 there), because this pass is
     dot-issue-bound (M=8 skinny dots), not MXU-throughput-bound.
-    ``mode`` 0: per-chunk-pair dots, G chunk constants sliced per pair."""
+    ``mode`` 0: per-chunk-pair dots, G chunk constants sliced per pair.
+
+    ``h8`` > 0: the dim-A constant additionally carries the first/last
+    ``h8`` rows of each tile's completion matrix, so the SAME skinny
+    dots also emit tile-edge completion partials (``o_edge``) — the
+    row-halo feed for 2-D stencil consumers fused into ``final2d_px``.
+    M grows 8 → 8+2·h8 ≤ 128: the MXU row slack is free."""
     a = pl.program_id(1)
     l = pl.program_id(2)
     nc = _nchunks(nprod)
     Ta = x_ref.shape[0]
     Ga = _sel_variant(Ga_ref, a, na)
+
+    def _store1(acc1):
+        if h8:
+            o1_ref[:] = acc1[:_SLOTS]
+            o_edge[0][:] = acc1[_SLOTS:_SLOTS + h8]
+            o_edge[1][:] = acc1[_SLOTS + h8:]
+        else:
+            o1_ref[:] = acc1
+
     if mode == 1:
         levels = _level_slices(nprod, nc)
         xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
@@ -270,7 +285,7 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
                 xstk[st * Ta:(st + ln) * Ta], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc1 = t if acc1 is None else acc1 + t
-        o1_ref[:] = acc1
+        _store1(acc1)
         for c in range(kb):
             sl = slice(c * Tb, (c + 1) * Tb)
             Gb = _sel_variant(Gb_ref, l * kb + c, nb)
@@ -294,7 +309,7 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
             Ga[:, p * Ta:(p + 1) * Ta], xs[j], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc1 = t if acc1 is None else acc1 + t
-    o1_ref[:] = acc1
+    _store1(acc1)
     for c in range(kb):
         Gb = _sel_variant(Gb_ref, l * kb + c, nb)
         acc2 = None
@@ -307,13 +322,20 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *,
         o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
 
 
-def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
+def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
+                 edge_mats=None):
     """Pass 1 (px): both dimensions' raw tails from ONE read of x.
 
     x       : (p, na, Ta, W) f32, W = nb·Tb
     G_a_cat : (na|1, Ka, Ta);  G_b_cat : (nb|1, Kb, Tb)
     returns : bA_t (p, na, 8, W)   — dim-A tails, slot-padded transposed
               U_t  (p, na, nb·8, Ta) — dim-B moments of raw x, transposed
+
+    ``edge_mats = (Btot_a, h8)``: also emit per-tile edge completion
+    partials — ``ht (p, na, h8, W) = Btot_a[:h8]·x`` and
+    ``hb = Btot_a[Ta-h8:]·x`` — stacked into the SAME skinny dim-A dots
+    (zero extra MXU passes; the row-halo feed for 2-D stencil consumers
+    fused into ``final2d_px``). Returns (bA_t, U_t, ht, hb).
     """
     p, na, Ta, W = x.shape
     Ga = np.asarray(G_a_cat)
@@ -322,7 +344,17 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
     nb = W // Tb
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
-    Gav = _cat_split(_variants3(_pad_slots(Ga, 1)), pairs, nc)
+    Ga_rows = _pad_slots(Ga, 1)
+    h8 = 0
+    Ba_top = Ba_bot = None
+    if edge_mats is not None:
+        Ba, h8 = np.asarray(edge_mats[0], np.float64), int(edge_mats[1])
+        nv = max(Ga_rows.shape[0], Ba.shape[0])
+        Ga_rows = np.broadcast_to(Ga_rows, (nv,) + Ga_rows.shape[1:])
+        Ba = np.broadcast_to(Ba, (nv,) + Ba.shape[1:])
+        Ba_top, Ba_bot = Ba[:, :h8], Ba[:, Ta - h8:]
+        Ga_rows = np.concatenate([Ga_rows, Ba_top, Ba_bot], axis=1)
+    Gav = _cat_split(_variants3(Ga_rows), pairs, nc)
     Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
     import os
 
@@ -331,16 +363,23 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
     Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
-                   na=na, nb=nb,
+                   na=na, nb=nb, h8=h8,
                    mode=int(os.environ.get("RECFILTER_PXM_KMODE", "1")))
 
     def _run(x):
+        edge_shape = tuple(
+            jax.ShapeDtypeStruct((p, na, h8, W), jnp.float32)
+            for _ in range(2)) if h8 else ()
+        edge_spec = tuple(
+            pl.BlockSpec((None, None, h8, Lb), lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)) if h8 else ()
         return pl.pallas_call(
             kern,
             out_shape=(
                 jax.ShapeDtypeStruct((p, na, _SLOTS, W), jnp.float32),
                 jax.ShapeDtypeStruct((p, na, nb * _SLOTS, Ta), jnp.float32),
-            ),
+            ) + edge_shape,
             grid=(p, na, W // Lb),
             in_specs=[
                 pl.BlockSpec(Gav.shape, lambda i, a, l: (0, 0, 0),
@@ -358,14 +397,14 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
                 pl.BlockSpec((None, None, kb * _SLOTS, Ta),
                              lambda i, a, l: (i, a, l, 0),
                              memory_space=pltpu.VMEM),
-            ),
+            ) + edge_spec,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel")
             ),
             interpret=interpret,
         )(Gav, Gbv, x)
 
-    # VJP via the einsum twins (pallas_call has no autodiff rule); both
+    # VJP via the einsum twins (pallas_call has no autodiff rule); all
     # outputs are linear in x. Twins pinned to HIGHEST (TPU grad contract).
     Gan = jnp.asarray(_pad_slots(Ga, 1)[np.minimum(np.arange(na),
                                                    Ga.shape[0] - 1)],
@@ -374,6 +413,10 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
                                                    Gb.shape[0] - 1)],
                       jnp.float32)
     hi = jax.lax.Precision.HIGHEST
+    if h8:
+        idx = np.minimum(np.arange(na), Ba_top.shape[0] - 1)
+        Btn = jnp.asarray(Ba_top[idx], jnp.float32)
+        Bbn_e = jnp.asarray(Ba_bot[idx], jnp.float32)
 
     def _ref(x):
         xf = x.astype(jnp.float32)
@@ -382,7 +425,15 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool):
         xr = xf.reshape(p, na, Ta, nb, Tb)
         U = jnp.einsum("bkt,pasbt->pabks", Gbn, xr, precision=hi,
                        preferred_element_type=jnp.float32)
-        return bA, U.reshape(p, na, nb * _SLOTS, Ta)
+        outs = (bA, U.reshape(p, na, nb * _SLOTS, Ta))
+        if h8:
+            outs += (
+                jnp.einsum("ahs,pasw->pahw", Btn, xf, precision=hi,
+                           preferred_element_type=jnp.float32),
+                jnp.einsum("ahs,pasw->pahw", Bbn_e, xf, precision=hi,
+                           preferred_element_type=jnp.float32),
+            )
+        return outs
 
     f = jax.custom_vjp(_run)
     f.defvjp(lambda x: (_run(x), x),
@@ -522,8 +573,111 @@ def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,
             o_ref.dtype)
 
 
+def _final_px_stencil_kernel(*refs, nprod, kb, Tb, na, nb, nlb, h8,
+                             taps_c, interpret):
+    """Dual completion + FUSED 2-D stencil consumer: completes the
+    (Ta, Lb) block AND its two lane-edge neighbor sub-tiles in VMEM,
+    assembles a (2·h8+Ta, 2·Tb+Lb) extended buffer from the
+    moments-kernel row-halo strips, and emits every channel's shifted-tap
+    bank — the reference's ``compute_at`` of a 2-D stencil consumer into
+    the producer (``lib/recfilter.cpp:507-573``,
+    ``apps/DoG/diff_gauss.cpp:29-38``) with the producer's output never
+    touching HBM. Border semantics per :func:`..stencil2d.stencil2d_pass`:
+    positive offsets clamp at the far edges, negative offsets read zero.
+    """
+    (Ba_ref, Ra_ref, Bb_ref, Rb_ref, x_ref, nA_ref, nB_ref,
+     xL_ref, xR_ref, nAL_ref, nAR_ref, nBL_ref, nBR_ref,
+     htL_ref, htC_ref, htR_ref, hbL_ref, hbC_ref, hbR_ref) = refs[:19]
+    o_refs = refs[19:]
+    a = pl.program_id(1)
+    l = pl.program_id(2)
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Ta = x_ref.shape[0]
+    Lb = x_ref.shape[1]
+    Ba = _sel_variant(Ba_ref, a, na)
+    Ra = _sel_variant(Ra_ref, a, na)
+    dn_a = (((1,), (0,)), ((), ()))
+
+    def a_dot(xq, naq):
+        xs = _split_vmem(xq.astype(jnp.float32), nc)
+        ns = _split_vmem(naq, nc)
+        xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
+        ncat = jnp.concatenate([ns[j] for _, j in pairs], axis=0)
+        z = jax.lax.dot_general(Ba, xcat, dn_a,
+                                preferred_element_type=jnp.float32)
+        return z + jax.lax.dot_general(Ra, ncat, dn_a,
+                                       preferred_element_type=jnp.float32)
+
+    def subtile_y(zs, nb_rows, gb):
+        zc = jnp.concatenate([zs[j] for _, j in pairs], axis=1)
+        Bb = _sel_variant(Bb_ref, gb, nb)
+        Rb = _sel_variant(Rb_ref, gb, nb)
+        y = jax.lax.dot_general(zc, Bb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        ns_b = _split_vmem(nb_rows, nc)
+        nbcat = jnp.concatenate([ns_b[j] for _, j in pairs], axis=0)
+        return y + jax.lax.dot_general(nbcat, Rb, (((0,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    zs_full = _split_vmem(a_dot(x_ref[:], nA_ref[:]), nc)
+    ys = [
+        subtile_y([zj[:, c * Tb:(c + 1) * Tb] for zj in zs_full],
+                  nB_ref[c * _SLOTS:(c + 1) * _SLOTS, :], l * kb + c)
+        for c in range(kb)
+    ]
+    y_full = jnp.concatenate(ys, axis=1) if kb > 1 else ys[0]
+    yL = subtile_y(_split_vmem(a_dot(xL_ref[:], nAL_ref[:]), nc),
+                   nBL_ref[:], l * kb - 1)
+    yR = subtile_y(_split_vmem(a_dot(xR_ref[:], nAR_ref[:]), nc),
+                   nBR_ref[:], (l + 1) * kb)
+
+    f32 = jnp.float32
+    lm = jnp.where(l > 0, 1.0, 0.0).astype(f32)
+    rm = jnp.where(l < nlb - 1, 1.0, 0.0).astype(f32)
+    tm = jnp.where(a > 0, 1.0, 0.0).astype(f32)
+    bm = jnp.where(a < na - 1, 1.0, 0.0).astype(f32)
+    top = jnp.concatenate(
+        [htL_ref[:] * (tm * lm), htC_ref[:] * tm, htR_ref[:] * (tm * rm)],
+        axis=1)
+    mid = jnp.concatenate([yL * lm, y_full, yR * rm], axis=1)
+    bot = jnp.concatenate(
+        [hbL_ref[:] * (bm * lm), hbC_ref[:] * bm, hbR_ref[:] * (bm * rm)],
+        axis=1)
+    yext = jnp.concatenate([top, mid, bot], axis=0)
+
+    Wx = 2 * Tb + Lb
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (Ta, Wx), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (Ta, Lb), 1)
+    lastrow = jnp.broadcast_to(mid[Ta - 1:Ta], (Ta, Wx))
+
+    for ci, taps in enumerate(taps_c):
+        acc = None
+        for dy, dx, coeff in taps:
+            band = jax.lax.slice(yext, (h8 + dy, 0), (h8 + dy + Ta, Wx))
+            if dy > 0:
+                band = jnp.where((a == na - 1) & (rows_i >= Ta - dy),
+                                 lastrow, band)
+            # lanes: out[:, k] = band[:, Tb+dx+k] — roll then an aligned
+            # slice (lane-misaligned slices are rejected on hardware)
+            sh = Tb + dx
+            rolled = (jnp.roll(band, -sh, axis=1) if interpret
+                      else pltpu.roll(band, (-sh) % Wx, 1))
+            t = jax.lax.slice(rolled, (0, 0), (Ta, Lb))
+            if dx > 0:
+                # global right edge clamps to the last column (row-clamped)
+                lastcol = jnp.broadcast_to(
+                    band[:, Tb + Lb - 1:Tb + Lb], (Ta, Lb))
+                t = jnp.where((l == nlb - 1) & (cols_i >= Lb - dx),
+                              lastcol, t)
+            t = t * coeff
+            acc = t if acc is None else acc + t
+        o_refs[ci][:] = acc.astype(o_refs[ci].dtype)
+
+
 def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
-               nprod: int, interpret: bool, epilogue=None, eaux=()):
+               nprod: int, interpret: bool, epilogue=None, eaux=(),
+               stencil2d=None, halo_top=None, halo_bot=None):
     """Fused passes 2+3 (px): read x once, dim-A completion Z in VMEM,
     emit the dim-B completion. The split-bf16 twin of :func:`final2d`.
 
@@ -535,6 +689,17 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
     epilogue : optional elementwise combine applied to each out-block in
                VMEM; ``eaux`` arrays share x's (p, na, Ta, W) layout.
     returns  : (p, na, Ta, W) in x.dtype
+
+    ``stencil2d = {"taps_c": [[(dy, dx, coeff), ...], ...], "h8": H}``
+    fuses a 2-D shifted-tap consumer bank into the emit (stencil border
+    semantics per :func:`..stencil2d.stencil2d_pass`): the kernel also
+    completes its two lane-edge neighbor sub-tiles in VMEM and reads the
+    precomputed row-halo strips ``halo_top``/``halo_bot``
+    (p, na, H, W) — tile-edge completions from the moments kernel with
+    carries applied (see ``overlap2d.fused_2d_px``). Returns a TUPLE of
+    per-channel (p, na, Ta, W) arrays (separate output buffers: slicing
+    a stacked pallas output costs a full copy). Mutually exclusive with
+    ``epilogue``.
     """
     p, na, Ta, W = x.shape
     Bb0 = np.asarray(Btot_b)
@@ -551,6 +716,16 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
     Lb = _lb_px(W, Tb)
     kb = Lb // Tb
     import os
+
+    if stencil2d is not None:
+        assert epilogue is None and not eaux
+        return _final2d_px_stencil(
+            x, NA_t, NB_t, halo_top, halo_bot,
+            consts=(Bav, Rav, Bbv, Rbv),
+            mats=(Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat),
+            geom=(p, na, Ta, W, Tb, nb, Lb, kb), nprod=nprod,
+            interpret=interpret, taps_c=stencil2d["taps_c"],
+            h8=int(stencil2d["h8"]))
 
     kern = partial(_final_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
                    na=na, nb=nb, naux=len(eaux), epilogue=epilogue,
@@ -637,6 +812,163 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
         )[1](ct),
     )
     return f(x, NA_t, NB_t, *eaux)
+
+
+def _final2d_px_stencil(x, NA_t, NB_t, halo_top, halo_bot, *, consts, mats,
+                        geom, nprod, interpret, taps_c, h8):
+    """Driver for :func:`_final_px_stencil_kernel` — see
+    :func:`final2d_px`'s ``stencil2d`` docs. Separated so the plain path
+    keeps its operand list untouched."""
+    Bav, Rav, Bbv, Rbv = consts
+    Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat = mats
+    p, na, Ta, W, Tb, nb, Lb, kb = geom
+    nlb = W // Lb
+    C = len(taps_c)
+    taps_c = [[(int(dy), int(dx), float(cf)) for dy, dx, cf in taps]
+              for taps in taps_c]
+
+    kern = partial(_final_px_stencil_kernel, nprod=nprod, kb=kb, Tb=Tb,
+                   na=na, nb=nb, nlb=nlb, h8=h8, taps_c=taps_c,
+                   interpret=interpret)
+
+    def _lane_idx(side):
+        if side == "L":
+            return lambda i, a, l: (i, a, 0, jnp.maximum(l * kb - 1, 0))
+        return lambda i, a, l: (i, a, 0,
+                                jnp.minimum((l + 1) * kb, nb - 1))
+
+    def _nb_idx(side):
+        if side == "L":
+            return lambda i, a, l: (i, a, jnp.maximum(l * kb - 1, 0), 0)
+        return lambda i, a, l: (i, a, jnp.minimum((l + 1) * kb, nb - 1), 0)
+
+    def _run(x, NA_t, NB_t, ht, hb):
+        operands = [Bav, Rav, Bbv, Rbv, x, NA_t, NB_t,
+                    x, x, NA_t, NA_t, NB_t, NB_t,
+                    ht, ht, ht, hb, hb, hb]
+        const_spec = [
+            pl.BlockSpec(M.shape, lambda i, a, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for M in (Bav, Rav, Bbv, Rbv)
+        ]
+        in_specs = const_spec + [
+            pl.BlockSpec((None, None, Ta, Lb), lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Lb),
+                         lambda i, a, l: (i, a, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, kb * _SLOTS, Ta),
+                         lambda i, a, l: (i, a, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, Ta, Tb), _lane_idx("L"),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, Ta, Tb), _lane_idx("R"),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Tb), _lane_idx("L"),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Tb), _lane_idx("R"),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Ta), _nb_idx("L"),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, _SLOTS, Ta), _nb_idx("R"),
+                         memory_space=pltpu.VMEM),
+        ]
+        for _ in range(2):  # halo_top then halo_bot: (L strip, center, R)
+            in_specs += [
+                pl.BlockSpec((None, None, h8, Tb), _lane_idx("L"),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, h8, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, h8, Tb), _lane_idx("R"),
+                             memory_space=pltpu.VMEM),
+            ]
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((p, na, Ta, W), jnp.float32)
+                for _ in range(C)),
+            grid=(p, na, nlb),
+            in_specs=in_specs,
+            out_specs=tuple(
+                pl.BlockSpec((None, None, Ta, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM)
+                for _ in range(C)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(*operands)
+
+    # Einsum + XLA-shift twin for the VJP: recomputes the completed output
+    # globally and applies the stencil with pad/slice shifts, so the halo
+    # operands are redundant inputs — their cotangents are zero and the
+    # full gradient flows through (x, NA_t, NB_t) (the callers always pass
+    # halos derived from the same inputs, where twin == kernel).
+    hi = jax.lax.Precision.HIGHEST
+    Ban = _expand_f32(Btot_a, na)
+    Ran = jnp.asarray(_pad_slots(Rhat_a_cat)[
+        np.minimum(np.arange(na), np.asarray(Rhat_a_cat).shape[0] - 1)],
+        jnp.float32)
+    Bbn = _expand_f32(Btot_b, nb)
+    Rbn = jnp.asarray(_pad_slots(Rhat_b_cat)[
+        np.minimum(np.arange(nb), np.asarray(Rhat_b_cat).shape[0] - 1)],
+        jnp.float32)
+
+    def _ref(x, NA_t, NB_t, ht, hb):
+        xf = x.astype(jnp.float32)
+        z = (jnp.einsum("aos,pasw->paow", Ban, xf, precision=hi,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("aok,pakw->paow", Ran, NA_t, precision=hi,
+                          preferred_element_type=jnp.float32))
+        zr = z.reshape(p, na, Ta, nb, Tb)
+        NBr = NB_t.reshape(p, na, nb, _SLOTS, Ta)
+        y = (jnp.einsum("bot,pasbt->pasbo", Bbn, zr, precision=hi,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bok,pabks->pasbo", Rbn, NBr, precision=hi,
+                          preferred_element_type=jnp.float32))
+        yf = y.reshape(p, na * Ta, W)
+        outs = []
+        for taps in taps_c:
+            acc = None
+            for dy, dx, coeff in taps:
+                t = yf
+                for off, ax in ((dy, 1), (dx, 2)):
+                    if off == 0:
+                        continue
+                    n = t.shape[ax]
+                    lo, hs = max(off, 0), max(-off, 0)
+                    pads = [(0, 0)] * 3
+                    pads[ax] = (hs, lo)
+                    t = jnp.pad(t, pads,
+                                mode="edge" if off > 0 else "constant")
+                    t = jax.lax.slice_in_dim(t, lo, lo + n, axis=ax)
+                t = t * coeff
+                acc = t if acc is None else acc + t
+            outs.append(acc.reshape(p, na, Ta, W))
+        return tuple(outs)
+
+    f = jax.custom_vjp(_run)
+
+    def _fwd(x, NA_t, NB_t, ht, hb):
+        return _run(x, NA_t, NB_t, ht, hb), (x, NA_t, NB_t, ht, hb)
+
+    def _bwd(res, ct):
+        x0, NA0, NB0, ht0, hb0 = res
+        cx, cna, cnb = jax.vjp(
+            lambda xx, nn, mm: _ref(xx, nn, mm, ht0, hb0), x0, NA0, NB0
+        )[1](ct)
+        return cx, cna, cnb, jnp.zeros_like(ht0), jnp.zeros_like(hb0)
+
+    f.defvjp(_fwd, _bwd)
+    return f(x, NA_t, NB_t, halo_top, halo_bot)
+
+
+def _expand_f32(M, n: int):
+    M = np.asarray(M, np.float64)
+    return jnp.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
+                       jnp.float32)
 
 
 def _moments_kernel(Ga_ref, Gb_ref, x_ref, ba_ref, u_ref, *, nb, Tb,

@@ -79,6 +79,33 @@ def _stencil2d_kernel(x_ref, prev_ref, nxt_ref, *o_refs, taps_c, Rb, W,
         o_refs[c][:] = acc.astype(o_refs[c].dtype)
 
 
+def stencil2d_ref(y, taps_c):
+    """XLA pad/slice twin of :func:`stencil2d_pass` on the TRAILING two
+    axes of an arbitrary-rank array (same border semantics: positive
+    offsets clamp, negative read zero). Always returns a tuple of
+    per-channel arrays — the fallback form for fused 2-D stencil
+    consumers when the kernel paths' gates fail."""
+    nd = y.ndim
+    outs = []
+    for taps in taps_c:
+        acc = None
+        for dy, dx, coeff in taps:
+            t = y
+            for off, ax in ((int(dy), nd - 2), (int(dx), nd - 1)):
+                if off == 0:
+                    continue
+                n = t.shape[ax]
+                lo, hi = max(off, 0), max(-off, 0)
+                pads = [(0, 0)] * nd
+                pads[ax] = (hi, lo)
+                t = jnp.pad(t, pads, mode="edge" if off > 0 else "constant")
+                t = jax.lax.slice_in_dim(t, lo, lo + n, axis=ax)
+            t = t * float(coeff)
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return tuple(outs)
+
+
 def stencil2d_pass(x, taps_c, *, interpret: bool = False):
     """Apply C channel banks of 2-D shifted taps to a (H, W) image.
 

@@ -180,7 +180,7 @@ def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
 def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
                 axis_b: int, scans_b: Sequence[Scan],
                 border: str, nprod: int, interpret: bool,
-                epilogue=None, eaux=()):
+                epilogue=None, eaux=(), stencil2d=None):
     """Split-bf16 (px) 3-touch 2-D executor — the shipping twin of the
     ``use_kernels`` path: ``moments2d_px`` (one read → both dims' raw
     tails) → HIGHEST carry solves → ``final2d_px`` (one read → Y, dim-A
@@ -192,6 +192,16 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     (tiny extents, clamp with non-dividing width, huge tile counts,
     carries past the 8-slot sublane quantum) — callers fall back to the
     rotation-chained dimfuse pipeline.
+
+    ``stencil2d``: per-channel 2-D shifted-tap banks
+    ``[[(dy, dx, coeff), ...], ...]`` fused into the final kernel's emit
+    (border semantics per ``kernels.stencil2d.stencil2d_pass``) — the
+    filter output then NEVER touches HBM (DoG's dual-radius SAT
+    differencing, ``apps/DoG/diff_gauss.cpp:29-38``). The moments kernel
+    emits tile-edge completion partials in its existing skinny dots (free
+    MXU row slack); carries complete them into row-halo strips here.
+    Returns a TUPLE of per-channel arrays. Mutually exclusive with
+    ``epilogue``.
     """
     from .kernels import final2d as k2d
     from .kernels.completion import _SLOTS, _expand_stack, pad_solve_matrix
@@ -217,6 +227,16 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     if Ka > _SLOTS or Kb > _SLOTS:
         return None
 
+    h8 = 0
+    if stencil2d is not None:
+        if epilogue is not None or pad_a or pad_b:
+            return None
+        dys = [dy for taps in stencil2d for dy, _, _ in taps]
+        dxs = [dx for taps in stencil2d for _, dx, _ in taps]
+        h8 = -(-max(max(map(abs, dys), default=1), 1) // 8) * 8
+        if h8 > T or max(map(abs, dxs), default=0) > T:
+            return None
+
     shape = x.shape
     if pad_a or pad_b:
         pads = [(0, 0)] * nd
@@ -233,8 +253,13 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
 
     # ---- pass 1 (one read of x): dim-A raw tails + dim-B moments ---------
-    bA_t, U_t = k2d.moments2d_px(X4, Ga_cat, Gb_cat, nprod=nprod,
-                                 interpret=interpret)
+    moments = k2d.moments2d_px(
+        X4, Ga_cat, Gb_cat, nprod=nprod, interpret=interpret,
+        edge_mats=(ma.Btot, h8) if h8 else None)
+    if h8:
+        bA_t, U_t, ht_m, hb_m = moments
+    else:
+        bA_t, U_t = moments
 
     # ---- dim-A chain solve (slot-padded transposed layout) ---------------
     CMa = dimfuse.combined_solve_matrix(ma, na)
@@ -285,6 +310,49 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
             bB.reshape(p * na, nb * _SLOTS, T),
             preferred_element_type=jnp.float32, precision=hi,
         ).reshape(p, na, nb * _SLOTS, T)
+
+    # ---- row-halo strips for a fused 2-D stencil consumer ----------------
+    # The stencil's row taps read the completed output of the NEIGHBOR
+    # a-tiles: finish the moments kernel's tile-edge completion partials
+    # (ht/hb = Btot_a edge rows · x) with both dims' carries — h8/T ≈ 12%
+    # of one completion's work, in einsums (carry-sized operands).
+    if h8:
+        Ran = _expand_stack(Ra_cat, na)                   # (na, Ta, Ka)
+        Bbn = _expand_stack(mb.Btot, nb)                  # (nb, Tb, Tb)
+        Rbn = _expand_stack(Rb_cat, nb)                   # (nb, Tb, Kb)
+        NAk = NA_t[:, :, :Ka]
+        NBr = NB_t.reshape(p, na, nb, _SLOTS, T)[:, :, :, :Kb]
+
+        def _bcomp(Z, NBrows):
+            # dim-B completion of an (p, na, h8, W) strip
+            Zr = Z.reshape(p, na, h8, nb, T)
+            y = (jnp.einsum("bot,pahbt->pahbo", Bbn, Zr, precision=hi,
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("bok,pabkh->pahbo", Rbn, NBrows, precision=hi,
+                              preferred_element_type=jnp.float32))
+            return y.reshape(p, na, h8, W)
+
+        zpad = jnp.zeros((p, 1, h8, W), jnp.float32)
+        Ztop = ht_m + jnp.einsum("ahk,pakw->pahw", Ran[:, :h8], NAk,
+                                 precision=hi,
+                                 preferred_element_type=jnp.float32)
+        Zbot = hb_m + jnp.einsum("ahk,pakw->pahw", Ran[:, T - h8:], NAk,
+                                 precision=hi,
+                                 preferred_element_type=jnp.float32)
+        nbpad = jnp.zeros((p, 1, nb, Kb, h8), jnp.float32)
+        # block a's top halo = tile a-1's bottom rows; bottom = a+1's top
+        halo_top = _bcomp(
+            jnp.concatenate([zpad, Zbot[:, :na - 1]], axis=1),
+            jnp.concatenate([nbpad, NBr[:, :na - 1, :, :, T - h8:]], axis=1))
+        halo_bot = _bcomp(
+            jnp.concatenate([Ztop[:, 1:], zpad], axis=1),
+            jnp.concatenate([NBr[:, 1:, :, :, :h8], nbpad], axis=1))
+        Ys = k2d.final2d_px(
+            X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_t, NB_t,
+            nprod=nprod, interpret=interpret,
+            stencil2d={"taps_c": stencil2d, "h8": h8},
+            halo_top=halo_top, halo_bot=halo_bot)
+        return tuple(Y4.reshape(shape) for Y4 in Ys)
 
     # ---- fused passes 2+3: read x once, emit Y ---------------------------
     k_eaux = ()

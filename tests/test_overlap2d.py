@@ -468,3 +468,112 @@ def test_px_path_throughput_mode():
     want = scan_core.oracle_apply(spec, x.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 3e-2 * scale
+
+
+def _shift_np(f, off, ax):
+    n = f.shape[ax]
+    lo, hi = max(off, 0), max(-off, 0)
+    pads = [(0, 0)] * f.ndim
+    pads[ax] = (hi, lo)
+    g = np.pad(f, pads, mode="edge" if off > 0 else "constant")
+    sl = [slice(None)] * f.ndim
+    sl[ax] = slice(lo, lo + n)
+    return g[tuple(sl)]
+
+
+def _stencil_np(y, taps_c):
+    outs = []
+    for taps in taps_c:
+        acc = None
+        for dy, dx, c in taps:
+            t = _shift_np(_shift_np(y, dy, 0), dx, 1) * c
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return outs
+
+
+def _corner_taps(B):
+    s = 1.0 / float((2 * B + 1) ** 2)
+    return [(B, B, s), (B, -B - 1, -s), (-B - 1, B, -s),
+            (-B - 1, -B - 1, s)]
+
+
+def test_fused_2d_stencil_consumer_vs_oracle():
+    """stencil2d= fuses a dual-radius 4-corner tap bank (DoG's SAT
+    differencing, diff_gauss.cpp:29-38) into the 3-touch executor's emit;
+    every region — lane-block boundaries (W > one lane block), tile edges,
+    global borders — must match the f64 SAT+shift oracle."""
+    import jax.numpy as jnp
+
+    H, W = 256, 2560  # Lb = 1280: TWO lane blocks, edge sub-tiles live
+    spec = _spec(
+        [Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))],
+        h=H, w=W, tiles=(128, 128),
+    )
+    x = _img(H, W, seed=40) * 0.01
+    banks = [_corner_taps(5), _corner_taps(9)]
+    out = dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), matmul_precision="px6", stencil2d=banks)
+    assert isinstance(out, tuple) and len(out) == 2
+    sat = x.astype(np.float64).cumsum(1).cumsum(0)
+    refs = _stencil_np(sat, banks)
+    for got, want in zip(out, refs):
+        scale = np.abs(want).max()
+        err = np.abs(np.asarray(got, np.float64) - want)
+        assert err.max() <= 2e-5 * scale
+        # boundary regions specifically (lane-block edge, global edges)
+        assert err[:, 1280 - 16:1280 + 16].max() <= 2e-5 * scale
+        assert max(err[:16].max(), err[-16:].max(),
+                   err[:, :16].max(), err[:, -16:].max()) <= 2e-5 * scale
+
+
+def test_fused_2d_stencil_gradient():
+    """The custom VJP (einsum + XLA-shift twin, zero halo cotangents)
+    must give the true gradient of the stencil-consumer composite."""
+    import jax
+    import jax.numpy as jnp
+
+    H = W = 128  # single tile: halos masked, degenerate gates
+    spec = _spec(
+        [Scan(1, True, 1.0, (0.8,)), Scan(0, True, 1.0, (0.7,))],
+        h=H, w=W, tiles=(128, 128),
+    )
+    banks = [[(2, 1, 0.5), (-3, -1, -0.25), (0, 0, 1.0)]]
+    x = _img(H, W, seed=41)
+
+    def loss(v):
+        out = dimfuse.apply_filter_fused(
+            spec, v, matmul_precision="px6", stencil2d=banks)
+        return jnp.sum(out[0] * jnp.cos(jnp.arange(W) / 7.0))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    # numeric check on a few entries
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        i, j = rng.integers(0, H), rng.integers(0, W)
+        eps = 1e-2
+        xp = x.copy(); xp[i, j] += eps
+        xm = x.copy(); xm[i, j] -= eps
+        num = (float(loss(jnp.asarray(xp))) - float(loss(jnp.asarray(xm)))) \
+            / (2 * eps)
+        assert abs(num - g[i, j]) <= 2e-2 * max(1.0, abs(num))
+
+
+def test_fused_2d_stencil_fallback_matches():
+    """Off-gate geometries (non-128 tiles) fall back to XLA shifts with
+    identical semantics."""
+    import jax.numpy as jnp
+
+    H = W = 96
+    spec = _spec(
+        [Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))],
+        h=H, w=W, tiles=(32, 32),
+    )
+    x = _img(H, W, seed=42) * 0.1
+    banks = [_corner_taps(3)]
+    out = dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), matmul_precision="px6", stencil2d=banks)
+    sat = x.astype(np.float64).cumsum(1).cumsum(0)
+    want = _stencil_np(sat, banks)[0]
+    err = np.abs(np.asarray(out[0], np.float64) - want)
+    assert err.max() <= 2e-5 * np.abs(want).max()
