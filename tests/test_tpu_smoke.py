@@ -336,3 +336,52 @@ def test_overlap_px_and_stencil_on_chip():
         jnp.asarray(plain.T.astype(np.float32)), -2, taps, "zero", "clamp"))
     zscale = np.abs(plain).max()
     assert np.abs(got - ref).max() <= 1e-5 * zscale
+
+
+def test_fused_2d_stencil_on_chip():
+    """The fused 2-D stencil-consumer path on real Mosaic: extended-band
+    pltpu.roll lane shifts, misaligned sublane tap slices, lane-edge
+    neighbor sub-tile completions, moments edge partials — all things
+    interpret mode cannot validate. One compile; vs the f64 SAT+shift
+    oracle."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse
+    from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+    H, W = 256, 2560  # two 1280-wide lane blocks: edge sub-tiles live
+    spec = FilterSpec(
+        "SST", (Dim("y", H), Dim("x", W)),
+        (Scan(1, True, 1.0, (1.0,)), Scan(0, True, 1.0, (1.0,))),
+        border=BorderMode.ZERO, tile_widths=(128, 128),
+    )
+    x = _img(H, W, seed=13) * 0.01
+
+    def taps(B):
+        s = 1.0 / float((2 * B + 1) ** 2)
+        return [(B, B, s), (B, -B - 1, -s), (-B - 1, B, -s),
+                (-B - 1, -B - 1, s)]
+
+    out = dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), matmul_precision="px6",
+        stencil2d=[taps(5), taps(9)])
+    sat = x.astype(np.float64).cumsum(1).cumsum(0)
+
+    def shift(f, off, ax):
+        n = f.shape[ax]
+        lo, hi = max(off, 0), max(-off, 0)
+        pads = [(0, 0)] * 2
+        pads[ax] = (hi, lo)
+        g = np.pad(f, pads, mode="edge" if off > 0 else "constant")
+        sl = [slice(None)] * 2
+        sl[ax] = slice(lo, lo + n)
+        return g[tuple(sl)]
+
+    for got, B in zip(out, (5, 9)):
+        ref = None
+        for dy, dx, c in taps(B):
+            t = shift(shift(sat, dy, 0), dx, 1) * c
+            ref = t if ref is None else ref + t
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(got, np.float64) - ref).max() <= 2e-5 * scale
