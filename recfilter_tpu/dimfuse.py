@@ -404,19 +404,27 @@ def _split_chunks(npasses: int) -> int:
     return 3 if npasses >= 6 else 2
 
 
-def _kernel_nprod(cdt, mmd, matmul_precision: str) -> int:
+def _kernel_nprod(cdt, mmd, matmul_precision: str,
+                  overlap2d: bool = False) -> int:
     """Completion-kernel product count for this configuration, or 0 when
     the kernel path does not apply. f32 storage: the px modes' compensated
-    product counts, and ONE plain product for the throughput mode
-    ("default" — XLA's own f32 dot is a single bf16 MXU pass, so the
-    kernel matches its rounding class while keeping the chained-tails /
-    fused-stencil structure; measured 4K gaussian3 0.389 → 0.277 ms).
-    bf16 storage (bf16 matmuls): one plain product — the kernel is then
-    strictly a bandwidth win over the einsum path (2 bf16 image touches
-    per pass, chained tails) at identical rounding."""
+    product counts. bf16 storage (bf16 matmuls): one plain product — the
+    kernel is then strictly a bandwidth win over the einsum path (2 bf16
+    image touches per pass, chained tails) at identical rounding.
+
+    Throughput mode ("default", f32 storage): ONE plain product, but only
+    on the 2-D overlapped executor (``overlap2d=True``) — XLA's own f32
+    dot is a single bf16 MXU pass, so the kernel matches its rounding
+    class while the 3-touch structure beats the einsum chain's 5 touches
+    (4K gaussian3 0.389 → 0.277 ms measured). On per-pass/rotated paths
+    the kernels LOSE at default: the plain einsum's XLA dot fuses with
+    the stages around it, which a pallas_call cannot (staged cascade
+    0.35 → 0.61 ms regression caught by the round-3 app sweep)."""
     if cdt == jnp.float32 and mmd is None:
-        return {"px3": 3, "px4": 4, "px6": 6,
-                "default": 1}.get(matmul_precision, 0)
+        n = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
+        if not n and overlap2d and matmul_precision == "default":
+            n = 1
+        return n
     if cdt == jnp.bfloat16 and mmd is not None and jnp.dtype(mmd) == jnp.bfloat16:
         return 1
     return 0
@@ -1574,7 +1582,8 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     # Strictly fewer image touches than the rotation chain below (3 vs 5)
     # at the same compensated product counts.
     if _OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}:
-        nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision)
+        nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision,
+                              overlap2d=True)
         # f32 px modes (compensated products), the bf16 storage mode
         # (nprod=1: plain products, bf16 image touches — half the traffic
         # of the f32 modes on the same 3-touch structure), AND the f32
