@@ -405,7 +405,7 @@ def _split_chunks(npasses: int) -> int:
 
 
 def _kernel_nprod(cdt, mmd, matmul_precision: str,
-                  overlap2d: bool = False) -> int:
+                  structural: bool = False) -> int:
     """Completion-kernel product count for this configuration, or 0 when
     the kernel path does not apply. f32 storage: the px modes' compensated
     product counts. bf16 storage (bf16 matmuls): one plain product — the
@@ -413,16 +413,17 @@ def _kernel_nprod(cdt, mmd, matmul_precision: str,
     image touches per pass, chained tails) at identical rounding.
 
     Throughput mode ("default", f32 storage): ONE plain product, but only
-    on the 2-D overlapped executor (``overlap2d=True``) — XLA's own f32
-    dot is a single bf16 MXU pass, so the kernel matches its rounding
-    class while the 3-touch structure beats the einsum chain's 5 touches
-    (4K gaussian3 0.389 → 0.277 ms measured). On per-pass/rotated paths
-    the kernels LOSE at default: the plain einsum's XLA dot fuses with
-    the stages around it, which a pallas_call cannot (staged cascade
-    0.35 → 0.61 ms regression caught by the round-3 app sweep)."""
+    where the kernel brings a STRUCTURAL win the einsum form cannot
+    (``structural=True``): the 3-touch 2-D overlapped executor (4K
+    gaussian3 0.389 → 0.277 ms), an in-kernel stencil consumer (dog_sat
+    2.2 vs 4.3 ms at default), or cross-pass tails chaining (8K einsum
+    chain measured 4.40 ms at default). On plain single passes the
+    kernels LOSE at default — XLA fuses the einsum's dot with the stages
+    around it, which a pallas_call cannot (staged cascade 0.35 → 0.61 ms
+    regression caught by the round-3 app sweep)."""
     if cdt == jnp.float32 and mmd is None:
         n = {"px3": 3, "px4": 4, "px6": 6}.get(matmul_precision, 0)
-        if not n and overlap2d and matmul_precision == "default":
+        if not n and structural and matmul_precision == "default":
             n = 1
         return n
     if cdt == jnp.bfloat16 and mmd is not None and jnp.dtype(mmd) == jnp.bfloat16:
@@ -1020,8 +1021,13 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     # --- px kernel fast path: tails + solve + completion all via the
     # split-bf16 kernels (2 image touches + a read; no HIGHEST einsum
     # copies anywhere). Falls through to the einsum path when the static
-    # gates don't hold.
-    nprod_k = _kernel_nprod(cdt, mmd, matmul_precision)
+    # gates don't hold. Throughput mode rides the kernels only when a
+    # structural win exists here: an in-kernel stencil consumer or
+    # cross-pass tails chaining (see _kernel_nprod).
+    nprod_k = _kernel_nprod(
+        cdt, mmd, matmul_precision,
+        structural=(stencil is not None or tails_in is not None
+                    or next_tails is not None))
     rot = rot_axes >= 2
     if (nprod_k and (P == 1 or not rot)
             and n <= _CHAIN_MATMUL_MAX_TILES):
@@ -1273,7 +1279,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     rot = rot_axes >= 2
     Y = None
     tails_out = None
-    nprod_k = _kernel_nprod(cdt, mmd, matmul_precision)
+    nprod_k = _kernel_nprod(
+        cdt, mmd, matmul_precision,
+        structural=(stencil is not None or tails_in is not None
+                    or next_tails is not None))
     if nprod_k and (P == 1 or not rot):
         from .kernels import completion as _completion
 
@@ -1583,7 +1592,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
     # at the same compensated product counts.
     if _OVERLAP_PX_2D and Ds == 2 and set(groups) == {nd - 2, nd - 1}:
         nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision,
-                              overlap2d=True)
+                              structural=True)
         # f32 px modes (compensated products), the bf16 storage mode
         # (nprod=1: plain products, bf16 image touches — half the traffic
         # of the f32 modes on the same 3-touch structure), AND the f32
@@ -1632,8 +1641,11 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             # shared-memory-residency analog in the shipping backend.
             # (f32 px modes AND the bf16 storage mode both run the fused
             # kernels; the latter with one plain bf16 product)
+            # Multi-pass chain: tails chaining is itself the structural
+            # win that justifies throughput-mode kernels (_kernel_nprod).
             fuse_tails = _kernel_nprod(cdt, matmul_dtype,
-                                       matmul_precision) > 0
+                                       matmul_precision,
+                                       structural=True) > 0
             tails_next = None
             # 2-D images: derive BOTH passes' raw tails from one read via
             # the moments kernel + overlap identity — the completion
@@ -1649,7 +1661,8 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     [spec.scans[j] for j in groups[order[0]]], plans[order[0]],
                     [spec.scans[j] for j in groups[order[1]]], plans[order[1]],
                     clamp, jax.default_backend() != "tpu",
-                    nprod=_kernel_nprod(cdt, matmul_dtype, matmul_precision),
+                    nprod=_kernel_nprod(cdt, matmul_dtype, matmul_precision,
+                                        structural=True),
                 )
                 if moments is not None:
                     tails_next = moments[0]
