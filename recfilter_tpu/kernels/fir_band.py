@@ -275,6 +275,15 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     Q = K - 1 - P
     P8 = -(-P // 8) * 8 if P else 0
     Q8 = -(-Q // 8) * 8 if Q else 0
+    import os
+
+    if os.environ.get("RECFILTER_FIR_FULLWIN", "") == "1":
+        # A/B escape hatch: full-window neighbour dots (P8 = Q8 = T makes
+        # the corner rows the whole position blocks and the pads no-ops).
+        # Measured (box1 4K, scripts/fir_corner_exp.py): corners win px6
+        # 0.339 vs 0.491 ms and tie throughput mode 0.271 vs 0.273 — the
+        # corner decomposition stays unconditional.
+        P8, Q8 = (T if P else 0), (T if Q else 0)
     # W constant: (Cout*Cin, T+P8+Q8, wslots*T) — per channel: rows [0:T]
     # the current-tile block, [T:T+P8] the prev-tile corner rows (only the
     # first P output rows read the previous tile), [T+P8:] the next-tile
