@@ -1616,6 +1616,39 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     return tuple(c.astype(dtype) for c in y)
                 return y.astype(dtype)
 
+    # Volumes (trailing 3 scanned axes): leading scan axis through the
+    # sublane rows-pass kernels (lanes = the flattened trailing plane),
+    # then the 3-touch 2-D executor on the trailing pair — 6 image
+    # touches total vs the rotation chain's 7, and every pass contracts
+    # full-width lanes (the chain's 256-lane volume passes run well off
+    # the flat band).
+    if (_OVERLAP_PX_2D and Ds == 3 and stencil2d is None
+            and set(groups) == set(range(nd - 3, nd))):
+        nprod = _kernel_nprod(cdt, matmul_dtype, matmul_precision,
+                              structural=True)
+        if (cdt == jnp.float32 and nprod >= 1) or (
+                cdt == jnp.bfloat16 and nprod == 1):
+            from . import overlap2d
+
+            interp = jax.default_backend() != "tpu"
+            z = overlap2d.fused_rows_px(
+                x, nd - 3, [spec.scans[i] for i in groups[nd - 3]],
+                spec.border, nprod, interp)
+            if z is not None:
+                y = overlap2d.fused_2d_px(
+                    z, nd - 2, [spec.scans[i] for i in groups[nd - 2]],
+                    nd - 1, [spec.scans[i] for i in groups[nd - 1]],
+                    spec.border, nprod, interp,
+                    epilogue=epilogue, eaux=eaux,
+                )
+                if y is not None:
+                    return y.astype(dtype)
+                # trailing-pair gates failed: finish via the chain on the
+                # remaining two axes
+                x = z
+                groups = {k: v for k, v in groups.items() if k != nd - 3}
+                Ds = 2
+
     if 2 <= Ds <= 5 and set(groups) == set(range(nd - Ds, nd)):
         order = [nd - 1 - i for i in range(Ds)]
         plans = {}

@@ -971,6 +971,158 @@ def _expand_f32(M, n: int):
                        jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Rows passes (px): a single scanned dimension on the SUBLANE axis
+# ---------------------------------------------------------------------------
+#
+# The dim-A half of the overlapped pipeline as standalone kernels: tails
+# and completion for a scan along axis -2, with everything after the scan
+# axis flattened into lanes. This is the fast path for scans that are NOT
+# on the last array axis — the einsum form there lowers to convolutions
+# (see ROADMAP's DoG entry) and the rotation chain needs a consumer that
+# accepts rotated layouts. Volumes use it for the leading scan axis:
+# rows pass on z (lanes = Y·X), then the 3-touch 2-D executor on (y, x).
+
+
+def _rows_tails_kernel(Ga_ref, x_ref, o_ref, *, nprod, na):
+    a = pl.program_id(1)
+    nc = _nchunks(nprod)
+    Ta = x_ref.shape[0]
+    Ga = _sel_variant(Ga_ref, a, na)
+    levels = _level_slices(nprod, nc)
+    xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
+    acc = None
+    for col, ln, st in levels:
+        t = jax.lax.dot_general(
+            Ga[:, col * Ta:(col + ln) * Ta],
+            xstk[st * Ta:(st + ln) * Ta], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    o_ref[:] = acc
+
+
+def rows_tails_px(x, G_cat, *, nprod: int, interpret: bool):
+    """Raw tails of a sublane-axis scan: x (p, n, T, W) → (p, n, 8, W)."""
+    p, n, T, W = x.shape
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Gav = _cat_split(_variants3(_pad_slots(np.asarray(G_cat), 1)), pairs, nc)
+    Lb = _lb_px(W, LANE_TILE, cap=4096)
+    kern = partial(_rows_tails_kernel, nprod=nprod, na=n)
+
+    def _run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((p, n, _SLOTS, W), jnp.float32),
+            grid=(p, n, W // Lb),
+            in_specs=[
+                pl.BlockSpec(Gav.shape, lambda i, a, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, T, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, None, _SLOTS, Lb),
+                                   lambda i, a, l: (i, a, 0, l),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Gav, x)
+
+    Gan = jnp.asarray(_pad_slots(np.asarray(G_cat), 1)[
+        np.minimum(np.arange(n), np.asarray(G_cat).shape[0] - 1)],
+        jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _ref(x):
+        return jnp.einsum("aks,pasw->pakw", Gan, x.astype(jnp.float32),
+                          precision=hi, preferred_element_type=jnp.float32)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x: (_run(x), x),
+             lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
+    return f(x)
+
+
+def _rows_final_kernel(Ba_ref, Ra_ref, x_ref, nA_ref, o_ref, *, nprod, na):
+    a = pl.program_id(1)
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Ta = x_ref.shape[0]
+    Ba = _sel_variant(Ba_ref, a, na)
+    Ra = _sel_variant(Ra_ref, a, na)
+    xs = _split_vmem(x_ref[:].astype(jnp.float32), nc)
+    ns = _split_vmem(nA_ref[:], nc)
+    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=0)
+    ncat = jnp.concatenate([ns[j] for _, j in pairs], axis=0)
+    dn = (((1,), (0,)), ((), ()))
+    y = jax.lax.dot_general(Ba, xcat, dn,
+                            preferred_element_type=jnp.float32)
+    y = y + jax.lax.dot_general(Ra, ncat, dn,
+                                preferred_element_type=jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def rows_final_px(x, Btot, Rhat_cat, NA_t, *, nprod: int, interpret: bool):
+    """Completion of a sublane-axis scan: y = Btot·x + Rhat·N per tile.
+
+    x (p, n, T, W); NA_t (p, n, 8, W) slot-padded carries; returns
+    (p, n, T, W) in x.dtype."""
+    p, n, T, W = x.shape
+    nc = _nchunks(nprod)
+    pairs = _prods(nprod)
+    Bav = _cat_split(_variants3(Btot), pairs, nc)
+    Rav = _cat_split(_variants3(_pad_slots(Rhat_cat)), pairs, nc)
+    Lb = _lb_px(W, LANE_TILE, cap=2048)
+    kern = partial(_rows_final_kernel, nprod=nprod, na=n)
+
+    def _run(x, NA_t):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(p, n, W // Lb),
+            in_specs=[
+                pl.BlockSpec(Bav.shape, lambda i, a, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(Rav.shape, lambda i, a, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, T, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, _SLOTS, Lb),
+                             lambda i, a, l: (i, a, 0, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, None, T, Lb),
+                                   lambda i, a, l: (i, a, 0, l),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Bav, Rav, x, NA_t)
+
+    Ban = _expand_f32(Btot, n)
+    Ran = jnp.asarray(_pad_slots(Rhat_cat)[
+        np.minimum(np.arange(n), np.asarray(Rhat_cat).shape[0] - 1)],
+        jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _ref(x, NA_t):
+        y = (jnp.einsum("aos,pasw->paow", Ban, x.astype(jnp.float32),
+                        precision=hi, preferred_element_type=jnp.float32)
+             + jnp.einsum("aok,pakw->paow", Ran, NA_t, precision=hi,
+                          preferred_element_type=jnp.float32))
+        return y.astype(x.dtype)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x, NA_t: (_run(x, NA_t), (x, NA_t)),
+             lambda res, ct: jax.vjp(_ref, res[0], res[1])[1](ct))
+    return f(x, NA_t)
+
+
 def _moments_kernel(Ga_ref, Gb_ref, x_ref, ba_ref, u_ref, *, nb, Tb,
                     b_stacked):
     Ga = Ga_ref[:]

@@ -376,6 +376,60 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     return y
 
 
+def fused_rows_px(x, axis: int, scans: Sequence[Scan], border: str,
+                  nprod: int, interpret: bool):
+    """Single-dimension px pass with the scanned axis on SUBLANES: tails
+    kernel → chain solve → completion kernel, everything after the scan
+    axis flattened into lanes. The fast path for a scan that is NOT the
+    last array axis (the einsum form there lowers to convolutions);
+    volumes run their leading scan axis through it before the 3-touch
+    2-D executor takes the trailing two. Returns None when a static gate
+    fails — callers fall back to the rotation-chained pipeline.
+    """
+    from .kernels import final2d as k2d
+    from .kernels.completion import _SLOTS, pad_solve_matrix
+
+    nd = x.ndim
+    if axis != nd - 3:
+        return None
+    T = k2d.LANE_TILE
+    L = x.shape[axis]
+    W = int(np.prod(x.shape[axis + 1:], dtype=np.int64))
+    if L < T or L % T or W % T:
+        return None
+    n = L // T
+    if n > dimfuse._CHAIN_MATMUL_MAX_TILES:
+        return None
+    clamp = border == BorderMode.CLAMP
+    mats = dimfuse.prepare_dim_pass(scans, T, n, clamp, pad_slots=0)
+    K = int(sum(mats.orders))
+    if K > _SLOTS:
+        return None
+
+    shape = x.shape
+    p = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    X4 = x.reshape(p, n, T, W)
+    G_cat = np.concatenate([np.asarray(g) for g in mats.G], axis=1)
+    R_cat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
+
+    bA_t = k2d.rows_tails_px(X4, G_cat, nprod=nprod, interpret=interpret)
+    CM = dimfuse.combined_solve_matrix(mats, n)
+    bands = dimfuse.banded_solve_blocks(CM, n, K)
+    if bands is not None:
+        NA_t = jax.vmap(
+            lambda b: dimfuse._banded_solve_apply(bands, b, K))(bA_t)
+    else:
+        CM_p = jnp.asarray(pad_solve_matrix(CM, n, K), jnp.float32)
+        NA_t = jnp.einsum(
+            "ts,psl->ptl", CM_p, bA_t.reshape(p, n * _SLOTS, W),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(p, n, _SLOTS, W)
+    Y4 = k2d.rows_final_px(X4, mats.Btot, R_cat, NA_t, nprod=nprod,
+                           interpret=interpret)
+    return Y4.reshape(shape)
+
+
 def fused_2d_pass(
     x,
     axis_a: int,

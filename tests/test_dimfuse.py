@@ -688,9 +688,10 @@ def test_px_volume_leading_channel():
 
 
 def test_px_tails_chaining_volume():
-    """3-D px chain (volume regime): each lane block spans whole next-axis
-    extents, so BOTH non-final passes emit the next pass's tails — only
-    the first pass reads the volume for tails."""
+    """3-D px routes: the DEFAULT volume path is rows-pass + 3-touch 2-D
+    executor (no per-pass tails read at all — rows_tails/moments kernels
+    own it); the rotation chain (overlap flag off) still single-reads the
+    volume for tails (both non-final passes emit the next pass's)."""
     import jax.numpy as jnp
 
     scans = [
@@ -703,30 +704,50 @@ def test_px_tails_chaining_volume():
         tuple(scans), tile_widths=(128, 128, 128),
     )
     x = _img(128, 256, 128, seed=17)
+    from recfilter_tpu import scan_core
     from recfilter_tpu.kernels import completion as _completion
+    from recfilter_tpu.kernels import final2d as _f2d
+
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
 
     calls = []
+    rows_calls = []
     orig = _completion.tails_pass
+    orig_rows = _f2d.rows_tails_px
 
     def counting(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
+    def counting_rows(*a, **k):
+        rows_calls.append(1)
+        return orig_rows(*a, **k)
+
     _completion.tails_pass = counting
+    _f2d.rows_tails_px = counting_rows
     try:
         got = np.asarray(
             dimfuse.apply_filter_fused(
                 spec, jnp.asarray(x), matmul_precision="px6"
             )
         )
+        assert (len(calls), len(rows_calls)) == (0, 1)
+        assert np.abs(got - want).max() <= 2e-6 * scale
+
+        calls.clear()
+        dimfuse._OVERLAP_PX_2D = False
+        got = np.asarray(
+            dimfuse.apply_filter_fused(
+                spec, jnp.asarray(x), matmul_precision="px6"
+            )
+        )
+        assert len(calls) == 1
+        assert np.abs(got - want).max() <= 2e-6 * scale
     finally:
         _completion.tails_pass = orig
-    assert len(calls) == 1
-    from recfilter_tpu import scan_core
-
-    want = scan_core.oracle_apply(spec, x.astype(np.float64))
-    scale = np.abs(want).max()
-    assert np.abs(got - want).max() <= 2e-6 * scale
+        _f2d.rows_tails_px = orig_rows
+        dimfuse._OVERLAP_PX_2D = True
 
 
 @pytest.mark.parametrize("mode", ["px3", "px4"])

@@ -577,3 +577,51 @@ def test_fused_2d_stencil_fallback_matches():
     want = _stencil_np(sat, banks)[0]
     err = np.abs(np.asarray(out[0], np.float64) - want)
     assert err.max() <= 2e-5 * np.abs(want).max()
+
+
+def test_volume_rows_plus_2d_route():
+    """Ds=3 volumes: leading scan axis through the sublane rows-pass
+    kernels, trailing pair through the 3-touch executor — vs the oracle,
+    both borders, including carry coupling across all three axes."""
+    import jax.numpy as jnp
+
+    Z, Y, W = 128, 128, 256
+    x = _img(Z, Y, W, seed=50) * 0.1
+    for border in (BorderMode.ZERO, BorderMode.CLAMP):
+        spec = FilterSpec(
+            "V3", (Dim("z", Z), Dim("y", Y), Dim("x", W)),
+            scans=(
+                Scan(2, True, 1.0, (0.6,)),
+                Scan(2, False, 1.0, (0.6,)),
+                Scan(1, True, 0.9, (0.5, 0.1)),
+                Scan(0, True, 1.0, (0.4,)),
+            ),
+            border=border, tile_widths=(128, 128, 128),
+        )
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x), tile_default=128,
+            matmul_precision="px6"))
+        want = scan_core.oracle_apply(spec, x.astype(np.float64))
+        assert np.abs(got - want).max() <= 2e-6 * np.abs(want).max()
+
+
+def test_volume_rows_route_chain_fallback():
+    """When the trailing pair's gates fail (non-128 y extent), the rows
+    pass still applies and the remaining two axes finish via the chain."""
+    import jax.numpy as jnp
+
+    Z, Y, W = 128, 96, 256  # y < 128: fused_2d_px declines
+    x = _img(Z, Y, W, seed=51) * 0.1
+    spec = FilterSpec(
+        "V3F", (Dim("z", Z), Dim("y", Y), Dim("x", W)),
+        scans=(
+            Scan(2, True, 1.0, (0.5,)),
+            Scan(1, True, 1.0, (0.4,)),
+            Scan(0, True, 1.0, (0.3,)),
+        ),
+        border=BorderMode.ZERO, tile_widths=(128, 32, 128),
+    )
+    got = np.asarray(dimfuse.apply_filter_fused(
+        spec, jnp.asarray(x), tile_default=32, matmul_precision="px6"))
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    assert np.abs(got - want).max() <= 2e-6 * np.abs(want).max()
