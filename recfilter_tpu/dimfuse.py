@@ -1737,6 +1737,24 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
         ids = groups[axis]
         T = tiles[axis] or tile_default
         final = axis == axes[-1]
+        # Non-last-axis scans: the sublane rows-pass kernels beat the
+        # einsum form here at EVERY grade — the "ansb" einsum lowers to
+        # convolutions ~4x off bandwidth (ROADMAP's DoG xplane) — so the
+        # conv pathology itself is the structural justification.
+        if (_OVERLAP_PX_2D and axis < nd - 1
+                and (epilogue is None or not final)):
+            nprod_r = _kernel_nprod(cdt, matmul_dtype, matmul_precision,
+                                    structural=True)
+            if (cdt == jnp.float32 and nprod_r >= 1) or (
+                    cdt == jnp.bfloat16 and nprod_r == 1):
+                from . import overlap2d
+
+                y = overlap2d.fused_rows_px(
+                    x, axis, [spec.scans[i] for i in ids], spec.border,
+                    nprod_r, jax.default_backend() != "tpu")
+                if y is not None:
+                    x = y
+                    continue
         x = fused_dim_pass(
             x,
             axis,

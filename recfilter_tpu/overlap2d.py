@@ -390,7 +390,7 @@ def fused_rows_px(x, axis: int, scans: Sequence[Scan], border: str,
     from .kernels.completion import _SLOTS, pad_solve_matrix
 
     nd = x.ndim
-    if axis != nd - 3:
+    if not 0 <= axis < nd - 1:
         return None
     T = k2d.LANE_TILE
     L = x.shape[axis]

@@ -625,3 +625,34 @@ def test_volume_rows_route_chain_fallback():
         spec, jnp.asarray(x), tile_default=32, matmul_precision="px6"))
     want = scan_core.oracle_apply(spec, x.astype(np.float64))
     assert np.abs(got - want).max() <= 2e-6 * np.abs(want).max()
+
+
+def test_rows_route_single_nonlast_axis():
+    """Single-dimension scans OFF the last array axis route through the
+    sublane rows-pass kernels (the einsum form there lowers to
+    convolutions); clamp edge variants and mixed non-adjacent axis sets
+    must match the oracle."""
+    import jax.numpy as jnp
+
+    x = _img(256, 384, seed=52) * 0.1
+    for border in (BorderMode.ZERO, BorderMode.CLAMP):
+        spec = FilterSpec(
+            "R1", (Dim("y", 256), Dim("x", 384)),
+            scans=(Scan(0, True, 1.0, (0.6,)), Scan(0, False, 0.9, (0.4,))),
+            border=border, tile_widths=(128, 0),
+        )
+        got = np.asarray(dimfuse.apply_filter_fused(
+            spec, jnp.asarray(x), tile_default=128,
+            matmul_precision="px6"))
+        want = scan_core.oracle_apply(spec, x.astype(np.float64))
+        assert np.abs(got - want).max() <= 2e-6 * np.abs(want).max()
+    v = _img(128, 64, 256, seed=53) * 0.1
+    spec = FilterSpec(
+        "R2", (Dim("z", 128), Dim("y", 64), Dim("x", 256)),
+        scans=(Scan(0, True, 1.0, (0.5,)), Scan(2, True, 1.0, (0.3,))),
+        border=BorderMode.ZERO, tile_widths=(128, 0, 128),
+    )
+    got = np.asarray(dimfuse.apply_filter_fused(
+        spec, jnp.asarray(v), tile_default=128, matmul_precision="px6"))
+    want = scan_core.oracle_apply(spec, v.astype(np.float64))
+    assert np.abs(got - want).max() <= 2e-6 * np.abs(want).max()
