@@ -256,12 +256,35 @@ def _dim_mats_learnable(params, T: int, pad_slots: int = 0,
 def _chain_solve_learnable(b, W, k: int, causal: bool):
     """Natural-order cross-tile solve with a traced W (≙
     ``dimfuse._chain_solve_assoc``): ``b`` is (L, n, k) local tails, returns
-    the incoming vectors N of the same shape."""
+    the incoming vectors N of the same shape.
+
+    Image-scale tile counts (n ≤ 128) run a DENSE solve from traced W
+    powers — the in-graph twin of the static path's
+    ``combined_solve_matrix`` — rather than an associative scan: the
+    scan's interleave steps emit interior pads on (n, L, k) operands
+    whose minor dim is k≈3, a 40x-padded TPU layout; its BACKWARD cost
+    6 ms of pads on a 0.2 ms forward (xplane-measured, 2048² learnable
+    gaussian). One (t,u,i,j)×(L,u,j) einsum instead. Audio-scale n keeps
+    the log-depth scan (the dense (n,n,k,k) matrix grows as n²)."""
     n = b.shape[1]
     if causal:
         bt = b[:, :, ::-1]  # J_k b
     else:
         bt = jnp.flip(b, axis=1)
+    if n <= 128:
+        P = [jnp.eye(k, dtype=W.dtype)]
+        for _ in range(n - 1):
+            P.append(jnp.einsum("ij,jk->ik", W, P[-1], precision=_PREC))
+        P = jnp.stack(P)  # (n, k, k): P[d] = W^d
+        idx = np.zeros((n, n), np.int32)
+        mask = np.zeros((n, n), np.float32)
+        for t in range(n):
+            for u in range(t):
+                idx[t, u] = t - u - 1
+                mask[t, u] = 1.0
+        M = P[jnp.asarray(idx)] * jnp.asarray(mask)[..., None, None]
+        s_prev = jnp.einsum("tuij,luj->lti", M, bt, precision=_PREC)
+        return s_prev[:, :, ::-1] if causal else jnp.flip(s_prev, axis=1)
     A = jnp.broadcast_to(W, (n,) + W.shape)
     bt_n = jnp.moveaxis(bt, 1, 0)  # (n, L, k)
     _, s = jax.lax.associative_scan(
