@@ -162,6 +162,29 @@ def _cat_split(M, pairs, nc) -> jnp.ndarray:
     return jnp.asarray(np.concatenate([chunks[i] for i, _ in pairs], axis=2))
 
 
+def _cat_split_mstack(M, pairs, nc) -> jnp.ndarray:
+    """bf16 chunk constants M-stacked by level: (v, nlev·r, nc·c).
+
+    Level l's row block holds chunk ``G_i`` at the scratch column block of
+    ``x_j`` (chunks stacked highest index first, :func:`_stack_split`) for
+    each (i, j) pair with i+j = l, zeros elsewhere — so ONE dot against the
+    chunk-stacked scratch streams every level's K-tiles once (kernel mode
+    2): ``nc`` K-tile passes instead of mode 1's sum over levels
+    (1+2+…+nc chunk passes), at the cost of (nlev−1) row-group adds on the
+    skinny output. Within a level each j appears at most once (i = l − j),
+    so the column blocks never overlap."""
+    chunks = _split_const_np(M, nc)
+    v, r, c = chunks[0].shape
+    blocks = []
+    for lvl in sorted({i + j for i, j in pairs}, reverse=True):
+        blk = np.zeros((v, r, nc * c), dtype=chunks[0].dtype)
+        for i, j in pairs:
+            if i + j == lvl:
+                blk[:, :, (nc - 1 - j) * c:(nc - j) * c] = chunks[i]
+        blocks.append(blk)
+    return jnp.asarray(np.concatenate(blocks, axis=1))
+
+
 def _pad_slots(M, k_axis: int = 2) -> np.ndarray:
     """Zero-pad a carry axis (size K ≤ 8) up to the 8-slot sublane quantum."""
     M = np.asarray(M, np.float64)
@@ -247,13 +270,19 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
     moments, all from one VMEM split of the block.
 
-    ``mode`` 1 (default): antidiagonal level dots (see
-    ``_final_px_kernel`` mode 3) — the dim-A tails slice a chunk-stacked
-    scratch, the dim-B moments lane-stack each sub-tile's chunks (one
-    small concat per sub-tile buys 2x fewer skinny dot issues). Measured
-    0.516 vs 0.530 ms on the 4K px6 pipeline — the OPPOSITE verdict from
-    the dual-completion kernel (mode 3 there), because this pass is
-    dot-issue-bound (M=8 skinny dots), not MXU-throughput-bound.
+    ``mode`` 2 (default): M-stacked level dots — every level rides ONE
+    dot against the full chunk-stacked scratch (constants per
+    :func:`_cat_split_mstack` with zero blocks outside a level's chunks),
+    so the skinny-M passes stream each scratch K-tile once: nc K-tile
+    passes vs mode 1's 1+2+…+nc (the M rows ride the same passes —
+    8·nlev ≤ 128). The level sum becomes (nlev−1) row-group adds.
+    Measured 0.480 vs 0.513 ms on the 4K px6 pipeline.
+    ``mode`` 1: antidiagonal level dots (see ``_final_px_kernel`` mode 3)
+    — the dim-A tails slice a chunk-stacked scratch, the dim-B moments
+    lane-stack each sub-tile's chunks (one small concat per sub-tile buys
+    2x fewer skinny dot issues than mode 0: 0.516 vs 0.530 ms). This pass
+    is dot-issue/K-pass-bound (M=8 skinny dots), not MXU-throughput-bound
+    — the OPPOSITE verdict from the dual-completion kernel (mode 3 there).
     ``mode`` 0: per-chunk-pair dots, G chunk constants sliced per pair.
 
     ``h8`` > 0: the dim-A constant additionally carries the first/last
@@ -275,6 +304,28 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
         else:
             o1_ref[:] = acc1
 
+    if mode == 2:
+        nlev = len({i + j for i, j in _prods(nprod)})
+        Mr = _SLOTS + 2 * h8
+        xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
+        acc = jax.lax.dot_general(Ga, xstk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc1 = acc[:Mr]
+        for g in range(1, nlev):  # smallest-magnitude level first, as mode 1
+            acc1 = acc1 + acc[g * Mr:(g + 1) * Mr]
+        _store1(acc1)
+        for c in range(kb):
+            sl = slice(c * Tb, (c + 1) * Tb)
+            Gb = _sel_variant(Gb_ref, l * kb + c, nb)
+            lstk = (xstk[:, sl] if nc == 1 else jnp.concatenate(
+                [xstk[r * Ta:(r + 1) * Ta, sl] for r in range(nc)], axis=1))
+            a2 = jax.lax.dot_general(Gb, lstk, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc2 = a2[:_SLOTS]
+            for g in range(1, nlev):
+                acc2 = acc2 + a2[g * _SLOTS:(g + 1) * _SLOTS]
+            o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
+        return
     if mode == 1:
         levels = _level_slices(nprod, nc)
         xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
@@ -354,17 +405,24 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
         Ba = np.broadcast_to(Ba, (nv,) + Ba.shape[1:])
         Ba_top, Ba_bot = Ba[:, :h8], Ba[:, Ta - h8:]
         Ga_rows = np.concatenate([Ga_rows, Ba_top, Ba_bot], axis=1)
-    Gav = _cat_split(_variants3(Ga_rows), pairs, nc)
-    Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
     import os
+
+    mode = int(os.environ.get("RECFILTER_PXM_KMODE", "2"))
+    if mode == 2 and nc > 1:
+        # M-stacked level constants: one dot streams the scratch once.
+        Gav = _cat_split_mstack(_variants3(Ga_rows), pairs, nc)
+        Gbv = _cat_split_mstack(_variants3(_pad_slots(Gb, 1)), pairs, nc)
+    else:
+        mode = min(mode, 1)
+        Gav = _cat_split(_variants3(Ga_rows), pairs, nc)
+        Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
 
     # Moments is DMA-bound with a light VMEM footprint (x + chunks only) —
     # bigger lane blocks than the dual-completion kernel pay off.
     Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
-                   na=na, nb=nb, h8=h8,
-                   mode=int(os.environ.get("RECFILTER_PXM_KMODE", "1")))
+                   na=na, nb=nb, h8=h8, mode=mode)
 
     def _run(x):
         edge_shape = tuple(
@@ -984,21 +1042,19 @@ def _expand_f32(M, n: int):
 # rows pass on z (lanes = Y·X), then the 3-touch 2-D executor on (y, x).
 
 
-def _rows_tails_kernel(Ga_ref, x_ref, o_ref, *, nprod, na):
+def _rows_tails_kernel(Ga_ref, x_ref, o_ref, *, nprod, na, nlev):
+    # M-stacked level dots (see _moments_px_kernel mode 2): one dot
+    # streams the chunk-stacked scratch once; level sum = row-group adds.
     a = pl.program_id(1)
     nc = _nchunks(nprod)
-    Ta = x_ref.shape[0]
     Ga = _sel_variant(Ga_ref, a, na)
-    levels = _level_slices(nprod, nc)
     xstk = _stack_split(x_ref[:].astype(jnp.float32), nc)
-    acc = None
-    for col, ln, st in levels:
-        t = jax.lax.dot_general(
-            Ga[:, col * Ta:(col + ln) * Ta],
-            xstk[st * Ta:(st + ln) * Ta], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    o_ref[:] = acc
+    acc = jax.lax.dot_general(Ga, xstk, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    acc1 = acc[:_SLOTS]
+    for g in range(1, nlev):
+        acc1 = acc1 + acc[g * _SLOTS:(g + 1) * _SLOTS]
+    o_ref[:] = acc1
 
 
 def rows_tails_px(x, G_cat, *, nprod: int, interpret: bool):
@@ -1006,9 +1062,11 @@ def rows_tails_px(x, G_cat, *, nprod: int, interpret: bool):
     p, n, T, W = x.shape
     nc = _nchunks(nprod)
     pairs = _prods(nprod)
-    Gav = _cat_split(_variants3(_pad_slots(np.asarray(G_cat), 1)), pairs, nc)
+    nlev = len({i + j for i, j in pairs})
+    Gav = _cat_split_mstack(_variants3(_pad_slots(np.asarray(G_cat), 1)),
+                            pairs, nc)
     Lb = _lb_px(W, LANE_TILE, cap=4096)
-    kern = partial(_rows_tails_kernel, nprod=nprod, na=n)
+    kern = partial(_rows_tails_kernel, nprod=nprod, na=n, nlev=nlev)
 
     def _run(x):
         return pl.pallas_call(
