@@ -82,6 +82,31 @@ def _split_vmem(x, nchunks: int):
     return out
 
 
+def _stack_split(x, nc: int, axis: int = 0):
+    """f32 → bf16 chunk scratch stacked highest chunk index first along
+    ``axis`` (the contraction axis), so M-stacked level constants
+    (:func:`_level_groups` layout) index it contiguously. One aligned-block
+    concat instead of per-pair operand concats (no chunk duplication)."""
+    if nc == 1:
+        return x.astype(jnp.bfloat16)
+    chunks = []
+    rem = x
+    for _ in range(nc - 1):
+        c = rem.astype(jnp.bfloat16)
+        chunks.append(c)
+        rem = rem - c.astype(jnp.float32)
+    chunks.append(rem.astype(jnp.bfloat16))
+    return jnp.concatenate(chunks[::-1], axis=axis)
+
+
+def _level_groups(nprod: int):
+    """:func:`_prods` pairs grouped by level i+j, smallest-magnitude level
+    first (the f32 accumulation order every kernel uses)."""
+    pairs = _prods(nprod)
+    return [[(i, j) for i, j in pairs if i + j == lvl]
+            for lvl in sorted({i + j for i, j in pairs}, reverse=True)]
+
+
 def _prods(nprod: int):
     """(i, j) chunk-product index pairs, smallest-magnitude first.
     ``nprod=1`` is the bf16 storage mode: one plain product, operands
@@ -236,8 +261,21 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
                 else:
                     o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = t
     elif kt:
-        accs = _split_vmem(acc, nc)
-        dg = (((1,), (1,)), ((), ()))  # (8,np*t2)x(T,np*t2) -> (8,T)
+        # M-stacked level dots (see _tails_kernel): per sub-tile, ONE dot
+        # of the (nlev·8)-row level constant against the chunk-stacked acc
+        # slice — nc K-tiles instead of nprod, no chunk duplication.
+        nlev = len(_level_groups(nprod))
+        rg = nlev * _SLOTS
+        dg = (((1,), (1,)), ((), ()))  # (nlev*8,nc*t2)x(T,nc*t2) -> (.,T)
+
+        def _sub_tails(g, sub):
+            t = jax.lax.dot_general(g, _stack_split(sub, nc, axis=1), dg,
+                                    preferred_element_type=jnp.float32)
+            t8 = t[:_SLOTS]
+            for gi in range(1, nlev):  # smallest-magnitude level first
+                t8 = t8 + t[gi * _SLOTS:(gi + 1) * _SLOTS]
+            return t8
+
         if ka:
             # volumes: ka whole next-axis extents of kt tiles each. The
             # a-axis leads the out block (block extent ka has no Mosaic
@@ -246,25 +284,14 @@ def _completion_kernel(*refs, nprod: int, rot: bool, kt: int = 0,
             for a in range(ka):
                 for c in range(kt):
                     off = a * kt * t2 + c * t2
-                    xc = jnp.concatenate(
-                        [accs[j][:, off:off + t2] for _, j in pairs], axis=1
-                    )
-                    g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
-                    o2_ref[a, c * _SLOTS:(c + 1) * _SLOTS, :] = (
-                        jax.lax.dot_general(
-                            g, xc, dg, preferred_element_type=jnp.float32
-                        )
-                    )
+                    o2_ref[a, c * _SLOTS:(c + 1) * _SLOTS, :] = _sub_tails(
+                        G2_ref[c * rg:(c + 1) * rg, :],
+                        acc[:, off:off + t2])
         else:
             for c in range(kt):
-                xc = jnp.concatenate(
-                    [accs[j][:, c * t2:(c + 1) * t2] for _, j in pairs],
-                    axis=1,
-                )
-                g = G2_ref[c * _SLOTS:(c + 1) * _SLOTS, :]
-                o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = jax.lax.dot_general(
-                    g, xc, dg, preferred_element_type=jnp.float32
-                )
+                o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = _sub_tails(
+                    G2_ref[c * rg:(c + 1) * rg, :],
+                    acc[:, c * t2:(c + 1) * t2])
 
 
 def _block_geom(q: int, T: int, nprod: int, naux: int):
@@ -527,18 +554,27 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 np.minimum(np.arange(n2), nv2 - 1)
             ]
             if _TAILS_F32_DOT:
-                g2w = T2
+                g2rows, g2w = _SLOTS, T2
                 G2k = jnp.asarray(Gp2, jnp.float32).reshape(
                     n2 * _SLOTS, T2)
             else:
-                g2w = nprod * T2
-                Gs2 = _split_const(Gp2, nc)
-                G2k = jnp.concatenate(
-                    [Gs2[i] for i, _ in pairs], axis=-1
-                ).reshape(n2 * _SLOTS, nprod * T2)
+                # M-stacked level constant (see _tails_kernel): per tile
+                # (nlev·8, nc·T2), chunk i at the column block of x_j.
+                lgs2 = _level_groups(nprod)
+                g2rows, g2w = len(lgs2) * _SLOTS, nc * T2
+                Gs2 = _split_const_np(Gp2, nc)
+                lblocks = []
+                for lvl_pairs in lgs2:
+                    blk = np.zeros((n2, _SLOTS, nc * T2), Gs2[0].dtype)
+                    for i, j in lvl_pairs:
+                        blk[:, :, (nc - 1 - j) * T2:(nc - j) * T2] = Gs2[i]
+                    lblocks.append(blk)
+                G2k = jnp.asarray(
+                    np.concatenate(lblocks, axis=1).reshape(
+                        n2 * g2rows, nc * T2))
             if ka:
                 in_specs.append(
-                    pl.BlockSpec((n2 * _SLOTS, g2w),
+                    pl.BlockSpec((n2 * g2rows, g2w),
                                  lambda t, l: (0, 0),
                                  memory_space=pltpu.VMEM)
                 )
@@ -556,7 +592,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 )
             else:
                 in_specs.append(
-                    pl.BlockSpec((kt * _SLOTS, g2w),
+                    pl.BlockSpec((kt * g2rows, g2w),
                                  lambda t, l: (l, 0),
                                  memory_space=pltpu.VMEM)
                 )
@@ -652,16 +688,24 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     return f(x, Ncat, *halos, *eaux)
 
 
-def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int):
+def _tails_kernel(G_ref, x_ref, o_ref, *, nprod: int, nlev: int, rows: int):
     """One (Lb, T) x-block -> (rows, Lb) slot-padded transposed tails block.
-    Same stacked-contraction form as :func:`_completion_kernel`."""
+
+    M-stacked level dots (see final2d's ``_cat_split_mstack``): every
+    compensated level rides ONE dot against the chunk-stacked scratch
+    (nc K-tiles instead of the pair-concat's nprod, and no 2x chunk
+    duplication in the operand); the level sum is (nlev-1) row-group adds
+    on the skinny output — measured 2x fewer scratch K-passes on the 4K
+    px6 moments twin (0.513 -> 0.480 ms pipeline)."""
     nc = _nchunks(nprod)
-    pairs = _prods(nprod)
-    xs = _split_vmem(x_ref[:], nc)
-    xcat = jnp.concatenate([xs[j] for _, j in pairs], axis=1)
-    dn = (((1,), (1,)), ((), ()))  # (rows,np*T)x(Lb,np*T) -> (rows,Lb)
-    o_ref[:] = jax.lax.dot_general(G_ref[0], xcat, dn,
-                                   preferred_element_type=jnp.float32)
+    xstk = _stack_split(x_ref[:], nc, axis=1)
+    dn = (((1,), (1,)), ((), ()))  # (nlev*rows,nc*T)x(Lb,nc*T) -> (.,Lb)
+    acc = jax.lax.dot_general(G_ref[0], xstk, dn,
+                              preferred_element_type=jnp.float32)
+    out = acc[:rows]
+    for g in range(1, nlev):  # smallest-magnitude level first
+        out = out + acc[g * rows:(g + 1) * rows]
+    o_ref[:] = out
 
 
 def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
@@ -685,14 +729,21 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
     He8 = -(-He // _SLOTS) * _SLOTS
     rows = _SLOTS + He8
     nc = _nchunks(nprod)
-    pairs = _prods(nprod)
     Gp = np.zeros((max(nv, n), rows, T), np.float64)
     Gp[:, :S] = np.asarray(Gcat, np.float64)[np.minimum(np.arange(n), nv - 1)]
     if He:
         E = np.asarray(extra_rows, np.float64)
         Gp[:, _SLOTS:_SLOTS + He] = E[np.minimum(np.arange(n), E.shape[0] - 1)]
-    Gs = _split_const(Gp, nc)
-    Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)
+    Gs = _split_const_np(Gp, nc)
+    lgs = _level_groups(nprod)
+    nlev = len(lgs)
+    blocks = []
+    for lvl_pairs in lgs:
+        blk = np.zeros((Gp.shape[0], rows, nc * T), Gs[0].dtype)
+        for i, j in lvl_pairs:
+            blk[:, :, (nc - 1 - j) * T:(nc - j) * T] = Gs[i]
+        blocks.append(blk)
+    Gcat_k = jnp.asarray(np.concatenate(blocks, axis=1))
 
     Lb, qp = _block_geom(q, T, nprod, 0)
 
@@ -701,11 +752,12 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
             x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
         xf = x.reshape(qp, n * T)
         y = pl.pallas_call(
-            partial(_tails_kernel, nprod=nprod),
+            partial(_tails_kernel, nprod=nprod, nlev=nlev, rows=rows),
             out_shape=jax.ShapeDtypeStruct((n * rows, qp), jnp.float32),
             grid=(n, qp // Lb),
             in_specs=(
-                [pl.BlockSpec((1, rows, nprod * T), lambda t, l: (t, 0, 0),
+                [pl.BlockSpec((1, nlev * rows, nc * T),
+                              lambda t, l: (t, 0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                               memory_space=pltpu.VMEM)]

@@ -138,7 +138,7 @@ def final2d(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_cat, NB_cat,
 # traffic.
 
 from .completion import (_SLOTS, _nchunks, _prods, _split_const_np,
-                         _split_vmem, pad_solve_matrix)
+                         _split_vmem, _stack_split, pad_solve_matrix)
 
 
 def _variants3(stack) -> np.ndarray:
@@ -226,23 +226,6 @@ def _level_slices(nprod: int, nc: int):
         out.append((col, len(js), nc - 1 - js[0]))
         col += len(js)
     return out
-
-
-def _stack_split(x, nc: int, axis: int = 0):
-    """f32 → bf16 chunk scratch stacked highest chunk index first along
-    ``axis`` (the contraction axis), so :func:`_level_slices` offsets
-    index it contiguously. One aligned-block concat instead of the
-    per-pair operand concats (no chunk duplication)."""
-    if nc == 1:
-        return x.astype(jnp.bfloat16)
-    chunks = []
-    rem = x
-    for _ in range(nc - 1):
-        c = rem.astype(jnp.bfloat16)
-        chunks.append(c)
-        rem = rem - c.astype(jnp.float32)
-    chunks.append(rem.astype(jnp.bfloat16))
-    return jnp.concatenate(chunks[::-1], axis=axis)
 
 
 def _lb_px(W: int, Tb: int, cap: int = 0) -> int:

@@ -206,22 +206,36 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     from .kernels import final2d as k2d
     from .kernels.completion import _SLOTS, _expand_stack, pad_solve_matrix
 
+    import os
+
     nd = x.ndim
     if axis_a != nd - 2 or axis_b != nd - 1:
         return None
     T = k2d.LANE_TILE
+    # The dim-A completion's MXU MAC count scales LINEARLY with the
+    # sublane tile Ta (T MACs per output pixel), and nothing ties Ta to
+    # the 128-lane quantum — only Tb is lane-tiled. MEASURED DEAD END
+    # (scripts/ta_sweep.py, 4K px6): Ta=64 0.566 ms / Ta=32 1.078 vs
+    # Ta=128 0.479 — M<128 dot passes cost nearly the same as full-M
+    # passes (issue/pipeline-latency bound), so halving Ta doubles the
+    # pass count at half utilization and skinnies the moments dots too.
+    # The knob stays as the documented escape hatch; the stencil-fused
+    # path always keeps Ta=Tb (its halo geometry assumes square tiles).
+    Ta = int(os.environ.get("RECFILTER_PX2D_TA", "0")) or T
+    if stencil2d is not None or Ta % 8 or Ta > T:
+        Ta = T
     wa, wb = x.shape[axis_a], x.shape[axis_b]
-    if wa < T or wb < T:
+    if wa < Ta or wb < T:
         return None
     clamp = border == BorderMode.CLAMP
-    na, nb = -(-wa // T), -(-wb // T)
-    pad_a, pad_b = na * T - wa, nb * T - wb
+    na, nb = -(-wa // Ta), -(-wb // T)
+    pad_a, pad_b = na * Ta - wa, nb * T - wb
     if clamp and (pad_a or pad_b):
         return None
     if na > dimfuse._CHAIN_MATMUL_MAX_TILES or \
             nb > dimfuse._CHAIN_MATMUL_MAX_TILES:
         return None
-    ma = dimfuse.prepare_dim_pass(scans_a, T, na, clamp, pad_slots=pad_a)
+    ma = dimfuse.prepare_dim_pass(scans_a, Ta, na, clamp, pad_slots=pad_a)
     mb = dimfuse.prepare_dim_pass(scans_b, T, nb, clamp, pad_slots=pad_b)
     Ka, Kb = int(sum(ma.orders)), int(sum(mb.orders))
     if Ka > _SLOTS or Kb > _SLOTS:
@@ -244,7 +258,7 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
         x = jnp.pad(x, pads)
     p = int(np.prod(shape[:axis_a], dtype=np.int64)) if axis_a else 1
     W = nb * T
-    X4 = x.reshape(p, na, T, W)
+    X4 = x.reshape(p, na, Ta, W)
 
     hi = jax.lax.Precision.HIGHEST
     Ga_cat = np.concatenate([np.asarray(g) for g in ma.G], axis=1)
@@ -282,7 +296,7 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     Ban = _expand_stack(ma.Btot, na)                      # (na, Ta, Ta)
     Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
     Gbn = _expand_stack(Gb_cat, nb)                       # (nb, Kb, Tb)
-    U = U_t.reshape(p, na, nb, _SLOTS, T)[:, :, :, :Kb]   # (p,na,nb,Kb,Ta)
+    U = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]  # (p,na,nb,Kb,Ta)
     term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
                        preferred_element_type=jnp.float32)
     NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
@@ -301,15 +315,15 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
         bBl = jnp.moveaxis(bB, 2, 0).reshape(nb, _SLOTS, -1)
         NBl = dimfuse._banded_solve_apply(bands_b, bBl, Kb)
         NB_t = jnp.moveaxis(
-            NBl.reshape(nb, _SLOTS, p, na, T), 0, 2
-        ).reshape(p, na, nb * _SLOTS, T)
+            NBl.reshape(nb, _SLOTS, p, na, Ta), 0, 2
+        ).reshape(p, na, nb * _SLOTS, Ta)
     else:
         CMb_p = jnp.asarray(pad_solve_matrix(CMb, nb, Kb), jnp.float32)
         NB_t = jnp.einsum(
             "ts,qsl->qtl", CMb_p,
-            bB.reshape(p * na, nb * _SLOTS, T),
+            bB.reshape(p * na, nb * _SLOTS, Ta),
             preferred_element_type=jnp.float32, precision=hi,
-        ).reshape(p, na, nb * _SLOTS, T)
+        ).reshape(p, na, nb * _SLOTS, Ta)
 
     # ---- row-halo strips for a fused 2-D stencil consumer ----------------
     # The stencil's row taps read the completed output of the NEIGHBOR
@@ -364,7 +378,7 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
                 pads = [(0, 0)] * a_.ndim
                 pads[axis_a], pads[axis_b] = (0, pad_a), (0, pad_b)
                 a_ = jnp.pad(a_, pads)
-            k_eaux.append(a_.reshape(p, na, T, W))
+            k_eaux.append(a_.reshape(p, na, Ta, W))
     Y4 = k2d.final2d_px(X4, ma.Btot, Ra_cat, mb.Btot, Rb_cat, NA_t, NB_t,
                         nprod=nprod, interpret=interpret,
                         epilogue=epilogue, eaux=k_eaux)
