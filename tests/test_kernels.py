@@ -205,3 +205,60 @@ def test_stencil2d_kernel_matches_shift_oracle():
     g = np.asarray(jax.grad(f)(jnp.asarray(s)))
     g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(s)))
     np.testing.assert_allclose(g, g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_moments_px_kernel_modes_equal():
+    """The M-stacked level-dot mode (2, default) matches the per-pair (0)
+    and level-slice (1) product schedules to the last ulp or two — same
+    bf16 products, f32 accumulation regrouped (in-dot vs per-pair adds)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from recfilter_tpu.kernels import final2d as k2d
+
+    rng = np.random.default_rng(3)
+    p, na, Ta, nb, Tb = 1, 3, 128, 2, 128
+    x = jnp.asarray(rng.standard_normal((p, na, Ta, nb * Tb)), jnp.float32)
+    Ga = rng.standard_normal((1, 6, Ta))
+    Gb = rng.standard_normal((1, 5, Tb))
+    outs = {}
+    old = os.environ.get("RECFILTER_PXM_KMODE")
+    try:
+        for m in ("0", "1", "2"):
+            os.environ["RECFILTER_PXM_KMODE"] = m
+            bA, U = k2d.moments2d_px(x, Ga, Gb, nprod=6, interpret=True)
+            outs[m] = (np.asarray(bA), np.asarray(U))
+    finally:
+        if old is None:
+            os.environ.pop("RECFILTER_PXM_KMODE", None)
+        else:
+            os.environ["RECFILTER_PXM_KMODE"] = old
+    for m in ("1", "2"):
+        for i in range(2):
+            sc = np.max(np.abs(outs["0"][i]))
+            np.testing.assert_allclose(outs[m][i], outs["0"][i],
+                                       rtol=0, atol=1e-6 * sc)
+
+
+def test_tails_pass_mstack_accuracy_ladder():
+    """tails_pass (M-stacked level dots) tracks each precision grade's
+    expected error vs the HIGHEST einsum twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from recfilter_tpu.kernels import completion as C
+
+    rng = np.random.default_rng(4)
+    q, n, T = 384, 3, 128
+    x = jnp.asarray(rng.standard_normal((q, n, T)), jnp.float32)
+    G = rng.standard_normal((1, 6, T))
+    Gp = np.zeros((n, 8, T), np.float32)
+    Gp[:, :6] = G[0]
+    ref = np.asarray(jnp.einsum(
+        "nst,qnt->nsq", jnp.asarray(Gp), x,
+        precision=jax.lax.Precision.HIGHEST))
+    scale = np.max(np.abs(ref))
+    for nprod, tol in ((6, 1e-5), (3, 2e-3), (1, 2e-2)):
+        y = np.asarray(C.tails_pass(x, G, nprod=nprod, interpret=True))
+        assert np.max(np.abs(y - ref)) / scale < tol, nprod
