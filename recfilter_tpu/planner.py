@@ -158,9 +158,18 @@ class RecFilterSchedule:
         self._log: List[str] = []
 
     # -- recording helper ---------------------------------------------------
-    def _rec(self, directive: str) -> "RecFilterSchedule":
+    def _rec(self, directive: str, mapping: str = "") -> "RecFilterSchedule":
+        """Record ``directive`` with its TPU-mapping report.
+
+        The reference applies every directive literally (GPU loop
+        placement); here each one is annotated with what it did — a Plan
+        knob it set, or WHY it is subsumed on TPU — so a user porting a
+        reference schedule sees a mapping report, never a silent no-op.
+        """
         self._log.append(directive)
-        self._owner._schedule_log.append(f"{self._selector}: {directive}")
+        note = f"  # {mapping}" if mapping else ""
+        self._owner._schedule_log.append(
+            f"{self._selector}: {directive}{note}")
         return self
 
     # -- directives with a real TPU mapping ---------------------------------
@@ -170,58 +179,97 @@ class RecFilterSchedule:
         backend where intra-tile terms never touch HBM."""
         if self._selector.startswith("intra"):
             self._owner._plan = self._owner._plan.with_(backend="pallas")
-        return self._rec("compute_locally()")
+            return self._rec("compute_locally()", "-> Plan.backend='pallas'")
+        return self._rec(
+            "compute_locally()",
+            "no-op: inter-tile carries are HBM-global by construction")
 
     def compute_globally(self) -> "RecFilterSchedule":
         """Materialize the stage in HBM (≙ ``compute_root``,
         ``lib/schedule.cpp:188-217``): the einsum backend's behavior."""
         if self._selector.startswith("intra"):
             self._owner._plan = self._owner._plan.with_(backend="einsum")
-        return self._rec("compute_globally()")
+            return self._rec("compute_globally()",
+                             "-> Plan.backend='einsum'")
+        return self._rec("compute_globally()",
+                         "no-op: inter-tile stages already HBM-global")
 
     def unroll(self, var=None, factor: int = 0) -> "RecFilterSchedule":
         if factor:
             self._owner._plan = self._owner._plan.with_(unroll=factor)
-        return self._rec(f"unroll({var})")
+            return self._rec(f"unroll({var})",
+                             f"-> Plan.unroll={factor} (pallas backend)")
+        return self._rec(
+            f"unroll({var})",
+            "no-op without factor: XLA unrolls traced loops; pass "
+            "factor= to set Plan.unroll for the pallas backend")
 
     def vectorize(self, var=None, width: int = 0) -> "RecFilterSchedule":
         if width:
             self._owner._plan = self._owner._plan.with_(line_block=width)
-        return self._rec(f"vectorize({var})")
+            return self._rec(
+                f"vectorize({var})",
+                f"-> Plan.line_block={width} (pallas strip height)")
+        return self._rec(
+            f"vectorize({var})",
+            "no-op without width: the VPU vectorizes lanes implicitly; "
+            "pass width= to set Plan.line_block for the pallas backend")
 
     def gpu_threads(self, *vars) -> "RecFilterSchedule":
-        return self._rec(f"gpu_threads{vars}")
+        return self._rec(
+            f"gpu_threads{vars}",
+            "no-op: no thread placement on TPU — Mosaic/XLA own the "
+            "lane/sublane mapping")
 
     def gpu_blocks(self, *vars) -> "RecFilterSchedule":
-        return self._rec(f"gpu_blocks{vars}")
+        return self._rec(
+            f"gpu_blocks{vars}",
+            "no-op: tile-grid placement is the pallas grid / XLA "
+            "fusion's job; tile sizes come from RecFilter.split()")
 
     def parallel(self, var=None, factor: int = 0) -> "RecFilterSchedule":
-        return self._rec(f"parallel({var})")
+        return self._rec(
+            f"parallel({var})",
+            "no-op single-chip: cross-chip parallelism is "
+            "set_plan(mesh_axes=..., mesh_shape=...) sharding")
 
     def split(self, var, factor: int) -> "RecFilterSchedule":
-        return self._rec(f"split({var}, {factor})")
+        return self._rec(
+            f"split({var}, {factor})",
+            "no-op: loop splitting ≙ tiling — use RecFilter.split(dim, w)")
 
     def fuse(self, a, b) -> "RecFilterSchedule":
-        return self._rec(f"fuse({a}, {b})")
+        return self._rec(f"fuse({a}, {b})",
+                         "no-op: XLA fuses producer/consumer loops itself")
 
     def rename(self, a, b=None) -> "RecFilterSchedule":
         """Loop-variable rename (the reference builds gpu_blocks/threads as
         parallel().rename(), ``lib/schedule.cpp:19-29``)."""
-        return self._rec(f"rename({a}, {b})")
+        return self._rec(f"rename({a}, {b})",
+                         "no-op: loop names don't survive XLA tracing")
 
     def reorder(self, *vars) -> "RecFilterSchedule":
-        return self._rec(f"reorder{vars}")
+        return self._rec(
+            f"reorder{vars}",
+            "no-op: XLA picks loop order inside fusions; pass order is "
+            "the scan list order (see RecFilter.cascade)")
 
     def reorder_storage(self, *vars) -> "RecFilterSchedule":
         """Storage-order directive (``lib/schedule.cpp:915-990``). The real
         TPU layout knob is ``Plan.rotate_emit`` (rotated-emit pipeline
         chaining, set via ``set_plan``); XLA owns intra-pass layouts."""
-        return self._rec(f"reorder_storage{vars}")
+        return self._rec(
+            f"reorder_storage{vars}",
+            "no-op: intra-pass layout is XLA's; inter-pass layout is "
+            "Plan.rotate_emit (set_plan(rotate_emit=...))")
 
     def storage_layout(self, *args) -> "RecFilterSchedule":
         """``lib/schedule.cpp:835-913`` analog — see :meth:`reorder_storage`
         and ``Plan.rotate_emit``."""
-        return self._rec(f"storage_layout{args}")
+        return self._rec(
+            f"storage_layout{args}",
+            "no-op: see reorder_storage — the TPU knob is "
+            "Plan.rotate_emit")
 
     def __repr__(self) -> str:
         body = "\n".join(f"    .{d}" for d in self._log)

@@ -111,6 +111,11 @@ def test_schedule_handles_record_and_map():
     log = F.print_schedule()
     assert "compute_locally" in log and "gpu_threads" in log
     assert F.plan.backend == "pallas"  # compute_locally → fused kernels
+    # Mapping report (VERDICT r2 weak-7): every directive says what it
+    # did — a Plan knob, or why XLA subsumes it. Never a silent no-op.
+    assert "-> Plan.backend='pallas'" in log
+    assert "no-op" in log  # gpu_threads/gpu_blocks carry the reason
+    assert "Mosaic/XLA own" in log
     with pytest.raises(RuntimeError):
         F.full_schedule()  # tiled filter has no full schedule
 
