@@ -798,22 +798,36 @@ def tails_pass_traced(x, Gcat, *, nprod: int = 6, interpret: bool = False):
     S = int(Gcat.shape[0])
     assert S <= _SLOTS
     nc = _nchunks(nprod)
-    pairs = _prods(nprod)
+    lgs = _level_groups(nprod)
+    nlev = len(lgs)
     Lb, qp = _block_geom(q, T, nprod, 0)
 
     def _run(x, Gcat):
         Gp = jnp.pad(Gcat.astype(jnp.float32), ((0, _SLOTS - S), (0, 0)))
         Gs = _split_vmem(Gp, nc)
-        Gcat_k = jnp.concatenate([Gs[i] for i, _ in pairs], axis=-1)[None]
+        # M-stacked level constant, built IN-GRAPH from the traced matrix
+        # (the static path builds the same layout in numpy): level block g
+        # holds chunk i at lane block nc-1-j for each pair (i, j) of the
+        # level — matching the kernel's _stack_split scratch order. Within
+        # a level all j are distinct, so placement never sums.
+        zero = jnp.zeros_like(Gs[0])
+        blocks = []
+        for lvl_pairs in lgs:
+            cols = [zero] * nc
+            for i, j in lvl_pairs:
+                cols[nc - 1 - j] = Gs[i]
+            blocks.append(jnp.concatenate(cols, axis=-1))
+        Gcat_k = jnp.concatenate(blocks, axis=0)[None]
         if qp != q:
             x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
         xf = x.reshape(qp, n * T)
         y = pl.pallas_call(
-            partial(_tails_kernel, nprod=nprod),
+            partial(_tails_kernel, nprod=nprod, nlev=nlev, rows=_SLOTS),
             out_shape=jax.ShapeDtypeStruct((n * _SLOTS, qp), jnp.float32),
             grid=(n, qp // Lb),
             in_specs=[
-                pl.BlockSpec((1, _SLOTS, nprod * T), lambda t, l: (0, 0, 0),
+                pl.BlockSpec((1, nlev * _SLOTS, nc * T),
+                             lambda t, l: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                              memory_space=pltpu.VMEM),
