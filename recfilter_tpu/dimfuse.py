@@ -509,15 +509,27 @@ def _split_einsum(eq, M, X, npasses, acc):
             out = t if out is None else out + t
         return out
 
-    Mf = jnp.asarray(np.asarray(M), acc)
+    # NUMPY on purpose: a jnp constant materialized here (inside whatever
+    # trace is active — e.g. a shard_map body) leaks into the bwd jaxpr as
+    # a tracer-lifted constant and breaks the outer jit's transpose
+    # ("No constant handler for DynamicJaxprTracer"); a numpy closure is
+    # lifted fresh when the bwd itself is traced.
+    Mf = np.asarray(M, np.dtype(acc))
 
-    def _ref(X):
-        return jnp.einsum(eq, Mf, X.astype(acc), preferred_element_type=acc,
-                          precision=jax.lax.Precision.HIGHEST)
+    # The op is linear in X, so its VJP is the explicitly transposed
+    # HIGHEST einsum (the M,out->X contraction) and needs NO residuals.
+    # (A nested jax.vjp of the reference einsum here fails the same way
+    # under shard_map+jit, and the explicit form is what it computes.)
+    lhs, osub = eq.split("->")
+    msub, xsub = lhs.split(",")
+    teq = f"{msub},{osub}->{xsub}"
 
     f = jax.custom_vjp(_run)
-    f.defvjp(lambda X: (_run(X), X),
-             lambda X0, ct: jax.vjp(_ref, X0)[1](ct))
+    f.defvjp(
+        lambda X: (_run(X), None),
+        lambda _, ct: (jnp.einsum(teq, Mf, ct, preferred_element_type=acc,
+                                  precision=jax.lax.Precision.HIGHEST),),
+    )
     return f(X)
 
 

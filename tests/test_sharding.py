@@ -407,6 +407,88 @@ def test_host_sharded_io_roundtrip_and_filter(tmp_path):
     np.testing.assert_allclose(back, np.asarray(y), rtol=0, atol=0)
 
 
+def test_data_parallel_shipping_executor_route_and_grade(devices):
+    """VERDICT r3 #2: with no sharded scan dimension, every device runs the
+    COMPLETE shipping executor — the 3-touch overlapped px path — at the
+    Plan's default precision. Pins BOTH the route (``fused_2d_px`` taken
+    and not bailed) and the numeric grade (px6 f32 bound, not a loose
+    rtol). Matches the single-execution-path contract of
+    ``lib/recfilter.cpp:932-1016``."""
+    from recfilter_tpu import overlap2d
+
+    mesh = sharding.make_mesh((4,), ("data",))
+    spec = FilterSpec(
+        "Ship", (Dim("c", 8), Dim("y", 128), Dim("x", 128)),
+        (
+            Scan(1, True, 1.0, (0.8, -0.2)),
+            Scan(1, False, 0.9, (0.5,)),
+            Scan(2, True, 1.0, (0.4,)),
+        ),
+        tile_widths=(0, 128, 128),
+    )
+    img = _img(8, 128, 128, seed=40)
+
+    taken = []
+    orig = overlap2d.fused_2d_px
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        taken.append(r is not None)
+        return r
+
+    overlap2d.fused_2d_px = spy
+    try:
+        got = np.asarray(
+            sharding.sharded_apply_filter(
+                spec, Plan(interpret=True), mesh, img, data_axis=0
+            )
+        )
+    finally:
+        overlap2d.fused_2d_px = orig
+    assert taken == [True], "local shards must take the 3-touch px executor"
+    want = scan_core.oracle_apply(spec, img.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 2e-6 * scale  # px6 true-f32 grade
+
+
+def test_seq_sharded_px6_route_and_grade(devices):
+    """VERDICT r3 #2: sequence-sharded local passes thread the Plan's
+    precision mode into the einsum/px executors (not silently HIGHEST),
+    and the end-to-end result holds the px6 f32 bound."""
+    mesh = sharding.make_mesh((4,), ("seq",))
+    spec = FilterSpec(
+        "SeqShip", (Dim("y", 128), Dim("x", 512)),
+        (
+            Scan(1, True, 1.0, (0.8, -0.2)),
+            Scan(1, False, 0.9, (0.5,)),
+            Scan(0, True, 1.0, (0.4,)),
+        ),
+        tile_widths=(128, 128),
+    )
+    img = _img(128, 512, seed=41)
+
+    seen = []
+    orig = sharding._local_apply_dim
+
+    def spy(*a, **k):
+        seen.append(k.get("matmul_precision", "highest"))
+        return orig(*a, **k)
+
+    sharding._local_apply_dim = spy
+    try:
+        got = np.asarray(
+            sharding.sharded_apply_filter(
+                spec, Plan(interpret=True), mesh, img, seq_axis=1
+            )
+        )
+    finally:
+        sharding._local_apply_dim = orig
+    assert seen and all(p == "px6" for p in seen), seen
+    want = scan_core.oracle_apply(spec, img.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 4e-6 * scale  # px6 grade + exchange
+
+
 @pytest.mark.parametrize("exchange", ["gather", "ring"])
 @pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.CLAMP])
 def test_exchange_overlap_deferral(exchange, border):
