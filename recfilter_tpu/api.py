@@ -33,6 +33,66 @@ from .utils import timing
 _max_threads_per_warp = 128  # parity knob (lib/recfilter.cpp:36-46)
 _vectorization_width = 8  # parity knob (lib/recfilter.cpp:48-57)
 
+# Primitives an epilogue-fusable consumer may contain (elementwise maps,
+# dtype casts, scalar broadcasts). Anything outside this set makes
+# compute_at fall back to jit composition — recorded, never silent.
+_ELEMENTWISE_PRIMS = frozenset({
+    "add", "sub", "mul", "div", "neg", "abs", "sign", "max", "min",
+    "pow", "integer_pow", "exp", "log", "log1p", "expm1", "tanh", "sqrt",
+    "rsqrt", "square", "logistic", "erf", "sin", "cos", "floor", "ceil",
+    "round", "clamp", "select_n", "convert_element_type", "and", "or",
+    "xor", "not", "eq", "ne", "ge", "gt", "le", "lt", "is_finite",
+    "broadcast_in_dim", "copy", "stop_gradient", "custom_jvp_call",
+    "custom_vjp_call", "pjit",
+})
+
+
+def _consumer_arity(fn) -> int:
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return 1
+    n = 0
+    for p in params:
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return max(n, 1)
+    return max(n, 1)
+
+
+def _is_elementwise(fn, spec: FilterSpec, n_aux: int) -> bool:
+    """True when ``fn(out, *aux)`` provably lowers to elementwise work on
+    arrays of the filter's output shape: every jaxpr primitive is in
+    :data:`_ELEMENTWISE_PRIMS` (recursing into pjit/custom-call bodies),
+    broadcasts only expand scalars/size-1 operands, and the output shape
+    equals the input shape."""
+    shape = tuple(d.extent for d in spec.dims)
+    aval = jax.ShapeDtypeStruct(shape, jnp.dtype(spec.dtype))
+    try:
+        jaxpr = jax.make_jaxpr(fn)(*([aval] * (1 + n_aux)))
+    except Exception:
+        return False
+
+    def walk(jx) -> bool:
+        for eqn in jx.eqns:
+            if eqn.primitive.name not in _ELEMENTWISE_PRIMS:
+                return False
+            if eqn.primitive.name == "broadcast_in_dim":
+                if int(np.prod(eqn.invars[0].aval.shape)) != 1:
+                    return False
+            for v in eqn.params.values():
+                sub = getattr(v, "jaxpr", None)
+                if sub is not None and not walk(sub):
+                    return False
+        return True
+
+    outs = jaxpr.out_avals
+    return (len(outs) == 1 and tuple(outs[0].shape) == shape
+            and walk(jaxpr.jaxpr))
+
 
 class RecFilter:
     """An n-D recursive filter under construction / ready to run."""
@@ -548,23 +608,75 @@ class RecFilter:
         self._schedule_log.append("apply_bounds()")
         return self
 
-    def compute_at(self, consumer: Callable, level=None):
+    def compute_at(self, consumer, level=None):
         """Fuse this filter into a consumer stage — parity for
         ``RecFilter::compute_at`` (``lib/recfilter.cpp:507-573``), which the
         USM app uses to merge the blur's last kernel into the pointwise
         unsharp mask (``apps/usm/unsharp_mask_optimized.cpp:61-71``).
 
-        On TPU the same fusion is achieved by composing inside one jit: XLA
-        fuses the elementwise consumer into the producer's final kernel.
-        Returns the fused jittable ``fn(input) -> consumer(filter(input))``.
+        The consumer is DISPATCHED to the real fusion machinery:
+
+        * an elementwise callable ``consumer(filter_out, *aux)`` (verified
+          by jaxpr inspection — every primitive elementwise, output shape
+          preserved) fuses as the executor EPILOGUE: an in-VMEM out-block
+          combine in the px kernel modes, dot-output fusion on the einsum
+          path — the filter output never takes an extra HBM stream;
+        * a 2-D shifted-tap bank ``[[(dy, dx, coeff), ...], ...]`` fuses
+          as ``stencil2d`` into the 3-touch executor's emit;
+        * anything else composes under one jit (XLA-level fusion), and the
+          schedule log records WHY the in-kernel route was not taken.
+
+        ``level`` maps the reference's loop-level Var: None or an
+        inner/intra tag fuses at the filter's final kernel (the analog of
+        ``compute_at(..., Var::gpu_threads())``); an outer/inter/root tag
+        explicitly requests HBM materialization between the stages
+        (``compute_root``-like) and forces jit composition; other values
+        are rejected.
+
+        Returns jitted ``fn(input, *aux) -> consumer(filter(input), *aux)``
+        with the chosen route recorded on ``fn.fused_route``.
         """
-        self._schedule_log.append(f"compute_at({getattr(consumer, '__name__', 'consumer')})")
+        tag = None if level is None else str(getattr(level, "tag", level))
+        if tag is not None:
+            inner = any(k in tag.lower()
+                        for k in ("intra", "inner", "thread", "vector"))
+            outer = any(k in tag.lower()
+                        for k in ("inter", "outer", "block", "root", "full"))
+            if not inner and not outer:
+                raise ValueError(
+                    f"compute_at level {level!r}: expected an inner/intra "
+                    "or outer/inter loop tag")
+        else:
+            inner, outer = True, False
+
+        # Tap-bank consumer -> stencil2d fusion.
+        if isinstance(consumer, (list, tuple)):
+            fn = jax.jit(self.as_func(stencil2d=list(consumer)))
+            fn.fused_route = "stencil2d"
+            self._schedule_log.append(
+                "compute_at(<tap bank>)  # -> stencil2d fusion "
+                "(in-kernel emit)")
+            return fn
+
+        name = getattr(consumer, "__name__", "consumer")
+        n_aux = max(_consumer_arity(consumer) - 1, 0)
+        if inner and _is_elementwise(consumer, self.spec, n_aux):
+            inner_fn = self.as_func(epilogue=consumer)
+            fn = jax.jit(lambda x, *aux: inner_fn(x, *aux))
+            fn.fused_route = "epilogue"
+            self._schedule_log.append(
+                f"compute_at({name})  # -> epilogue fusion into the final "
+                "kernel (in-VMEM out-block combine / dot-output fusion)")
+            return fn
+
         producer = self.as_func()
-
-        def fused(x):
-            return consumer(producer(x))
-
-        return jax.jit(fused)
+        fn = jax.jit(lambda x, *aux: consumer(producer(x), *aux))
+        fn.fused_route = "composed"
+        why = ("level requests HBM materialization (compute_root analog)"
+               if outer else "consumer is not provably elementwise")
+        self._schedule_log.append(
+            f"compute_at({name})  # -> jit composition (XLA fusion): {why}")
+        return fn
 
     # ------------------------------------------------------- reorder/cascade
     def cascade(self, *scan_groups) -> List["RecFilter"]:

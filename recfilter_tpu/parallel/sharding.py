@@ -545,11 +545,13 @@ def sharded_apply_filter(
     interpret = plan.interpret or jax.default_backend() != "tpu"
 
     if int_dtype:
-        # Exact integer local scans (data/batch sharding only).
-        from .. import scan_core
+        # Exact integer locals (data/batch sharding only) through the
+        # tiled limb executor where provable, lax.scan otherwise —
+        # the same route as the single-chip path.
+        from .. import dimfuse
 
         def local_int(xl):
-            return scan_core.apply_filter(spec, xl)
+            return dimfuse.apply_filter_fused(spec, xl)
 
         fn = jax.shard_map(
             local_int, mesh=mesh, in_specs=(pspec,), out_specs=pspec,

@@ -47,7 +47,7 @@ def set_default_matmul_precision(p: str) -> None:
     "default"). Composite apps build internal filters with fresh Plans;
     this is how a benchmark or serving config switches them all to the
     fast modes at once."""
-    assert p in ("highest", "high", "f32x6", "f32x4", "f32x3",
+    assert p in ("highest", "high", "f32x6", "f32x4", "f32x3", "f32x9",
                  "px3", "px4", "px6", "default")
     _DEFAULT_MATMUL_PRECISION[0] = p
 
@@ -93,14 +93,18 @@ class Plan:
 
 
 def resolve_backend(spec: FilterSpec, plan: Plan, platform: str) -> str:
-    """Pick the executor for ``auto``: Pallas fused kernels for tiled float
-    filters on TPU, the einsum/MXU path otherwise, lax.scan for integers."""
+    """Pick the executor for ``auto``: the fused einsum/px path for tiled
+    filters (integers included — the exact limb decomposition,
+    ``dimfuse.apply_filter_int_exact``, runs them through the SAME tiled
+    pipeline as the reference does by casting coefficients into the image
+    type, ``lib/recfilter.cpp:324-341``; it falls back to lax.scan itself
+    when exactness is not provable), lax.scan for untiled specs."""
     import jax.numpy as jnp
 
     if plan.backend != "auto":
         return plan.backend
     if jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer):
-        return "scan"
+        return "einsum" if spec.tiled else "scan"
     if spec.tiled:
         # The fused per-dimension einsum path (dimfuse) has no sequential
         # device code at all and measures faster than the strip-resident
