@@ -463,9 +463,19 @@ def sharded_apply_filter(
     seq_name: str = "seq",
     backend: Optional[str] = None,
     exchange: str = "auto",
+    seq2_axis: Optional[int] = None,
+    seq2_name: str = "seq2",
 ):
     """Run the filter on a mesh: lines over ``data_name``, the scan dimension
     over ``seq_name`` (either may be absent).
+
+    ``seq2_axis`` shards a SECOND scan dimension over ``seq2_name`` — the
+    device-level form of the 2-D overlapped tiling (SURVEY §2.6's pod
+    mapping): each dimension pass runs its own carry exchange over its own
+    mesh axis, and the second dimension's exchange consumes the first's
+    completed values, so the cross-dimension coupling ("corner" terms) is
+    exact by sequential composition — the same H-algebra composition the
+    tile-level engine uses, one level up.
 
     ``data_axis``/``seq_axis`` are array-axis indices into ``x``. Extents
     need not divide the mesh axis: non-dividing axes are zero-padded (exact
@@ -494,7 +504,7 @@ def sharded_apply_filter(
     mp = plan.matmul_precision
     scanned = {s.axis for s in spec.scans}
     int_dtype = jnp.issubdtype(jnp.dtype(spec.dtype), jnp.integer)
-    if int_dtype and seq_axis in scanned:
+    if int_dtype and (seq_axis in scanned or seq2_axis in scanned):
         # The carry-exchange correction is float math; integer specs are
         # exact only through the scan_core path. Shard lines/batch instead.
         raise NotImplementedError(
@@ -512,6 +522,11 @@ def sharded_apply_filter(
     if seq_axis is not None:
         pspec[seq_axis] = seq_name
         shard_of[seq_axis] = (seq_name, mesh.shape[seq_name])
+    if seq2_axis is not None:
+        if seq2_axis in shard_of:
+            raise ValueError("seq2_axis duplicates another sharded axis")
+        pspec[seq2_axis] = seq2_name
+        shard_of[seq2_axis] = (seq2_name, mesh.shape[seq2_name])
     pspec = P(*pspec)
 
     if exchange not in ("auto", "gather", "ring"):
@@ -662,6 +677,7 @@ def make_sharded_filter(
     seq_axis: Optional[int] = None,
     backend: Optional[str] = None,
     exchange: str = "auto",
+    seq2_axis: Optional[int] = None,
 ):
     """Jitted closure over (mesh, spec, plan) taking the global array."""
 
@@ -670,7 +686,7 @@ def make_sharded_filter(
         return sharded_apply_filter(
             spec, plan, mesh, x,
             data_axis=data_axis, seq_axis=seq_axis, backend=backend,
-            exchange=exchange,
+            exchange=exchange, seq2_axis=seq2_axis,
         )
 
     return fn
