@@ -687,6 +687,19 @@ def fused_dim_pass(
         return xs.astype(x.dtype)
 
     T, n, pad = plan
+    # Audio-scale tile counts: the two-level supertile chain rides the px
+    # completion kernels instead of the associative einsum path (gates
+    # inside; falls through when not applicable). RECFILTER_NO_HIER=1 is
+    # the A/B escape hatch (scripts/audio_sweep.py comparisons).
+    import os as _os
+
+    if (n > _CHAIN_MATMUL_MAX_TILES and epilogue is None
+            and compute_dtype == jnp.float32 and matmul_dtype is None
+            and not _os.environ.get("RECFILTER_NO_HIER")):
+        yh = hierarchical_dim_pass(x, axis, list(scans), border,
+                                   matmul_precision)
+        if yh is not None:
+            return yh
     # Scan axes within reach of the trailing group route through the
     # lanes-contraction form: move the scan axis last (one relayout for
     # non-last axes; free for the last) and emit rotated back into place —
@@ -1568,6 +1581,116 @@ def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
     if Ky < 8:
         braw_y = jnp.pad(braw_y, ((0, 0), (0, 8 - Ky), (0, 0)))
     return braw_x, braw_y
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical two-level chain: tiles -> supertiles (VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+
+
+def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
+                          matmul_precision: str):
+    """Audio-scale dimension pass via a TWO-LEVEL chain so n ~ 10^4 tile
+    counts ride the px completion kernels (whose gates cap the dense
+    combined solve at n <= 512 lane tiles of 128).
+
+    Level 1: reshape the scan axis into (n_sup, seg) supertiles of
+    seg = 256·128 samples and run each scan's zero-state local pass with
+    the supertile axis as LINES — the kernels get real line counts
+    (PR = lead·n_sup) instead of the 1-D signal's skinny batch, and every
+    supertile's chain solves densely at n = 256 tiles. Level 2: one
+    (n_sup·ΣK)² combined solve over the supertile boundary carries — the
+    device-level exchange algebra (``parallel.sharding``) applied at the
+    in-chip level, with the same clamp rank-1 edge corrections and pad
+    projector — then a rank-ΣK correction closes every supertile.
+
+    The internal tile width is 128 regardless of the caller's (the blocked
+    algebra's result is tile-invariant). Returns None when a gate fails
+    (ΣK > 8 carry slots, > 512 supertiles ≈ 16.7M samples, tiny effective
+    last segment, non-px precision) — callers keep the associative-scan
+    path. Reference headline workload:
+    ``apps/audio/audio_filter_high_order.cpp:38-93``.
+    """
+    S = int(sum(s.order for s in scans))
+    kmax = max(s.order for s in scans)
+    if S > 8:
+        return None
+    # px modes ride the completion kernels inside the supertile locals;
+    # throughput mode ("default") rides the same structure through plain
+    # einsum locals — the dense 256-tile supertile solves beat the
+    # associative chain either way (A/B: px6 1.06 -> 0.46 ms at 10M/ord2).
+    if (_kernel_nprod(jnp.float32, None, matmul_precision) < 3
+            and matmul_precision != "default"):
+        return None
+    w = x.shape[axis]
+    T = 128
+    seg = _CHAIN_MATMUL_MAX_TILES * T  # 256 tiles: the kernel-eligible max
+    n_sup = -(-w // seg)
+    if n_sup < 2 or n_sup > 512:
+        return None
+    pad = n_sup * seg - w
+    if seg - pad <= kmax + 1:
+        return None
+    clamp = border == BorderMode.CLAMP
+
+    from .parallel import sharding as _sh
+
+    xm = jnp.moveaxis(x, axis, -1) if axis != x.ndim - 1 else x
+    lead = xm.shape[:-1]
+    if pad:
+        xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, pad)])
+    y = xm.reshape(lead + (n_sup, seg)).astype(jnp.float32)
+
+    cs = []
+    for s in scans:
+        k = s.order
+        if clamp:
+            e_seg = 0 if s.causal else n_sup - 1
+            e_pos = 0 if s.causal else seg - 1 - pad
+            x_edge = y[..., e_seg, e_pos][..., None, None]
+        y = fused_dim_pass(y, y.ndim - 1, [s], T, BorderMode.ZERO,
+                           matmul_precision=matmul_precision)
+        if clamp:
+            v = _sh._clamp_col(s, seg if s.causal else seg - pad, total=seg)
+            vj = jnp.asarray(v, y.dtype)
+            upd = y[..., e_seg, :] + vj * x_edge[..., 0, :]
+            y = y.at[..., e_seg, :].set(upd)
+        if pad:
+            y = y.at[..., n_sup - 1, seg - pad:].set(0.0)
+        c = y[..., seg - k:] if s.causal else y[..., :k]
+        cs.append(c)
+    ccat = jnp.concatenate(cs, axis=-1)  # (..., n_sup, S)
+
+    orders, H, CMs, Rcats = _sh._segment_exchange_mats(
+        scans, seg, n_sup, clamp, pad)
+    CMfull = _sh._combined_solve(orders, H, CMs, n_sup)  # (n_sup·S)²
+    hi = jax.lax.Precision.HIGHEST
+    N = jnp.einsum(
+        "ts,...s->...t", jnp.asarray(CMfull, jnp.float32),
+        ccat.reshape(lead + (n_sup * S,)),
+        preferred_element_type=jnp.float32, precision=hi,
+    ).reshape(lead + (n_sup, S))
+
+    # Rank-S correction: interior columns on every supertile, plus edge
+    # deltas on the globally-first/last supertiles under clamp/pad.
+    Rint = Rcats[0 if Rcats.shape[0] == 1 else 1]
+    y = y + jnp.einsum("ts,...ns->...nt", jnp.asarray(Rint, jnp.float32), N,
+                       preferred_element_type=jnp.float32, precision=hi)
+    if Rcats.shape[0] == 3:
+        for sel, si in ((0, 0), (2, n_sup - 1)):
+            dR = np.asarray(Rcats[sel]) - np.asarray(Rint)
+            corr = jnp.einsum(
+                "ts,...s->...t", jnp.asarray(dR, jnp.float32),
+                N[..., si, :], preferred_element_type=jnp.float32,
+                precision=hi)
+            y = y.at[..., si, :].add(corr)
+
+    y = y.reshape(lead + (n_sup * seg,))
+    if pad:
+        y = jax.lax.slice_in_dim(y, 0, w, axis=-1)
+    if axis != x.ndim - 1:
+        y = jnp.moveaxis(y, -1, axis)
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,27 @@ def _level_groups(nprod: int):
             for lvl in sorted({i + j for i, j in pairs}, reverse=True)]
 
 
+def _mstack_level_const(chunks, lgs, nc: int, xp):
+    """M-stacked level-constant layout — THE single builder shared by
+    :func:`tails_pass` (numpy), the chained-tails extraction inside
+    :func:`completion_pass` (numpy), :func:`tails_pass_traced` (in-graph),
+    and final2d's ``_cat_split_mstack``: level block g holds chunk ``i``
+    at lane block ``nc-1-j`` for each (i, j) pair of the level — matching
+    ``_stack_split``'s reversed (highest-chunk-first) scratch order, so
+    ONE dot against the chunk-stacked scratch streams every level's
+    K-tiles once. Within a level all j are distinct, so placement never
+    sums. ``chunks``: per-chunk constant arrays (..., rows, T); ``xp`` is
+    numpy or jax.numpy. Returns (..., nlev·rows, nc·T)."""
+    zero = xp.zeros_like(chunks[0])
+    blocks = []
+    for lvl_pairs in lgs:
+        cols = [zero] * nc
+        for i, j in lvl_pairs:
+            cols[nc - 1 - j] = chunks[i]
+        blocks.append(xp.concatenate(cols, axis=-1))
+    return xp.concatenate(blocks, axis=-2)
+
+
 def _prods(nprod: int):
     """(i, j) chunk-product index pairs, smallest-magnitude first.
     ``nprod=1`` is the bf16 storage mode: one plain product, operands
@@ -563,14 +584,8 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 lgs2 = _level_groups(nprod)
                 g2rows, g2w = len(lgs2) * _SLOTS, nc * T2
                 Gs2 = _split_const_np(Gp2, nc)
-                lblocks = []
-                for lvl_pairs in lgs2:
-                    blk = np.zeros((n2, _SLOTS, nc * T2), Gs2[0].dtype)
-                    for i, j in lvl_pairs:
-                        blk[:, :, (nc - 1 - j) * T2:(nc - j) * T2] = Gs2[i]
-                    lblocks.append(blk)
                 G2k = jnp.asarray(
-                    np.concatenate(lblocks, axis=1).reshape(
+                    _mstack_level_const(Gs2, lgs2, nc, np).reshape(
                         n2 * g2rows, nc * T2))
             if ka:
                 in_specs.append(
@@ -737,13 +752,7 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
     Gs = _split_const_np(Gp, nc)
     lgs = _level_groups(nprod)
     nlev = len(lgs)
-    blocks = []
-    for lvl_pairs in lgs:
-        blk = np.zeros((Gp.shape[0], rows, nc * T), Gs[0].dtype)
-        for i, j in lvl_pairs:
-            blk[:, :, (nc - 1 - j) * T:(nc - j) * T] = Gs[i]
-        blocks.append(blk)
-    Gcat_k = jnp.asarray(np.concatenate(blocks, axis=1))
+    Gcat_k = jnp.asarray(_mstack_level_const(Gs, lgs, nc, np))
 
     Lb, qp = _block_geom(q, T, nprod, 0)
 
@@ -806,18 +815,8 @@ def tails_pass_traced(x, Gcat, *, nprod: int = 6, interpret: bool = False):
         Gp = jnp.pad(Gcat.astype(jnp.float32), ((0, _SLOTS - S), (0, 0)))
         Gs = _split_vmem(Gp, nc)
         # M-stacked level constant, built IN-GRAPH from the traced matrix
-        # (the static path builds the same layout in numpy): level block g
-        # holds chunk i at lane block nc-1-j for each pair (i, j) of the
-        # level — matching the kernel's _stack_split scratch order. Within
-        # a level all j are distinct, so placement never sums.
-        zero = jnp.zeros_like(Gs[0])
-        blocks = []
-        for lvl_pairs in lgs:
-            cols = [zero] * nc
-            for i, j in lvl_pairs:
-                cols[nc - 1 - j] = Gs[i]
-            blocks.append(jnp.concatenate(cols, axis=-1))
-        Gcat_k = jnp.concatenate(blocks, axis=0)[None]
+        # (same single builder as the numpy static paths).
+        Gcat_k = _mstack_level_const(Gs, lgs, nc, jnp)[None]
         if qp != q:
             x = jnp.pad(x, ((0, qp - q), (0, 0), (0, 0)))
         xf = x.reshape(qp, n * T)

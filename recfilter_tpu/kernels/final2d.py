@@ -137,8 +137,9 @@ def final2d(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_cat, NB_cat,
 # position — streaming a per-tile stack per grid step would double HBM
 # traffic.
 
-from .completion import (_SLOTS, _nchunks, _prods, _split_const_np,
-                         _split_vmem, _stack_split, pad_solve_matrix)
+from .completion import (_SLOTS, _mstack_level_const, _nchunks, _prods,
+                         _split_const_np, _split_vmem, _stack_split,
+                         pad_solve_matrix)
 
 
 def _variants3(stack) -> np.ndarray:
@@ -172,17 +173,12 @@ def _cat_split_mstack(M, pairs, nc) -> jnp.ndarray:
     2): ``nc`` K-tile passes instead of mode 1's sum over levels
     (1+2+…+nc chunk passes), at the cost of (nlev−1) row-group adds on the
     skinny output. Within a level each j appears at most once (i = l − j),
-    so the column blocks never overlap."""
+    so the column blocks never overlap. Layout built by the ONE shared
+    builder (``completion._mstack_level_const``)."""
     chunks = _split_const_np(M, nc)
-    v, r, c = chunks[0].shape
-    blocks = []
-    for lvl in sorted({i + j for i, j in pairs}, reverse=True):
-        blk = np.zeros((v, r, nc * c), dtype=chunks[0].dtype)
-        for i, j in pairs:
-            if i + j == lvl:
-                blk[:, :, (nc - 1 - j) * c:(nc - j) * c] = chunks[i]
-        blocks.append(blk)
-    return jnp.asarray(np.concatenate(blocks, axis=1))
+    lgs = [[(i, j) for i, j in pairs if i + j == lvl]
+           for lvl in sorted({i + j for i, j in pairs}, reverse=True)]
+    return jnp.asarray(_mstack_level_const(chunks, lgs, nc, np))
 
 
 def _pad_slots(M, k_axis: int = 2) -> np.ndarray:

@@ -1005,3 +1005,76 @@ def test_stencil_per_slice_kernel_and_grad():
     g_px, g_hi = np.asarray(loss("px6")), np.asarray(loss("highest"))
     gs = np.abs(g_hi).max() + 1e-30
     assert np.abs(g_px - g_hi).max() <= 1e-5 * gs
+
+
+def test_hierarchical_two_level_chain_rides_kernels():
+    """VERDICT r3 #4: audio-scale tile counts route through the two-level
+    supertile chain — supertile-local passes ride the px completion
+    kernels (interpret mode here), one combined supertile solve closes the
+    chain — and match the oracle at f32 grade, incl. clamp, anticausal,
+    and non-dividing extents."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu.kernels import completion
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (500000, BorderMode.ZERO, True, 3, 50),
+        (500001, BorderMode.CLAMP, False, 2, 40),
+    ]
+    for w, border, causal, order, tile in cases:
+        x = (rng.standard_normal(w) * 0.1).astype(np.float32)
+        fb = tuple([0.3, -0.1, 0.05][:order])
+        s = Scan(0, causal, 0.9, fb)
+
+        hier, kern = [], []
+        orig_h = dimfuse.hierarchical_dim_pass
+        orig_k = completion.completion_pass
+
+        def spy_h(*a, **k):
+            r = orig_h(*a, **k)
+            hier.append(r is not None)
+            return r
+
+        def spy_k(*a, **k):
+            kern.append(1)
+            return orig_k(*a, **k)
+
+        dimfuse.hierarchical_dim_pass = spy_h
+        completion.completion_pass = spy_k
+        try:
+            got = np.asarray(dimfuse.fused_dim_pass(
+                jnp.asarray(x), 0, [s], tile, border,
+                matmul_precision="px6"))
+        finally:
+            dimfuse.hierarchical_dim_pass = orig_h
+            completion.completion_pass = orig_k
+        assert hier == [True], (w, border)
+        assert kern, "supertile locals must ride the px completion kernels"
+        want = scan_core.oracle_apply_scan(
+            x.astype(np.float64), 0, causal, 0.9, list(fb), border)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 2e-6 * scale, (w, border)
+
+
+def test_hierarchical_gates_fall_back():
+    """Beyond the provable range the associative path keeps serving:
+    ΣK > 8 and > 512 supertiles return None."""
+    import jax.numpy as jnp
+
+    big = Scan(0, True, 1.0, tuple([0.01] * 9))  # order 9 > 8 slots
+    assert dimfuse.hierarchical_dim_pass(
+        jnp.ones(200000, jnp.float32), 0, [big], BorderMode.ZERO,
+        "px6") is None
+    s = Scan(0, True, 1.0, (0.5,))
+    assert dimfuse.hierarchical_dim_pass(
+        jnp.ones(1000, jnp.float32), 0, [s], BorderMode.ZERO,
+        "px6") is None  # n_sup < 2
+    assert dimfuse.hierarchical_dim_pass(
+        jnp.ones(200000, jnp.float32), 0, [s], BorderMode.ZERO,
+        "highest") is None  # HIGHEST keeps the einsum path
+    # throughput mode rides the hierarchy (dense supertile solves beat
+    # the associative chain at every grade — measured on chip)
+    y = dimfuse.hierarchical_dim_pass(
+        jnp.ones(200000, jnp.float32), 0, [s], BorderMode.ZERO, "default")
+    assert y is not None
