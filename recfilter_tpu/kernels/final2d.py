@@ -244,8 +244,9 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
     return best * Tb
 
 
-def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
-                       nprod, kb, Tb, na, nb, h8: int = 0, mode: int = 0):
+def _moments_px_kernel(Ga_ref, Gb_ref, *rest,
+                       nprod, kb, Tb, na, nb, h8: int = 0, mode: int = 0,
+                       t1: bool = False):
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
     moments, all from one VMEM split of the block.
 
@@ -268,7 +269,18 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
     ``h8`` rows of each tile's completion matrix, so the SAME skinny
     dots also emit tile-edge completion partials (``o_edge``) — the
     row-halo feed for 2-D stencil consumers fused into ``final2d_px``.
-    M grows 8 → 8+2·h8 ≤ 128: the MXU row slack is free."""
+    M grows 8 → 8+2·h8 ≤ 128: the MXU row slack is free.
+
+    ``t1`` (mode 2 only): emit ``term1 = Btot_a · U`` instead of the raw
+    dim-B moments U — the bB assembly's biggest glue einsum folded into
+    the kernel as ONE extra stacked split dot over the collected
+    (kb·8, Ta) moments (U is consumed ONLY by that einsum downstream, so
+    the HBM round trip of U and the HIGHEST operand copies disappear).
+    An extra ``Ba1_ref`` const precedes ``x_ref`` in that case."""
+    if t1:
+        Ba1_ref, x_ref, o1_ref, o2_ref, *o_edge = rest
+    else:
+        x_ref, o1_ref, o2_ref, *o_edge = rest
     a = pl.program_id(1)
     l = pl.program_id(2)
     nc = _nchunks(nprod)
@@ -293,6 +305,7 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
         for g in range(1, nlev):  # smallest-magnitude level first, as mode 1
             acc1 = acc1 + acc[g * Mr:(g + 1) * Mr]
         _store1(acc1)
+        accs = []
         for c in range(kb):
             sl = slice(c * Tb, (c + 1) * Tb)
             Gb = _sel_variant(Gb_ref, l * kb + c, nb)
@@ -303,7 +316,22 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
             acc2 = a2[:_SLOTS]
             for g in range(1, nlev):
                 acc2 = acc2 + a2[g * _SLOTS:(g + 1) * _SLOTS]
-            o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
+            if t1:
+                accs.append(acc2)
+            else:
+                o2_ref[c * _SLOTS:(c + 1) * _SLOTS, :] = acc2
+        if t1:
+            # term1 = U · Btot_aᵀ in ONE stacked split dot (M = kb·8):
+            # U rows are f32, re-split like the final kernel's z.
+            A2 = jnp.concatenate(accs, axis=0) if kb > 1 else accs[0]
+            pairs = _prods(nprod)
+            zs = _split_vmem(A2, nc)
+            zcat = (jnp.concatenate([zs[j] for _, j in pairs], axis=1)
+                    if nc > 1 else zs[0])
+            Ba1 = _sel_variant(Ba1_ref, a, na)
+            o2_ref[:] = jax.lax.dot_general(
+                zcat, Ba1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return
     if mode == 1:
         levels = _level_slices(nprod, nc)
@@ -353,19 +381,27 @@ def _moments_px_kernel(Ga_ref, Gb_ref, x_ref, o1_ref, o2_ref, *o_edge,
 
 
 def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
-                 edge_mats=None):
+                 edge_mats=None, term1_mats=None):
     """Pass 1 (px): both dimensions' raw tails from ONE read of x.
 
     x       : (p, na, Ta, W) f32, W = nb·Tb
     G_a_cat : (na|1, Ka, Ta);  G_b_cat : (nb|1, Kb, Tb)
     returns : bA_t (p, na, 8, W)   — dim-A tails, slot-padded transposed
               U_t  (p, na, nb·8, Ta) — dim-B moments of raw x, transposed
+              ...   a trailing ``used_t1`` bool (see ``term1_mats``)
 
     ``edge_mats = (Btot_a, h8)``: also emit per-tile edge completion
     partials — ``ht (p, na, h8, W) = Btot_a[:h8]·x`` and
     ``hb = Btot_a[Ta-h8:]·x`` — stacked into the SAME skinny dim-A dots
     (zero extra MXU passes; the row-halo feed for 2-D stencil consumers
-    fused into ``final2d_px``). Returns (bA_t, U_t, ht, hb).
+    fused into ``final2d_px``). Returns (bA_t, U_t, ht, hb, used_t1).
+
+    ``term1_mats = Btot_a``: emit ``term1 = Btot_a·U`` in place of U_t
+    (same shape) — the bB assembly's biggest glue einsum folded into the
+    kernel as one stacked split dot (kernel mode 2 only; U is consumed
+    ONLY by that einsum in ``overlap2d.fused_2d_px``, so its HBM round
+    trip disappears). The trailing ``used_t1`` flag reports whether the
+    fold engaged (mode/env gates); RECFILTER_PXM_T1=0 is the A/B hatch.
     """
     p, na, Ta, W = x.shape
     Ga = np.asarray(G_a_cat)
@@ -387,6 +423,8 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
     import os
 
     mode = int(os.environ.get("RECFILTER_PXM_KMODE", "2"))
+    use_t1 = (term1_mats is not None and mode == 2 and nc > 1
+              and os.environ.get("RECFILTER_PXM_T1", "1") == "1")
     if mode == 2 and nc > 1:
         # M-stacked level constants: one dot streams the scratch once.
         Gav = _cat_split_mstack(_variants3(Ga_rows), pairs, nc)
@@ -395,13 +433,15 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
         mode = min(mode, 1)
         Gav = _cat_split(_variants3(Ga_rows), pairs, nc)
         Gbv = _cat_split(_variants3(_pad_slots(Gb, 1)), pairs, nc)
+    Ba1v = (_cat_split(_variants3(term1_mats), pairs, nc)
+            if use_t1 else None)
 
     # Moments is DMA-bound with a light VMEM footprint (x + chunks only) —
     # bigger lane blocks than the dual-completion kernel pay off.
     Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
-                   na=na, nb=nb, h8=h8, mode=mode)
+                   na=na, nb=nb, h8=h8, mode=mode, t1=use_t1)
 
     def _run(x):
         edge_shape = tuple(
@@ -411,6 +451,10 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
             pl.BlockSpec((None, None, h8, Lb), lambda i, a, l: (i, a, 0, l),
                          memory_space=pltpu.VMEM)
             for _ in range(2)) if h8 else ()
+        t1_ops = (Ba1v,) if use_t1 else ()
+        t1_specs = ([pl.BlockSpec(Ba1v.shape, lambda i, a, l: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+                    if use_t1 else [])
         return pl.pallas_call(
             kern,
             out_shape=(
@@ -423,6 +467,7 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(Gbv.shape, lambda i, a, l: (0, 0, 0),
                              memory_space=pltpu.VMEM),
+            ] + t1_specs + [
                 pl.BlockSpec((None, None, Ta, Lb),
                              lambda i, a, l: (i, a, 0, l),
                              memory_space=pltpu.VMEM),
@@ -439,7 +484,7 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
                 dimension_semantics=("parallel", "parallel", "parallel")
             ),
             interpret=interpret,
-        )(Gav, Gbv, x)
+        )(Gav, Gbv, *t1_ops, x)
 
     # VJP via the einsum twins (pallas_call has no autodiff rule); all
     # outputs are linear in x. Twins pinned to HIGHEST (TPU grad contract).
@@ -455,6 +500,11 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
         Btn = jnp.asarray(Ba_top[idx], jnp.float32)
         Bbn_e = jnp.asarray(Ba_bot[idx], jnp.float32)
 
+    if use_t1:
+        Ba1n = np.asarray(term1_mats, np.float64)
+        Ba1n = jnp.asarray(
+            Ba1n[np.minimum(np.arange(na), Ba1n.shape[0] - 1)], jnp.float32)
+
     def _ref(x):
         xf = x.astype(jnp.float32)
         bA = jnp.einsum("aks,pasw->pakw", Gan, xf, precision=hi,
@@ -462,6 +512,9 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
         xr = xf.reshape(p, na, Ta, nb, Tb)
         U = jnp.einsum("bkt,pasbt->pabks", Gbn, xr, precision=hi,
                        preferred_element_type=jnp.float32)
+        if use_t1:
+            U = jnp.einsum("aos,pabks->pabko", Ba1n, U, precision=hi,
+                           preferred_element_type=jnp.float32)
         outs = (bA, U.reshape(p, na, nb * _SLOTS, Ta))
         if h8:
             outs += (
@@ -475,7 +528,7 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
     f = jax.custom_vjp(_run)
     f.defvjp(lambda x: (_run(x), x),
              lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
-    return f(x)
+    return f(x) + (use_t1,)
 
 
 def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,

@@ -267,13 +267,17 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     Rb_cat = np.concatenate([np.asarray(r) for r in mb.Rhat], axis=2)
 
     # ---- pass 1 (one read of x): dim-A raw tails + dim-B moments ---------
+    # (term1_mats: the kernel emits Btot_a·U directly where its gates
+    # hold — the bB assembly's biggest glue einsum and U's HBM round trip
+    # disappear; used_t1 reports whether the fold engaged)
     moments = k2d.moments2d_px(
         X4, Ga_cat, Gb_cat, nprod=nprod, interpret=interpret,
-        edge_mats=(ma.Btot, h8) if h8 else None)
+        edge_mats=(ma.Btot, h8) if h8 else None, term1_mats=ma.Btot)
+    used_t1 = moments[-1]
     if h8:
-        bA_t, U_t, ht_m, hb_m = moments
+        bA_t, U_t, ht_m, hb_m = moments[:-1]
     else:
-        bA_t, U_t = moments
+        bA_t, U_t = moments[:-1]
 
     # ---- dim-A chain solve (slot-padded transposed layout) ---------------
     CMa = dimfuse.combined_solve_matrix(ma, na)
@@ -293,12 +297,16 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
 
     # ---- dim-B raw tails from carry-sized data only ----------------------
     # Gb ∘_B Z = Btot_A ∘_A (Gb ∘_B x) + Ra_cat ∘_A (Gb ∘_B N_A)
-    Ban = _expand_stack(ma.Btot, na)                      # (na, Ta, Ta)
     Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
     Gbn = _expand_stack(Gb_cat, nb)                       # (nb, Kb, Tb)
-    U = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]  # (p,na,nb,Kb,Ta)
-    term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
-                       preferred_element_type=jnp.float32)
+    if used_t1:
+        # the moments kernel already emitted term1 = Btot_a·U
+        term1 = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
+    else:
+        Ban = _expand_stack(ma.Btot, na)                  # (na, Ta, Ta)
+        U = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
+        term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
+                           preferred_element_type=jnp.float32)
     NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
     GN = jnp.einsum("bkt,pajbt->pabkj", Gbn, NAr, precision=hi,
                     preferred_element_type=jnp.float32)
