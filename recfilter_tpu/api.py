@@ -90,7 +90,11 @@ def _is_elementwise(fn, spec: FilterSpec, n_aux: int) -> bool:
         return True
 
     outs = jaxpr.out_avals
+    # dtype must be preserved too: the fused executor emits in the
+    # FILTER's dtype, so a dtype-changing consumer (comparisons, casts)
+    # must take the composed route to keep consumer(filter(x)) semantics.
     return (len(outs) == 1 and tuple(outs[0].shape) == shape
+            and outs[0].dtype == jnp.dtype(spec.dtype)
             and walk(jaxpr.jaxpr))
 
 
@@ -649,8 +653,23 @@ class RecFilter:
         else:
             inner, outer = True, False
 
-        # Tap-bank consumer -> stencil2d fusion.
+        # Tap-bank consumer -> stencil2d fusion (an OUTER level explicitly
+        # requests HBM materialization between the stages: filter first,
+        # then the XLA-shift stencil on the materialized output).
         if isinstance(consumer, (list, tuple)):
+            if outer:
+                from .kernels.stencil2d import stencil2d_ref
+
+                taps = [[(int(dy), int(dx), float(c)) for dy, dx, c in bank]
+                        for bank in consumer]
+                producer = self.as_func()
+                fn = jax.jit(lambda x: stencil2d_ref(producer(x), taps))
+                fn.fused_route = "composed"
+                self._schedule_log.append(
+                    "compute_at(<tap bank>)  # -> jit composition (XLA "
+                    "shifts): level requests HBM materialization "
+                    "(compute_root analog)")
+                return fn
             fn = jax.jit(self.as_func(stencil2d=list(consumer)))
             fn.fused_route = "stencil2d"
             self._schedule_log.append(

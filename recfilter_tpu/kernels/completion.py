@@ -66,8 +66,12 @@ def _split_const_np(M, nchunks: int):
 
 
 def _split_const(M, nchunks: int):
-    """Device-constant form of :func:`_split_const_np`."""
-    return [jnp.asarray(c) for c in _split_const_np(M, nchunks)]
+    """Alias of :func:`_split_const_np` — NUMPY chunks on purpose. A jnp
+    constant bound as a pallas_call operand inside a shard_map trace leaks
+    a tracer into the linearized jaxpr ("No constant handler for
+    DynamicJaxprTracer" under jax.grad of the sharded executor); numpy
+    operands embed as fresh literals wherever they are staged."""
+    return list(_split_const_np(M, nchunks))
 
 
 def _split_vmem(x, nchunks: int):
@@ -356,10 +360,16 @@ def _tails_gate(rot: bool, q: int, qp: int, Lb: int, next_tails):
 
 def _expand_stack(M, n: int):
     """(nv, ...) matrix stack -> per-tile (n, ...) float32 (min-index
-    broadcast of a uniform stack)."""
+    broadcast of a uniform stack).
+
+    Returns NUMPY, not jnp: these stacks are closed over by custom-VJP
+    bwd twins, and a jnp constant materialized at build/trace time breaks
+    the shard_map+jit transpose (see CLAUDE.md / dimfuse._split_einsum).
+    jnp.einsum embeds a numpy operand at whatever trace level consumes it.
+    """
     M = np.asarray(M, np.float64)
-    return jnp.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
-                       jnp.float32)
+    return np.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
+                      np.float32)
 
 
 def _stencil_flat(yf, taps, start: str, end: str):
@@ -486,13 +496,13 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     Bs = _split_const(Btot, nc)
     # Stacked contraction: B chunks tiled along one nprod*T axis (and R
     # chunks along nprod*8), matching the kernel's in-VMEM x/carry concat.
-    Bcat_k = jnp.concatenate([Bs[i] for i, _ in pairs], axis=-1)
+    Bcat_k = np.concatenate([Bs[i] for i, _ in pairs], axis=-1)
     Rp = np.zeros((max(nv, n), T, _SLOTS), np.float64)
     Rp[:, :, :S] = np.asarray(Rcat, np.float64)[
         np.minimum(np.arange(n), nv - 1)
     ]
     Rs = _split_const(Rp, nc)
-    Rcat_k = jnp.concatenate([Rs[i] for i, _ in pairs], axis=-1)
+    Rcat_k = np.concatenate([Rs[i] for i, _ in pairs], axis=-1)
 
     Lb, qp = _block_geom(q, T, nprod, len(eaux))
     kt, ka = _tails_gate(rot, q, qp, Lb, next_tails)
@@ -576,7 +586,7 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             ]
             if _TAILS_F32_DOT:
                 g2rows, g2w = _SLOTS, T2
-                G2k = jnp.asarray(Gp2, jnp.float32).reshape(
+                G2k = np.asarray(Gp2, np.float32).reshape(
                     n2 * _SLOTS, T2)
             else:
                 # M-stacked level constant (see _tails_kernel): per tile
@@ -584,9 +594,8 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
                 lgs2 = _level_groups(nprod)
                 g2rows, g2w = len(lgs2) * _SLOTS, nc * T2
                 Gs2 = _split_const_np(Gp2, nc)
-                G2k = jnp.asarray(
-                    _mstack_level_const(Gs2, lgs2, nc, np).reshape(
-                        n2 * g2rows, nc * T2))
+                G2k = _mstack_level_const(Gs2, lgs2, nc, np).reshape(
+                    n2 * g2rows, nc * T2)
             if ka:
                 in_specs.append(
                     pl.BlockSpec((n2 * g2rows, g2w),
@@ -752,7 +761,7 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
     Gs = _split_const_np(Gp, nc)
     lgs = _level_groups(nprod)
     nlev = len(lgs)
-    Gcat_k = jnp.asarray(_mstack_level_const(Gs, lgs, nc, np))
+    Gcat_k = _mstack_level_const(Gs, lgs, nc, np)  # numpy (operand const)
 
     Lb, qp = _block_geom(q, T, nprod, 0)
 
@@ -782,7 +791,8 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
         return y[..., :q] if qp != q else y
 
     # VJP via the einsum twin (see completion_pass): y = Gp ∘ x, linear.
-    Gn = jnp.asarray(Gp, jnp.float32)
+    # numpy, not jnp — bwd closure constant (see _expand_stack's note).
+    Gn = np.asarray(Gp, np.float32)
 
     def _ref(x):
         return jnp.einsum("nst,qnt->nsq", Gn, x.astype(jnp.float32),

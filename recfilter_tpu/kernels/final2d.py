@@ -35,8 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_TILE = 128  # Tb constraint: static lane slices must be 128-aligned
 
 
-def _stack3(mat_stack) -> jnp.ndarray:
-    return jnp.asarray(np.asarray(mat_stack), dtype=jnp.float32)
+def _stack3(mat_stack) -> np.ndarray:
+    # numpy on purpose — operand constants must not be jnp at trace time
+    # (see completion._split_const's note on the shard_map transpose leak)
+    return np.asarray(np.asarray(mat_stack), dtype=np.float32)
 
 
 def _a_index(size):
@@ -160,7 +162,7 @@ def _cat_split(M, pairs, nc) -> jnp.ndarray:
     """bf16 chunk-concat of a (v, r, c) variant stack along the LAST axis
     (the contraction axis): (v, r, nprod·c)."""
     chunks = _split_const_np(M, nc)
-    return jnp.asarray(np.concatenate([chunks[i] for i, _ in pairs], axis=2))
+    return np.concatenate([chunks[i] for i, _ in pairs], axis=2)
 
 
 def _cat_split_mstack(M, pairs, nc) -> jnp.ndarray:
@@ -178,7 +180,7 @@ def _cat_split_mstack(M, pairs, nc) -> jnp.ndarray:
     chunks = _split_const_np(M, nc)
     lgs = [[(i, j) for i, j in pairs if i + j == lvl]
            for lvl in sorted({i + j for i, j in pairs}, reverse=True)]
-    return jnp.asarray(_mstack_level_const(chunks, lgs, nc, np))
+    return _mstack_level_const(chunks, lgs, nc, np)
 
 
 def _pad_slots(M, k_axis: int = 2) -> np.ndarray:
@@ -488,22 +490,24 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
 
     # VJP via the einsum twins (pallas_call has no autodiff rule); all
     # outputs are linear in x. Twins pinned to HIGHEST (TPU grad contract).
-    Gan = jnp.asarray(_pad_slots(Ga, 1)[np.minimum(np.arange(na),
-                                                   Ga.shape[0] - 1)],
-                      jnp.float32)
-    Gbn = jnp.asarray(_pad_slots(Gb, 1)[np.minimum(np.arange(nb),
-                                                   Gb.shape[0] - 1)],
-                      jnp.float32)
+    # All twin constants stay NUMPY — a jnp constant captured by the bwd
+    # closure breaks the shard_map+jit transpose (completion._expand_stack).
+    Gan = np.asarray(_pad_slots(Ga, 1)[np.minimum(np.arange(na),
+                                                  Ga.shape[0] - 1)],
+                     np.float32)
+    Gbn = np.asarray(_pad_slots(Gb, 1)[np.minimum(np.arange(nb),
+                                                  Gb.shape[0] - 1)],
+                     np.float32)
     hi = jax.lax.Precision.HIGHEST
     if h8:
         idx = np.minimum(np.arange(na), Ba_top.shape[0] - 1)
-        Btn = jnp.asarray(Ba_top[idx], jnp.float32)
-        Bbn_e = jnp.asarray(Ba_bot[idx], jnp.float32)
+        Btn = np.asarray(Ba_top[idx], np.float32)
+        Bbn_e = np.asarray(Ba_bot[idx], np.float32)
 
     if use_t1:
         Ba1n = np.asarray(term1_mats, np.float64)
-        Ba1n = jnp.asarray(
-            Ba1n[np.minimum(np.arange(na), Ba1n.shape[0] - 1)], jnp.float32)
+        Ba1n = np.asarray(
+            Ba1n[np.minimum(np.arange(na), Ba1n.shape[0] - 1)], np.float32)
 
     def _ref(x):
         xf = x.astype(jnp.float32)
@@ -862,18 +866,19 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
         )(*operands)
 
     # Einsum twin for the VJP — linear in (x, NA_t, NB_t); HIGHEST-pinned.
+    # numpy constants only (bwd closure — see completion._expand_stack).
     hi = jax.lax.Precision.HIGHEST
-    Ban = jnp.asarray(np.asarray(Btot_a, np.float64)[
+    Ban = np.asarray(np.asarray(Btot_a, np.float64)[
         np.minimum(np.arange(na), np.asarray(Btot_a).shape[0] - 1)],
-        jnp.float32)
-    Ran = jnp.asarray(_pad_slots(Rhat_a_cat)[
+        np.float32)
+    Ran = np.asarray(_pad_slots(Rhat_a_cat)[
         np.minimum(np.arange(na), np.asarray(Rhat_a_cat).shape[0] - 1)],
-        jnp.float32)
-    Bbn = jnp.asarray(np.asarray(Btot_b, np.float64)[
-        np.minimum(np.arange(nb), Bb0.shape[0] - 1)], jnp.float32)
-    Rbn = jnp.asarray(_pad_slots(Rhat_b_cat)[
+        np.float32)
+    Bbn = np.asarray(np.asarray(Btot_b, np.float64)[
+        np.minimum(np.arange(nb), Bb0.shape[0] - 1)], np.float32)
+    Rbn = np.asarray(_pad_slots(Rhat_b_cat)[
         np.minimum(np.arange(nb), np.asarray(Rhat_b_cat).shape[0] - 1)],
-        jnp.float32)
+        np.float32)
 
     def _ref(x, NA_t, NB_t, *eaux):
         xf = x.astype(jnp.float32)
@@ -998,13 +1003,13 @@ def _final2d_px_stencil(x, NA_t, NB_t, halo_top, halo_bot, *, consts, mats,
     # halos derived from the same inputs, where twin == kernel).
     hi = jax.lax.Precision.HIGHEST
     Ban = _expand_f32(Btot_a, na)
-    Ran = jnp.asarray(_pad_slots(Rhat_a_cat)[
+    Ran = np.asarray(_pad_slots(Rhat_a_cat)[
         np.minimum(np.arange(na), np.asarray(Rhat_a_cat).shape[0] - 1)],
-        jnp.float32)
+        np.float32)
     Bbn = _expand_f32(Btot_b, nb)
-    Rbn = jnp.asarray(_pad_slots(Rhat_b_cat)[
+    Rbn = np.asarray(_pad_slots(Rhat_b_cat)[
         np.minimum(np.arange(nb), np.asarray(Rhat_b_cat).shape[0] - 1)],
-        jnp.float32)
+        np.float32)
 
     def _ref(x, NA_t, NB_t, ht, hb):
         xf = x.astype(jnp.float32)
@@ -1056,9 +1061,10 @@ def _final2d_px_stencil(x, NA_t, NB_t, halo_top, halo_bot, *, consts, mats,
 
 
 def _expand_f32(M, n: int):
+    # numpy out — consumed by custom-VJP bwd twins (completion._expand_stack)
     M = np.asarray(M, np.float64)
-    return jnp.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
-                       jnp.float32)
+    return np.asarray(M[np.minimum(np.arange(n), M.shape[0] - 1)],
+                      np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1121,9 +1127,9 @@ def rows_tails_px(x, G_cat, *, nprod: int, interpret: bool):
             interpret=interpret,
         )(Gav, x)
 
-    Gan = jnp.asarray(_pad_slots(np.asarray(G_cat), 1)[
+    Gan = np.asarray(_pad_slots(np.asarray(G_cat), 1)[
         np.minimum(np.arange(n), np.asarray(G_cat).shape[0] - 1)],
-        jnp.float32)
+        np.float32)
     hi = jax.lax.Precision.HIGHEST
 
     def _ref(x):
@@ -1195,9 +1201,9 @@ def rows_final_px(x, Btot, Rhat_cat, NA_t, *, nprod: int, interpret: bool):
         )(Bav, Rav, x, NA_t)
 
     Ban = _expand_f32(Btot, n)
-    Ran = jnp.asarray(_pad_slots(Rhat_cat)[
+    Ran = np.asarray(_pad_slots(Rhat_cat)[
         np.minimum(np.arange(n), np.asarray(Rhat_cat).shape[0] - 1)],
-        jnp.float32)
+        np.float32)
     hi = jax.lax.Precision.HIGHEST
 
     def _ref(x, NA_t):
@@ -1270,7 +1276,8 @@ def moments2d(x, G_a_cat, G_b_cat, interpret: bool):
         )(Ga, Gb, x)
 
     # VJP via the einsum twins (pallas_call has no autodiff rule); both
-    # outputs are linear in x.
+    # outputs are linear in x. Ga/Gb are numpy (_stack3), so these twin
+    # constants stay numpy too (bwd closure — completion._expand_stack).
     Gan = Ga[np.minimum(np.arange(na), Ga.shape[0] - 1)]
     Gbn = Gb[np.minimum(np.arange(nb), Gb.shape[0] - 1)]
 

@@ -299,7 +299,9 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
         Ws = _split_const_np(rows, nc)
         for p, (i, _) in enumerate(ch_pairs[c]):
             Wk[c, :, p * T:(p + 1) * T] = np.asarray(Ws[i], np.float32)
-    Wk = jnp.asarray(Wk, jnp.bfloat16)
+    import ml_dtypes
+    Wk = Wk.astype(ml_dtypes.bfloat16)  # numpy operand constant on purpose
+    # (completion._split_const: jnp constants leak under shard_map grad)
 
     # Row-block size from the VMEM budget: in-block + chunks + out-block.
     # Prefer an Lb that DIVIDES q — the q pad + crop otherwise copy the
@@ -402,7 +404,8 @@ def fir_band_pass(x, taps, *, T: int, rot: bool, nprod: int = 1,
     # VJP via the einsum twin: the banded pass is linear in x; jax
     # transposes the shifted-tile einsums natively (pallas_call has no
     # autodiff rule). f32-grade gradients regardless of nprod.
-    Wf = [jnp.asarray(band_blocks(taps[c], T), jnp.float32)
+    # numpy, not jnp — bwd closure constants (completion._expand_stack).
+    Wf = [np.asarray(band_blocks(taps[c], T), np.float32)
           for c in range(Cout * Cin)]
 
     def _ref(x):

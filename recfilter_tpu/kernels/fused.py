@@ -218,10 +218,12 @@ def _pick_line_block(w: int, quantum: int, limit: int, request: int = 0) -> int:
 
 
 def _stack_mats(mats: List[ScanMats]):
-    B = jnp.asarray(np.stack([m.B for m in mats]), dtype=jnp.float32)
-    Be = jnp.asarray(np.stack([m.B_edge for m in mats]), dtype=jnp.float32)
-    RN = jnp.asarray(np.stack([m.RN for m in mats]), dtype=jnp.float32)
-    Sel = jnp.asarray(np.stack([m.Sel for m in mats]), dtype=jnp.float32)
+    # numpy operand constants on purpose (completion._split_const's note:
+    # jnp constants bound to pallas_call leak under shard_map grad)
+    B = np.stack([m.B for m in mats]).astype(np.float32)
+    Be = np.stack([m.B_edge for m in mats]).astype(np.float32)
+    RN = np.stack([m.RN for m in mats]).astype(np.float32)
+    Sel = np.stack([m.Sel for m in mats]).astype(np.float32)
     return B, Be, RN, Sel
 
 

@@ -339,7 +339,7 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     # (ht/hb = Btot_a edge rows · x) with both dims' carries — h8/T ≈ 12%
     # of one completion's work, in einsums (carry-sized operands).
     if h8:
-        Ran = _expand_stack(Ra_cat, na)                   # (na, Ta, Ka)
+        # (Ran already built above for the dim-B raw-tails coupling)
         Bbn = _expand_stack(mb.Btot, nb)                  # (nb, Tb, Tb)
         Rbn = _expand_stack(Rb_cat, nb)                   # (nb, Tb, Kb)
         NAk = NA_t[:, :, :Ka]

@@ -555,3 +555,53 @@ def test_compute_at_routes_to_fusion_machinery():
     # unknown level tags are rejected, not ignored
     with pytest.raises(ValueError):
         build().compute_at(combine, level="banana")
+
+
+def test_compute_at_preserves_consumer_dtype_and_outer_bank():
+    """Round-4 review fixes: (1) a dtype-changing elementwise consumer
+    (comparison, cast) must NOT take the epilogue route — the fused
+    executor emits in the filter's dtype, so ``consumer(filter(x))``
+    semantics require jit composition; (2) a tap-bank consumer at an
+    OUTER level composes (compute_root analog) instead of silently fusing
+    in-kernel."""
+    import jax.numpy as jnp
+
+    w = 64
+    img = np.random.default_rng(7).standard_normal((w, w)).astype(np.float32)
+
+    def build():
+        x = rf.Dim("x", w)
+        y = rf.Dim("y", w)
+        F = rf.RecFilter("CAdt")
+        F[y, x] = np.zeros((w, w), np.float32)
+        wts = rf.gaussian_weights(3.0, 3)
+        F.add_filter(+x, wts)
+        F.add_filter(+y, wts)
+        F.split(x, 16, y, 16)
+        return F
+
+    # dtype-changing consumers route to composition and keep their dtype
+    f_bool = build().compute_at(lambda b: b > 0.1)
+    assert f_bool.fused_route == "composed"
+    out = f_bool(jnp.asarray(img))
+    assert out.dtype == jnp.bool_
+    blur = scan_core.oracle_apply(
+        build().spec, img.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out), blur > 0.1)
+
+    f_cast = build().compute_at(lambda b: b.astype(jnp.bfloat16))
+    assert f_cast.fused_route == "composed"
+    assert f_cast(jnp.asarray(img)).dtype == jnp.bfloat16
+
+    # dtype-preserving consumers still fuse as the epilogue
+    assert build().compute_at(lambda b: 2.0 * b).fused_route == "epilogue"
+
+    # tap bank at an outer level: composed, same values as the fused route
+    bank = [[(0, 0, 1.0), (1, 0, -1.0)]]
+    f_fused = build().compute_at(bank)
+    f_outer = build().compute_at(bank, level="outer")
+    assert f_fused.fused_route == "stencil2d"
+    assert f_outer.fused_route == "composed"
+    a = np.asarray(f_fused(jnp.asarray(img))[0])
+    b = np.asarray(f_outer(jnp.asarray(img))[0])
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

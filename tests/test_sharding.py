@@ -599,3 +599,37 @@ def test_exchange_overlap_deferral(exchange, border):
     want = scan_core.oracle_apply(spec, x.astype(np.float64))
     np.testing.assert_allclose(got, want.astype(np.float32),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_kernel_route_gradient(devices):
+    """Round-4 regression: ``jax.grad`` through the sharded SHIPPING
+    executor (px kernels inside shard_map, 128-wide tiles so the kernel
+    gates HOLD) must compute. A jnp constant materialized inside the
+    shard_map trace — as a pallas operand or a custom-VJP twin closure —
+    leaks a tracer into the linearized jaxpr ("No constant handler for
+    DynamicJaxprTracer"); every kernel constant therefore stays numpy
+    (``kernels.completion._split_const``). Pins grad availability AND its
+    f32 grade vs the unsharded executor on both routes."""
+    from recfilter_tpu import dimfuse
+
+    spec = FilterSpec(
+        "GradShip", (Dim("c", 8), Dim("y", 128), Dim("x", 128)),
+        (Scan(1, True, 0.7, (0.3,)), Scan(2, True, 0.7, (0.3,))),
+        tile_widths=(0, 128, 128),
+    )
+    img = jnp.asarray(_img(8, 128, 128, seed=60))
+
+    def ref_loss(z):
+        y = dimfuse.apply_filter_fused(spec, z, matmul_precision="px6")
+        return (y ** 2).mean()
+
+    g_ref = jax.grad(ref_loss)(img)
+    scale = float(jnp.abs(g_ref).max())
+    for kw, mesh in (
+        ({"data_axis": 0}, sharding.make_mesh((4,), ("data",))),
+        ({"seq_axis": 1}, sharding.make_mesh((4,), ("seq",))),
+    ):
+        fn = sharding.make_sharded_filter(
+            spec, Plan(interpret=True), mesh, **kw)
+        g = jax.grad(lambda z: (fn(z) ** 2).mean())(img)
+        assert float(jnp.abs(g - g_ref).max()) <= 4e-6 * scale, kw
