@@ -51,6 +51,40 @@ from . import coeffs
 from .spec import BorderMode, FilterSpec, Scan
 
 
+_FORCE_INTERPRET = False
+
+
+def _interp() -> bool:
+    """Pallas interpret mode: non-TPU backends always interpret; a TPU
+    backend interprets only under :func:`force_interpret` (how
+    ``Plan(interpret=True)`` reaches the executor's internal kernel
+    call sites — they have no plan in scope)."""
+    return _FORCE_INTERPRET or jax.default_backend() != "tpu"
+
+
+class force_interpret:
+    """Context manager: trace everything inside with pallas interpret on.
+
+    Used by the sharded routes (``parallel.sharding``) to honor
+    ``Plan(interpret=True)`` on a real TPU backend — the shard_map body
+    is traced inside the ``with`` block, so the flag reaches every
+    kernel gate without threading an argument through the executor."""
+
+    def __init__(self, on: bool = True):
+        self.on = bool(on)
+
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self.prev = _FORCE_INTERPRET
+        _FORCE_INTERPRET = _FORCE_INTERPRET or self.on
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self.prev
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Host-side matrix preparation
 # ---------------------------------------------------------------------------
@@ -1083,7 +1117,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
             and n <= _CHAIN_MATMUL_MAX_TILES):
         from .kernels import completion as _completion
 
-        interp = jax.default_backend() != "tpu"
+        interp = _interp()
         if _completion.completion_ok(T, PR, n, S, interp):
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
             xq = X.reshape(PR, n, T)
@@ -1199,7 +1233,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         # the line axis into exactly the next pass's (n2, 8, PR') layout.
         from .kernels import completion as _completion
 
-        interp = jax.default_backend() != "tpu"
+        interp = _interp()
         R = PR // P
         if _completion.completion_ok(T, R, n, S, interp):
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
@@ -1344,7 +1378,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
     if nprod_k and (P == 1 or not rot):
         from .kernels import completion as _completion
 
-        interp = jax.default_backend() != "tpu"
+        interp = _interp()
         if _completion.completion_ok(T, PR, n, S, interp):
             k_epi, ke_aux = _kernel_epilogue_aux(
                 epilogue, next_tails, rot, lead, P, n, T, rows, PR, pad,
@@ -1788,19 +1822,30 @@ def apply_filter_int_exact(spec: FilterSpec, x, tile_default: int = 32):
     dimension's gain leaves < 2 limb bits) — callers fall back to the
     sequential lax.scan core.
     """
+    from .kernels import int_scan as _is
+
     dtype = np.dtype(spec.dtype)
     if dtype.itemsize > 4:
         return None
     scans = _int_cast_scans(spec)
     groups = spec.scans_by_axis()
-    # Per-dim gate first (no partial work on fallback). A dim whose scan
-    # cascade's combined gain leaves < 2 limb bits is split into
-    # consecutive scan chunks with limb recombination between (each chunk
-    # is its own exact mod-2^32 linear pass).
-    plan_bits = []
+    # Per-dim gate first (no partial work on fallback).
+    #
+    # Fast route per dimension: if EVERY scan of the dim is unit-feedback
+    # (order 1, a = ±1, one integral tap — the SAT/integral-image class)
+    # and the border is ZERO, the whole dim runs the wrapping additive
+    # kernel (pure VPU adds, 2 HBM touches, exact mod 2^32 by
+    # construction — no gain gate at all). Otherwise the limb route: a
+    # dim whose scan cascade's combined gain leaves < 2 limb bits is
+    # split into consecutive scan chunks with limb recombination between
+    # (each chunk is its own exact mod-2^32 linear pass).
+    plan_dims = []
     xi = jnp.asarray(x).astype(jnp.int32)
     bits = dtype.itemsize * 8
-    for ax, ids in groups.items():
+
+    def _limb_chunks(ax, ids, bits_in):
+        """Chunked limb plan for one dim, or None past the provable gate.
+        Returns (plan_entries, bits_out)."""
         chunk, gc = [], 1.0
         chunks = []
         for i in ids:
@@ -1813,34 +1858,66 @@ def apply_filter_int_exact(spec: FilterSpec, x, tile_default: int = 32):
             chunk.append(i)
             gc *= gi
         chunks.append((chunk, gc))
+        out, b = [], bits_in
         for chunk, gc in chunks:
             lg = max(int(np.ceil(np.log2(gc))), 0)
             lb = 23 - lg
             if lb < 2:
                 return None
-            nl = -(-min(bits, 32) // lb)
-            plan_bits.append((ax, tuple(chunk), lb, nl))
-            bits = min(bits + lg, 32)
+            nl = -(-min(b, 32) // lb)
+            out.append(("limb", tuple(chunk), lb, nl))
+            b = min(b + lg, 32)
+        return out, b
+
+    for ax, ids in groups.items():
+        unit = (
+            [_is.unit_scans_of(scans[i]) for i in ids]
+            if spec.border == BorderMode.ZERO else [None]
+        )
+        if all(u is not None for u in unit):
+            flat = [u for us in unit for u in us]
+            # Limb fallback planned at the conservative bits=32 input (the
+            # kernel can still decline on geometry — awkward VMEM fits).
+            fb = _limb_chunks(ax, ids, 32)
+            plan_dims.append((ax, [("unit", flat)] + (fb[0] if fb else [])))
+            bits = 32  # wrapped values occupy the full word downstream
+            continue
+        plan = _limb_chunks(ax, ids, bits)
+        if plan is None:
+            return None
+        plan_dims.append((ax, plan[0]))
+        bits = plan[1]
 
     tiles = spec.tile_widths or (0,) * spec.ndim
-    for ax, ids, lb, nl in plan_bits:
-        sc = [scans[i] for i in ids]
-        T = min(tiles[ax] or tile_default, xi.shape[ax])
-        kmax = max(s.order for s in sc)
-        p = _plan_tiles(xi.shape[ax], T, kmax, spec.border == BorderMode.CLAMP)
-        if p is not None and p[1] > _CHAIN_MATMUL_MAX_TILES:
-            # the associative audio-scale solver is not drop-free audited
-            return None
-        limbs = _int_limbs(xi, lb, nl)
-        acc = None
-        for i, limb in enumerate(limbs):
-            y = fused_dim_pass(
-                limb.astype(jnp.float32), ax, sc, T, spec.border,
-                matmul_precision="f32x9",
-            )
-            yi = jnp.round(y).astype(jnp.int32)
-            acc = yi if acc is None else acc + (yi << jnp.int32(lb * i))
-        xi = acc
+    for ax, routes in plan_dims:
+        if routes and routes[0][0] == "unit":
+            y = _is.int_unit_dim_pass(xi, routes[0][1], ax, _interp())
+            if y is not None:
+                xi = y
+                continue
+            routes = routes[1:]  # kernel declined; the limb fallback plan
+            if not routes:
+                return None
+        for route in routes:
+            _, ids, lb, nl = route
+            sc = [scans[i] for i in ids]
+            T = min(tiles[ax] or tile_default, xi.shape[ax])
+            kmax = max(s.order for s in sc)
+            p = _plan_tiles(xi.shape[ax], T, kmax,
+                            spec.border == BorderMode.CLAMP)
+            if p is not None and p[1] > _CHAIN_MATMUL_MAX_TILES:
+                # the associative audio-scale solver is not drop-free audited
+                return None
+            limbs = _int_limbs(xi, lb, nl)
+            acc = None
+            for i, limb in enumerate(limbs):
+                y = fused_dim_pass(
+                    limb.astype(jnp.float32), ax, sc, T, spec.border,
+                    matmul_precision="f32x9",
+                )
+                yi = jnp.round(y).astype(jnp.int32)
+                acc = yi if acc is None else acc + (yi << jnp.int32(lb * i))
+            xi = acc
     return xi.astype(jnp.dtype(spec.dtype))
 
 
@@ -1929,7 +2006,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
             y = overlap2d.fused_2d_px(
                 x, ax_a, [spec.scans[i] for i in groups[ax_a]],
                 ax_b, [spec.scans[i] for i in groups[ax_b]],
-                spec.border, nprod, jax.default_backend() != "tpu",
+                spec.border, nprod, _interp(),
                 epilogue=epilogue, eaux=eaux, stencil2d=stencil2d,
             )
             if y is not None:
@@ -1951,7 +2028,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                 cdt == jnp.bfloat16 and nprod == 1):
             from . import overlap2d
 
-            interp = jax.default_backend() != "tpu"
+            interp = _interp()
             z = overlap2d.fused_rows_px(
                 x, nd - 3, [spec.scans[i] for i in groups[nd - 3]],
                 spec.border, nprod, interp)
@@ -2014,7 +2091,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
                     x,
                     [spec.scans[j] for j in groups[order[0]]], plans[order[0]],
                     [spec.scans[j] for j in groups[order[1]]], plans[order[1]],
-                    clamp, jax.default_backend() != "tpu",
+                    clamp, _interp(),
                     nprod=_kernel_nprod(cdt, matmul_dtype, matmul_precision,
                                         structural=True),
                 )
@@ -2072,7 +2149,7 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
 
                 y = overlap2d.fused_rows_px(
                     x, axis, [spec.scans[i] for i in ids], spec.border,
-                    nprod_r, jax.default_backend() != "tpu")
+                    nprod_r, _interp())
                 if y is not None:
                     x = y
                     continue

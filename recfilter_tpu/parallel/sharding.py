@@ -572,7 +572,8 @@ def sharded_apply_filter(
             local_int, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
             check_vma=False,
         )
-        out = fn(x)
+        with dimfuse.force_interpret(plan.interpret):
+            out = fn(x)
         if pads:
             out = out[tuple(slice(0, n) for n in orig_shape)]
         return out
@@ -595,7 +596,8 @@ def sharded_apply_filter(
             local_full, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
             check_vma=False,
         )
-        out = fn(x)
+        with dimfuse.force_interpret(plan.interpret):
+            out = fn(x)
         if pads:
             out = out[tuple(slice(0, n) for n in orig_shape)]
         return out

@@ -131,14 +131,24 @@ def test_unstable_feedback_falls_back():
 
 def test_gain_gate_boundary_4k_box2():
     """Order-2 integral image at 4K: per-dim gain ~ w^2/2 = 2^23 exceeds
-    the limb budget — honest fallback rather than silent corruption."""
+    the LIMB budget, but (2,−1) = (1−z)² decomposes into two chained
+    unit cumsums — the additive kernel serves it exactly (round 4).
+    Non-decomposable feedback past the gain gate (Fibonacci (1,1))
+    still falls back honestly rather than corrupting."""
     spec = FilterSpec(
         "BG", (Dim("y", 8), Dim("x", 4096)),
         (Scan(1, True, 1, (2, -1)),),
         dtype="int32", tile_widths=(0, 128),
     )
-    img = np.ones((8, 4096), np.int32)
-    assert dimfuse.apply_filter_int_exact(spec, img) is None
+    img = _rng(4).integers(-2**20, 2**20, (8, 4096)).astype(np.int32)
+    _check_exact(spec, img)
+
+    fib = FilterSpec(
+        "FB", (Dim("y", 8), Dim("x", 4096)),
+        (Scan(1, True, 1, (1, 1)),),
+        dtype="int32", tile_widths=(0, 128),
+    )
+    assert dimfuse.apply_filter_int_exact(fib, img) is None
 
 
 def test_int64_falls_back():
@@ -196,3 +206,159 @@ def test_api_realize_int32_sat():
     got = np.asarray(F.realize())
     want = scan_core.oracle_apply(F.spec, img)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: wrapping additive fast path (kernels/int_scan.py)
+# ---------------------------------------------------------------------------
+#
+# Unit-feedback integer dims (order 1, a = ±1, one integral tap — the
+# SAT/integral-image class of lib/recfilter.cpp:324-341) skip the limb
+# machinery entirely: int32 wrap IS the exact semantics, so the dimension
+# is one full-extent VMEM kernel of pure VPU adds (2 HBM touches).
+
+
+def test_unit_route_taken_for_sat():
+    """Both SAT dims must ride the additive kernel, not the limb path."""
+    from recfilter_tpu.kernels import int_scan
+
+    spec = FilterSpec(
+        "U", (Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (1,))),
+        dtype="int32", tile_widths=(128, 128),
+    )
+    img = _rng(7).integers(-2**24, 2**24, (256, 256)).astype(np.int32)
+    calls = []
+    orig = int_scan.int_unit_dim_pass
+
+    def spy(x, scans, axis, interpret):
+        calls.append(axis)
+        return orig(x, scans, axis, interpret)
+
+    int_scan.int_unit_dim_pass = spy
+    try:
+        _check_exact(spec, img)
+    finally:
+        int_scan.int_unit_dim_pass = orig
+    assert calls == [1, 0]
+
+
+@pytest.mark.parametrize("dtype,hi", [("int32", 2**27), ("int16", 2**12),
+                                      ("int8", 100)])
+def test_unit_kernel_exact_all_widths(dtype, hi):
+    """Wrap-exactness of the additive kernel at every integer width
+    (mod-2^k via the mod-2^32 ring homomorphism)."""
+    spec = FilterSpec(
+        "U", (Dim("y", 192), Dim("x", 256)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (1,))),
+        dtype=dtype, tile_widths=(64, 128),
+    )
+    img = _rng(8).integers(-hi, hi, (192, 256)).astype(dtype)
+    _check_exact(spec, img)
+
+
+def test_unit_kernel_anticausal_and_alternating():
+    """Suffix scans (anticausal) and a = −1 (global-parity transform),
+    chained on one axis, plus an f≠1 integral tap."""
+    spec = FilterSpec(
+        "U", (Dim("y", 64), Dim("x", 192)),
+        (Scan(1, True, 2, (-1,)), Scan(1, False, 1, (-1,)),
+         Scan(1, False, 3, (1,))),
+        dtype="int32", tile_widths=(0, 64),
+    )
+    img = _rng(9).integers(-2**20, 2**20, (64, 192)).astype(np.int32)
+    _check_exact(spec, img)
+
+
+def test_unit_plus_limb_mixed_dims():
+    """A unit dim (SAT axis) mixed with a limb dim (order-2 feedback):
+    routes compose per dimension, both exact."""
+    spec = FilterSpec(
+        "U", (Dim("y", 64), Dim("x", 128)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (2, -1))),
+        dtype="int16", tile_widths=(32, 64),
+    )
+    img = _rng(10).integers(-50, 50, (64, 128)).astype(np.int16)
+    _check_exact(spec, img)
+
+
+def test_unit_volume_leading_axis():
+    """3-D integral image: the leading (sublane-variant) axis and both
+    trailing axes all ride the additive kernel."""
+    spec = FilterSpec(
+        "U", (Dim("z", 16), Dim("y", 64), Dim("x", 128)),
+        (Scan(2, True, 1, (1,)), Scan(1, True, 1, (1,)),
+         Scan(0, True, 1, (1,))),
+        dtype="int32", tile_widths=(0, 0, 64),
+    )
+    img = _rng(11).integers(-1000, 1000, (16, 64, 128)).astype(np.int32)
+    _check_exact(spec, img)
+
+
+def test_limb_route_still_exact_when_unit_disabled():
+    """The limb executor keeps covering the SAT class (the unit kernel is
+    an optimization, not a correctness dependency)."""
+    from recfilter_tpu.kernels import int_scan
+
+    spec = FilterSpec(
+        "U", (Dim("y", 128), Dim("x", 128)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (1,))),
+        dtype="int16", tile_widths=(64, 64),
+    )
+    img = _rng(12).integers(-2**12, 2**12, (128, 128)).astype(np.int16)
+    orig = int_scan.unit_scans_of
+    int_scan.unit_scans_of = lambda s: None
+    try:
+        _check_exact(spec, img)
+    finally:
+        int_scan.unit_scans_of = orig
+
+
+def test_clamp_border_not_unit_routed():
+    """CLAMP borders change the first-tile algebra — the additive kernel
+    must not claim them; the limb path (which models clamp) serves."""
+    from recfilter_tpu.kernels import int_scan
+
+    spec = FilterSpec(
+        "U", (Dim("y", 64), Dim("x", 64)),
+        (Scan(1, True, 1, (1,)),),
+        dtype="int16", tile_widths=(0, 32), border=BorderMode.CLAMP,
+    )
+    img = _rng(13).integers(-100, 100, (64, 64)).astype(np.int16)
+    calls = []
+    orig = int_scan.int_unit_dim_pass
+    int_scan.int_unit_dim_pass = (
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    try:
+        _check_exact(spec, img)
+    finally:
+        int_scan.int_unit_dim_pass = orig
+    assert calls == []
+
+
+def test_unit_decomposition_higher_order():
+    """Feedback polynomials factoring as (1−z)^m (1+z)^(k−m) — double
+    integrators (2,−1), mixed roots (0,1), triple (3,−3,1) — decompose
+    into chained unit scans in ONE additive kernel; general feedback
+    (Fibonacci (1,1)) must not qualify."""
+    from recfilter_tpu.kernels import int_scan
+
+    assert int_scan.unit_scans_of(Scan(0, True, 3, (2, -1))) == [
+        (3, 1, True), (1, 1, True)]
+    assert int_scan.unit_scans_of(Scan(0, True, 1, (1, 1))) is None
+
+    spec = FilterSpec(
+        "U", (Dim("y", 64), Dim("x", 128)),
+        (Scan(1, True, 1, (0, 1)), Scan(0, True, 1, (3, -3, 1))),
+        dtype="int16", tile_widths=(0, 64),
+    )
+    img = _rng(14).integers(-2**10, 2**10, (64, 128)).astype(np.int16)
+    calls = []
+    orig = int_scan.int_unit_dim_pass
+    int_scan.int_unit_dim_pass = (
+        lambda *a, **k: (calls.append(a[2]), orig(*a, **k))[1])
+    try:
+        _check_exact(spec, img)
+    finally:
+        int_scan.int_unit_dim_pass = orig
+    assert calls == [1, 0]
