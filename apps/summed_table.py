@@ -19,9 +19,16 @@ from recfilter_tpu import scan_core
 def main():
     args = rf.Arguments(description="summed-area table")
     w = args.width or 4096
-    image = rf.generate_random_image(w, w)
+    if np.issubdtype(np.dtype(args.dtype), np.integer):
+        # integer SAT: full-range random content, wrap semantics — rides
+        # the wrapping additive kernels (kernels/int_scan.py); matches the
+        # reference's type-invariance doctrine (test_type_invariance.cpp)
+        image = rf.generate_random_image(
+            w, w, dtype=args.dtype, lo=-1000, hi=1000, seed=1)
+    else:
+        image = rf.generate_random_image(w, w, dtype=args.dtype)
 
-    F = summed_table(w, w, args.block)
+    F = summed_table(w, w, args.block, dtype=args.dtype)
     if args.backend != "auto":
         F.set_plan(backend=args.backend)
     if not args.noschedule:

@@ -240,3 +240,32 @@ def test_random_fir_band_matches_oracle(seed):
         got = got.T
     scale_ref = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() <= bound * scale_ref, (seed, nprod)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_integer_unit_class(seed):
+    """Random unit-feedback integer specs (a=±1 and (1∓z)^k products) at
+    awkward extents/axes — the additive kernel's padding paths, sublane
+    vs lane variants, and chained decompositions. Always bit-exact."""
+    rng = np.random.default_rng(4000 + seed)
+    ndim = int(rng.integers(1, 4))
+    extents = [int(rng.integers(5, 97)) for _ in range(ndim)]
+    dims = tuple(Dim(f"d{i}", e) for i, e in enumerate(extents))
+    banks = [(1,), (-1,), (2, -1), (-2, -1), (0, 1)]
+    scans = []
+    for _ in range(int(rng.integers(1, 4))):
+        scans.append(Scan(
+            int(rng.integers(0, ndim)), bool(rng.integers(0, 2)),
+            int(rng.integers(1, 4)),
+            banks[int(rng.integers(0, len(banks)))],
+        ))
+    dtype = ["int32", "int16", "int8"][seed % 3]
+    spec = FilterSpec(
+        "FzUnit", dims, tuple(scans), dtype=dtype,
+        tile_widths=tuple(int(rng.integers(4, 17)) for _ in range(ndim)),
+    )
+    hi = {"int32": 2 ** 28, "int16": 2 ** 14, "int8": 100}[dtype]
+    x = rng.integers(-hi, hi, size=tuple(extents)).astype(dtype)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, x))
+    want = scan_core.oracle_apply(spec, x)
+    np.testing.assert_array_equal(got, want, err_msg=f"spec={spec}")
