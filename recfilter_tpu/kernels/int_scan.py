@@ -77,10 +77,31 @@ def unit_scans_of(scan) -> list | None:
     return None
 
 
-def _apply_unit_scans(v, scans, axis: int, E: int):
+def _shift_fill0(v, sh: int, axis: int, E: int, roll_mode):
+    """result[i] = v[i−sh] (sh>0) or v[i−sh] with sh<0, zeros shifted in.
+
+    ``roll_mode``: "mosaic" uses ``pltpu.roll`` + an iota mask — Mosaic
+    lowers pad/slice lane shifts through expensive misaligned relayouts
+    (see ``stencil2d._lane_shift``); "interp"/None use jnp (interpret
+    mode and XLA-level callers, where pad/slice fuses fine)."""
+    if roll_mode is None:
+        # lax.pad with a negative opposite edge shifts and crops in one op
+        cfg = [(0, 0, 0)] * v.ndim
+        cfg[axis] = (sh, -sh, 0)
+        return jax.lax.pad(v, jnp.int32(0), cfg)
+    if roll_mode == "mosaic":
+        rolled = pltpu.roll(v, sh % E, axis)
+    else:
+        rolled = jnp.roll(v, sh, axis=axis)
+    pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    mask = pos < sh if sh > 0 else pos >= E + sh
+    return jnp.where(mask, jnp.zeros_like(v), rolled)
+
+
+def _apply_unit_scans(v, scans, axis: int, E: int, roll_mode=None):
     """Chain unit scans over ``axis`` of an int32 VMEM block (full extent
-    E along that axis). Pure jnp — shared by both kernels and any XLA
-    fallback caller."""
+    E along that axis). Shared by both kernels (``roll_mode`` set) and
+    XLA-level callers (``roll_mode=None``)."""
     nd = v.ndim
     for f, sgn, causal in scans:
         if sgn < 0:
@@ -92,30 +113,24 @@ def _apply_unit_scans(v, scans, axis: int, E: int):
             v = v * jnp.int32(f)
         sh = 1
         while sh < E:
-            pads = [(0, 0)] * nd
-            pads[axis] = (sh, 0) if causal else (0, sh)
-            shifted = jax.lax.pad(v, jnp.int32(0),
-                                  [(lo, hi, 0) for lo, hi in pads])
-            if causal:
-                shifted = jax.lax.slice_in_dim(shifted, 0, E, axis=axis)
-            else:
-                shifted = jax.lax.slice_in_dim(shifted, sh, sh + E,
-                                               axis=axis)
-            v = v + shifted
+            v = v + _shift_fill0(v, sh if causal else -sh, axis, E,
+                                 roll_mode)
             sh *= 2
         if sgn < 0:
             v = v * par
     return v
 
 
-def _lane_kernel(x_ref, o_ref, *, scans, E):
+def _lane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
     v = x_ref[:].astype(jnp.int32)
-    o_ref[:] = _apply_unit_scans(v, scans, 1, E).astype(o_ref.dtype)
+    o_ref[:] = _apply_unit_scans(v, scans, 1, E,
+                                 roll_mode=roll_mode).astype(o_ref.dtype)
 
 
-def _sublane_kernel(x_ref, o_ref, *, scans, E):
+def _sublane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
     v = x_ref[:].astype(jnp.int32)
-    o_ref[:] = _apply_unit_scans(v, scans, 0, E).astype(o_ref.dtype)
+    o_ref[:] = _apply_unit_scans(v, scans, 0, E,
+                                 roll_mode=roll_mode).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis: int, quantum: int):
@@ -139,13 +154,84 @@ def _blk(budget_lines: int, quantum: int, total: int) -> int:
     return min(b, total)
 
 
+_SEG_C = 4096  # chunk extent of the segmented (3-phase) variant
+
+
+def _segmented_unit_scan(x, unit, axis: int, interpret: bool):
+    """One unit scan over an axis too long for the full-extent kernel:
+    chunk-local scans (the full-extent kernel on reshaped chunks), a
+    tiny cross-chunk carry chain in XLA, and a fused offset correction.
+
+    Exactness: chunk-local zero-init gives y_loc; the true value is
+    y_loc + a^(steps-from-entry) · y_in, and the chunk carries obey
+    c_j = l_j + a^C · c_{j∓1} — with C even, a^C = 1, so the chain is a
+    plain (anti)cumsum over the tiny (…, n, …) carry array. Zero-padding
+    the FAR end of the scan axis is exact for both directions (zero
+    state propagates zero)."""
+    f, sgn, causal = unit
+    nd = x.ndim
+    E = x.shape[axis]
+    C = _SEG_C
+    n = -(-E // C)
+    if n * C != E:
+        pads = [(0, 0)] * nd
+        pads[axis] = (0, n * C - E)
+        xs = jnp.pad(x, pads)
+    else:
+        xs = x
+    shp = xs.shape[:axis] + (n, C) + xs.shape[axis + 1:]
+    xr = xs.reshape(shp)
+    y = int_unit_dim_pass(xr, [unit], axis + 1, interpret)
+    if y is None:
+        return None
+    # carries: the chunk-boundary value nearest the next chunk. NOT a
+    # lane-strided slice of y (pathological relayout on TPU — measured
+    # 4x off the bandwidth floor at 10M samples); the boundary value of
+    # a zero-init order-1 scan is a plain weighted reduction of the
+    # chunk: l = Σ_t f·a^(steps-1-t)·x_t, and with a = ±1 the weights
+    # are a ±f pattern, so XLA fuses multiply+reduce into one clean pass.
+    t = np.arange(C)
+    expo = (C - 1 - t) if causal else t
+    wts = (np.int32(f) * np.where(expo % 2 == 0, 1, sgn)).astype(np.int32)
+    wshape = [1] * (nd + 1)
+    wshape[axis + 1] = C
+    l = jnp.sum(xr.astype(jnp.int32) * wts.reshape(wshape),
+                axis=axis + 1).astype(jnp.int32)
+    c = _apply_unit_scans(l, [(1, 1, causal)], axis, n)  # a^C = 1 (C even)
+    zshape = list(c.shape)
+    zshape[axis] = 1
+    z = jnp.zeros(zshape, jnp.int32)
+    if causal:
+        incoming = jnp.concatenate(
+            [z, jax.lax.slice_in_dim(c, 0, n - 1, axis=axis)], axis=axis)
+    else:
+        incoming = jnp.concatenate(
+            [jax.lax.slice_in_dim(c, 1, n, axis=axis), z], axis=axis)
+    incoming = jnp.expand_dims(incoming, axis + 1)
+    if sgn > 0:
+        corr = incoming
+    else:
+        # a = −1: a^(i+1) forward / a^(C−i) backward; C even makes the
+        # backward exponent parity (−1)^i
+        i = np.arange(C)
+        pat = ((-1) ** (i + 1) if causal else (-1) ** i).astype(np.int32)
+        pshape = [1] * (nd + 1)
+        pshape[axis + 1] = C
+        corr = incoming * pat.reshape(pshape)
+    y = (y.astype(jnp.int32) + corr).astype(x.dtype).reshape(xs.shape)
+    if n * C != E:
+        y = jax.lax.slice_in_dim(y, 0, E, axis=axis)
+    return y
+
+
 def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
     """All unit scans of one dimension of an integer array, exact mod 2^k.
 
     ``x``: any-rank integer array (int8/16/32 — computed in int32, emitted
     in ``x.dtype``); ``scans``: ``[(f, ±1, causal), ...]`` applied in
-    order. Returns None when the geometry doesn't fit the full-extent
-    VMEM gate (caller falls back to the limb executor).
+    order. Extents beyond the full-extent VMEM gate run the segmented
+    3-phase variant per scan. Returns None only when no variant fits
+    (caller falls back to the limb executor).
     """
     nd = x.ndim
     E = x.shape[axis]
@@ -153,8 +239,15 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
         return x
     itemsize = 4  # compute type
     budget_lines = _VMEM_BUDGET // (E * itemsize * 3)
-    if E > 65536 or budget_lines < 8:
-        return None  # full-extent block does not fit; limb/scan fallback
+    if E > 65536 or budget_lines < 8 or (
+            axis != nd - 1 and budget_lines < 128):
+        if E <= _SEG_C:
+            return None
+        for unit in scans:
+            x = _segmented_unit_scan(x, unit, axis, interpret)
+            if x is None:
+                return None
+        return x
     if axis == nd - 1:
         rows = int(np.prod(x.shape[:-1], dtype=np.int64)) if nd > 1 else 1
         if rows == 0:
@@ -163,7 +256,8 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
         rows = xr.shape[0]
         lb = _blk(budget_lines, 8, rows)
         y = pl.pallas_call(
-            partial(_lane_kernel, scans=tuple(scans), E=E),
+            partial(_lane_kernel, scans=tuple(scans), E=E,
+                    roll_mode="interp" if interpret else "mosaic"),
             out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
             grid=(rows // lb,),
             in_specs=[pl.BlockSpec((lb, E), lambda r: (r, 0),
@@ -187,7 +281,8 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
     W = xr.shape[2]
     lb = _blk(budget_lines, 128, W)
     y = pl.pallas_call(
-        partial(_sublane_kernel, scans=tuple(scans), E=E),
+        partial(_sublane_kernel, scans=tuple(scans), E=E,
+                roll_mode="interp" if interpret else "mosaic"),
         out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
         grid=(P, W // lb),
         in_specs=[pl.BlockSpec((None, E, lb), lambda p, l: (p, 0, l),

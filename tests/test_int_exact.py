@@ -362,3 +362,39 @@ def test_unit_decomposition_higher_order():
     finally:
         int_scan.int_unit_dim_pass = orig
     assert calls == [1, 0]
+
+
+def test_segmented_large_extent_exact():
+    """Extents past the full-extent VMEM gate run the segmented 3-phase
+    variant (chunk-local kernel + tiny carry chain + fused correction):
+    a 300k-sample cumsum (beyond the limb gain gate — previously
+    lax.scan), an 8192-row sublane dim, both directions and a = −1,
+    odd extents exercising the far-end zero pad."""
+    from recfilter_tpu.kernels import int_scan
+
+    rng = _rng(15)
+    x = rng.integers(-1000, 1000, (4, 300_001)).astype(np.int32)
+    spec = FilterSpec(
+        "Seg", (Dim("c", 4), Dim("x", 300_001)),
+        (Scan(1, True, 1, (1,)),), dtype="int32", tile_widths=(0, 4096),
+    )
+    _check_exact(spec, x)
+
+    y = rng.integers(-1000, 1000, (8190, 64)).astype(np.int32)
+    spec2 = FilterSpec(
+        "Seg2", (Dim("y", 8190), Dim("x", 64)),
+        (Scan(0, False, 2, (-1,)),), dtype="int32", tile_widths=(128, 64),
+    )
+    _check_exact(spec2, y)
+
+    # the route really is segmented, not the single kernel
+    seen = []
+    orig = int_scan._segmented_unit_scan
+    int_scan._segmented_unit_scan = (
+        lambda *a, **k: (seen.append(a[2]), orig(*a, **k))[1])
+    try:
+        int_scan.int_unit_dim_pass(
+            np.zeros((2, 100_000), np.int32), [(1, 1, True)], 1, True)
+    finally:
+        int_scan._segmented_unit_scan = orig
+    assert seen == [1]
