@@ -39,7 +39,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 6 * 1024 * 1024
+_VMEM_BUDGET = int(__import__("os").environ.get(
+    "RECFILTER_INTSCAN_VMEM", 6 * 1024 * 1024))
+
+
+def _roll_mode(interpret: bool):
+    """pad/slice (None) is the measured-fast in-kernel shift form; the
+    roll+mask alternative stays behind RECFILTER_INTSCAN_ROLL for A/B."""
+    import os
+
+    if os.environ.get("RECFILTER_INTSCAN_ROLL", "0") == "1":
+        return "interp" if interpret else "mosaic"
+    return None
 
 
 def unit_scans_of(scan) -> list | None:
@@ -80,15 +91,22 @@ def unit_scans_of(scan) -> list | None:
 def _shift_fill0(v, sh: int, axis: int, E: int, roll_mode):
     """result[i] = v[i−sh] (sh>0) or v[i−sh] with sh<0, zeros shifted in.
 
-    ``roll_mode``: "mosaic" uses ``pltpu.roll`` + an iota mask — Mosaic
-    lowers pad/slice lane shifts through expensive misaligned relayouts
-    (see ``stencil2d._lane_shift``); "interp"/None use jnp (interpret
-    mode and XLA-level callers, where pad/slice fuses fine)."""
+    ``roll_mode``: None uses lax.pad with a negative opposite edge —
+    measured FASTER in-kernel than ``pltpu.roll`` + iota mask (4K SAT
+    0.402 ms pad/slice vs ~5x slower rolls at identical blocks;
+    `scripts/int_seg_probe.py` round-4 A/B — the mask adds iota+select
+    VPU passes and Mosaic handles power-of-2 shifted adds well, unlike
+    stencil2d's arbitrary-offset taps where roll wins). "mosaic"
+    (env ``RECFILTER_INTSCAN_ROLL=1``) and "interp" keep the roll form
+    for A/B."""
     if roll_mode is None:
-        # lax.pad with a negative opposite edge shifts and crops in one op
+        # positive pad + slice (Mosaic's pad lowering rejects negative
+        # edges: "vector types must have positive constant sizes")
         cfg = [(0, 0, 0)] * v.ndim
-        cfg[axis] = (sh, -sh, 0)
-        return jax.lax.pad(v, jnp.int32(0), cfg)
+        cfg[axis] = (sh, 0, 0) if sh > 0 else (0, -sh, 0)
+        padded = jax.lax.pad(v, jnp.int32(0), cfg)
+        lo = 0 if sh > 0 else -sh
+        return jax.lax.slice_in_dim(padded, lo, lo + E, axis=axis)
     if roll_mode == "mosaic":
         rolled = pltpu.roll(v, sh % E, axis)
     else:
@@ -125,6 +143,44 @@ def _lane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
     v = x_ref[:].astype(jnp.int32)
     o_ref[:] = _apply_unit_scans(v, scans, 1, E,
                                  roll_mode=roll_mode).astype(o_ref.dtype)
+
+
+def _seg_chunk_kernel(x_ref, y_ref, c_ref, *, C, kb, unit, roll_mode):
+    """kb chunk-local scans of one (lbr, kb·C) block + their boundary
+    carries: y[:, sC:(s+1)C] = scan(x-chunk), carry lane s = the
+    entry-adjacent boundary value. The chunk axis rides the GRID and the
+    kb slices ride one contiguous block — no leading-dim merge, so the
+    caller never reshapes (XLA retiles a (rows, n, C)→(rows·n, C) merge
+    physically: 4.1 ms of the 10M cumsum's 8.6 — scripts/int_trace.py).
+
+    ``c_ref`` is a full (lbr, 128) lane tile per grid step (Mosaic's
+    lane-divisibility rule); lanes ≥ kb are zero filler the caller
+    strips at XLA level, where the carry array is tiny."""
+    f, sgn, causal = unit
+    cols = []
+    for s in range(kb):
+        sl = slice(s * C, (s + 1) * C)
+        v = _apply_unit_scans(x_ref[:, sl].astype(jnp.int32),
+                              [unit], 1, C, roll_mode=roll_mode)
+        y_ref[:, sl] = v
+        cols.append(v[:, C - 1:C] if causal else v[:, 0:1])
+    pad = c_ref.shape[1] - kb
+    if pad:
+        cols.append(jnp.zeros((c_ref.shape[0], pad), jnp.int32))
+    c_ref[:, :] = jnp.concatenate(cols, axis=1)
+
+
+def _seg_fix_kernel(y_ref, inc_ref, o_ref, *, C, kb, sgn, causal):
+    """y + a^(steps-from-entry)·incoming per chunk, same block geometry
+    (incoming arrives in the same 128-lane-per-step slot layout)."""
+    if sgn < 0:
+        i = jax.lax.iota(jnp.int32, C).reshape(1, C)
+        par = 1 - 2 * ((i + (1 if causal else 0)) & 1)
+    for s in range(kb):
+        sl = slice(s * C, (s + 1) * C)
+        inc = inc_ref[:, s:s + 1]
+        corr = inc if sgn > 0 else inc * par
+        o_ref[:, sl] = y_ref[:, sl] + corr
 
 
 def _sublane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
@@ -171,25 +227,104 @@ def _segmented_unit_scan(x, unit, axis: int, interpret: bool):
     f, sgn, causal = unit
     nd = x.ndim
     E = x.shape[axis]
+    # Chunk extent: a multiple of the 128-lane tile that divides E when
+    # possible (a non-aligned C measured 38 ms vs 5 at 10M: per-block
+    # lane padding + misaligned shifts; a^C = 1 needs C even and every
+    # multiple of 128 qualifies). E.g. 10M → C = 3200.
     C = _SEG_C
+    for cand in range(_SEG_C, 255, -128):
+        if E % cand == 0:
+            C = cand
+            break
     n = -(-E // C)
+
+    if axis == nd - 1:
+        # Lane-axis form: chunks ride the GRID of a 2-D kernel over the
+        # UNRESHAPED array (ragged overhang masked) — a (rows, n, C)
+        # merge-reshape retiles physically (xplane: 4.1 ms of 8.6 at
+        # 10M). kb chunks share a block so few-row inputs still get
+        # full-size DMAs; carries are a second kernel output.
+        rows = int(np.prod(x.shape[:-1], dtype=np.int64)) if nd > 1 else 1
+        if rows == 0:
+            return x
+        xr = x.reshape(rows, E)
+        lbr = max(8, min(128, -(-rows // 8) * 8))
+        kb = max(1, min(n, 128, _VMEM_BUDGET // (lbr * C * 4 * 3)))
+        ngrid = -(-n // kb)
+        roll = _roll_mode(interpret)
+        grid = (-(-rows // lbr), ngrid)
+        # carries get a full 128-lane slot per grid step (Mosaic's block
+        # lane rule); the slot↔chunk gather/scatter below runs on the
+        # TINY (rows, n)-scale arrays only.
+        y, cs = pl.pallas_call(
+            partial(_seg_chunk_kernel, C=C, kb=kb, unit=unit,
+                    roll_mode=roll),
+            out_shape=(jax.ShapeDtypeStruct((rows, n * C), jnp.int32),
+                       jax.ShapeDtypeStruct((rows, ngrid * 128),
+                                            jnp.int32)),
+            grid=grid,
+            in_specs=[pl.BlockSpec((lbr, kb * C), lambda r, j: (r, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(
+                pl.BlockSpec((lbr, kb * C), lambda r, j: (r, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lbr, 128), lambda r, j: (r, j),
+                             memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(xr if n * C == E else jnp.pad(xr, ((0, 0), (0, n * C - E))))
+        l = cs.reshape(rows, ngrid, 128)[:, :, :kb].reshape(
+            rows, ngrid * kb)[:, :n]
+        c = _apply_unit_scans(l, [(1, 1, causal)], 1, n)  # a^C = 1
+        z = jnp.zeros((rows, 1), jnp.int32)
+        if causal:
+            incoming = jnp.concatenate([z, c[:, :n - 1]], axis=1)
+        else:
+            incoming = jnp.concatenate([c[:, 1:], z], axis=1)
+        inc = jnp.pad(incoming, ((0, 0), (0, ngrid * kb - n))).reshape(
+            rows, ngrid, kb)
+        inc = jnp.pad(inc, ((0, 0), (0, 0), (0, 128 - kb))).reshape(
+            rows, ngrid * 128)
+        out = pl.pallas_call(
+            partial(_seg_fix_kernel, C=C, kb=kb, sgn=sgn, causal=causal),
+            out_shape=jax.ShapeDtypeStruct((rows, n * C), x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((lbr, kb * C), lambda r, j: (r, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lbr, 128), lambda r, j: (r, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((lbr, kb * C), lambda r, j: (r, j),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(y, inc)
+        if n * C != E:
+            out = out[:, :E]
+        return out.reshape(x.shape)
+
+    # Sublane-axis form: the (…, E, …) → (…, n, C, …) split keeps tile
+    # boundaries (C ≡ 0 mod 8 sublanes), so the reshape is free; the
+    # inner pass is the plain full-extent kernel.
+    shp = x.shape[:axis] + (n, C) + x.shape[axis + 1:]
     if n * C != E:
         pads = [(0, 0)] * nd
         pads[axis] = (0, n * C - E)
         xs = jnp.pad(x, pads)
     else:
         xs = x
-    shp = xs.shape[:axis] + (n, C) + xs.shape[axis + 1:]
     xr = xs.reshape(shp)
     y = int_unit_dim_pass(xr, [unit], axis + 1, interpret)
     if y is None:
         return None
-    # carries: the chunk-boundary value nearest the next chunk. NOT a
-    # lane-strided slice of y (pathological relayout on TPU — measured
-    # 4x off the bandwidth floor at 10M samples); the boundary value of
-    # a zero-init order-1 scan is a plain weighted reduction of the
-    # chunk: l = Σ_t f·a^(steps-1-t)·x_t, and with a = ±1 the weights
-    # are a ±f pattern, so XLA fuses multiply+reduce into one clean pass.
+    # carries via a weighted chunk reduction of the INPUT (a lane-strided
+    # slice of y relayouts pathologically): l = Σ_t f·a^(steps-1-t)·x_t
     t = np.arange(C)
     expo = (C - 1 - t) if causal else t
     wts = (np.int32(f) * np.where(expo % 2 == 0, 1, sgn)).astype(np.int32)
@@ -248,18 +383,23 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
             if x is None:
                 return None
         return x
+    # Non-dividing row/lane counts ride RAGGED grids (ceil-count, Mosaic
+    # masks the overhanging block) — NO pre-pad/crop copies: the pad+crop
+    # pair around a 320 MB array measured +3 ms at 10M samples while the
+    # ragged kernel matched the divisible one exactly at 2.0 ms
+    # (`scripts/int_kernel_probe{2,3}.py`). Rows/lanes are independent of
+    # the scan axis, so overhang garbage never reaches a kept output.
     if axis == nd - 1:
         rows = int(np.prod(x.shape[:-1], dtype=np.int64)) if nd > 1 else 1
         if rows == 0:
             return x
-        xr, rows0 = _pad_to(x.reshape(rows, E), 0, 8)
-        rows = xr.shape[0]
-        lb = _blk(budget_lines, 8, rows)
+        xr = x.reshape(rows, E)
+        lb = max(8, min(512, (budget_lines // 8) * 8, -(-rows // 8) * 8))
         y = pl.pallas_call(
             partial(_lane_kernel, scans=tuple(scans), E=E,
-                    roll_mode="interp" if interpret else "mosaic"),
+                    roll_mode=_roll_mode(interpret)),
             out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
-            grid=(rows // lb,),
+            grid=(-(-rows // lb),),
             in_specs=[pl.BlockSpec((lb, E), lambda r: (r, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((lb, E), lambda r: (r, 0),
@@ -269,7 +409,7 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
             ),
             interpret=interpret,
         )(xr)
-        return y[:rows0].reshape(x.shape)
+        return y.reshape(x.shape)
 
     P = int(np.prod(x.shape[:axis], dtype=np.int64))
     W = int(np.prod(x.shape[axis + 1:], dtype=np.int64))
@@ -277,14 +417,13 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
         return x
     if budget_lines < 128:
         return None
-    xr, W0 = _pad_to(x.reshape(P, E, W), 2, 128)
-    W = xr.shape[2]
-    lb = _blk(budget_lines, 128, W)
+    xr = x.reshape(P, E, W)
+    lb = min(_blk(budget_lines, 128, -(-W // 128) * 128), -(-W // 128) * 128)
     y = pl.pallas_call(
         partial(_sublane_kernel, scans=tuple(scans), E=E,
-                roll_mode="interp" if interpret else "mosaic"),
+                roll_mode=_roll_mode(interpret)),
         out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
-        grid=(P, W // lb),
+        grid=(P, -(-W // lb)),
         in_specs=[pl.BlockSpec((None, E, lb), lambda p, l: (p, 0, l),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((None, E, lb), lambda p, l: (p, 0, l),
@@ -294,4 +433,4 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
         ),
         interpret=interpret,
     )(xr)
-    return y[:, :, :W0].reshape(x.shape)
+    return y.reshape(x.shape)

@@ -17,7 +17,8 @@ def main():
         return int_scan.int_unit_dim_pass(v, [(1, 1, True)], 2, False)
 
     def reduction_only(v):
-        return jnp.sum(v, axis=2, dtype=jnp.int32)
+        return jnp.broadcast_to(
+            jnp.sum(v, axis=2, dtype=jnp.int32)[..., None], v.shape)
 
     def correction_only(v):
         inc = jnp.ones((rows, n, 1), jnp.int32)
@@ -25,7 +26,8 @@ def main():
 
     def full(v):
         return int_scan._segmented_unit_scan(
-            v.reshape(rows, n * C), (1, 1, True), 1, False)
+            v.reshape(rows, n * C), (1, 1, True), 1, False
+        ).reshape(rows, n, C)
 
     for name, fn in [("kernel", kernel_only), ("reduce", reduction_only),
                      ("correct", correction_only), ("full-seg", full)]:
