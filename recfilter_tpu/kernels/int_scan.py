@@ -183,6 +183,27 @@ def _seg_fix_kernel(y_ref, inc_ref, o_ref, *, C, kb, sgn, causal):
         o_ref[:, sl] = y_ref[:, sl] + corr
 
 
+def _seg_sub_kernel(x_ref, y_ref, c_ref, *, C, unit, roll_mode):
+    """Sublane twin of :func:`_seg_chunk_kernel`: one (C, lbl) chunk
+    block scanned along sublanes; the boundary carry lands in sublane 0
+    of an (8, lbl) slot block (Mosaic's 8-sublane rule)."""
+    f, sgn, causal = unit
+    v = _apply_unit_scans(x_ref[:].astype(jnp.int32), [unit], 0, C,
+                          roll_mode=roll_mode)
+    y_ref[:, :] = v
+    b = v[C - 1:C, :] if causal else v[0:1, :]
+    c_ref[:, :] = jnp.concatenate(
+        [b, jnp.zeros((7, v.shape[1]), jnp.int32)], axis=0)
+
+
+def _seg_sub_fix_kernel(y_ref, inc_ref, o_ref, *, C, sgn, causal):
+    if sgn < 0:
+        i = jax.lax.iota(jnp.int32, C).reshape(C, 1)
+        par = 1 - 2 * ((i + (1 if causal else 0)) & 1)
+    inc = inc_ref[0:1, :]
+    o_ref[:, :] = y_ref[:, :] + (inc if sgn > 0 else inc * par)
+
+
 def _sublane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
     v = x_ref[:].astype(jnp.int32)
     o_ref[:] = _apply_unit_scans(v, scans, 0, E,
@@ -309,54 +330,67 @@ def _segmented_unit_scan(x, unit, axis: int, interpret: bool):
             out = out[:, :E]
         return out.reshape(x.shape)
 
-    # Sublane-axis form: the (…, E, …) → (…, n, C, …) split keeps tile
-    # boundaries (C ≡ 0 mod 8 sublanes), so the reshape is free; the
-    # inner pass is the plain full-extent kernel.
-    shp = x.shape[:axis] + (n, C) + x.shape[axis + 1:]
+    # Sublane-axis form: same two-kernel structure over the (P, E, W)
+    # view (leading-dim merges are tile-free); chunks and lane blocks in
+    # the grid, carries in per-chunk 8-sublane slots.
+    P = int(np.prod(x.shape[:axis], dtype=np.int64))
+    W = int(np.prod(x.shape[axis + 1:], dtype=np.int64))
+    if P == 0 or W == 0:
+        return x
+    xr = x.reshape(P, E, W)
     if n * C != E:
-        pads = [(0, 0)] * nd
-        pads[axis] = (0, n * C - E)
-        xs = jnp.pad(x, pads)
-    else:
-        xs = x
-    xr = xs.reshape(shp)
-    y = int_unit_dim_pass(xr, [unit], axis + 1, interpret)
-    if y is None:
-        return None
-    # carries via a weighted chunk reduction of the INPUT (a lane-strided
-    # slice of y relayouts pathologically): l = Σ_t f·a^(steps-1-t)·x_t
-    t = np.arange(C)
-    expo = (C - 1 - t) if causal else t
-    wts = (np.int32(f) * np.where(expo % 2 == 0, 1, sgn)).astype(np.int32)
-    wshape = [1] * (nd + 1)
-    wshape[axis + 1] = C
-    l = jnp.sum(xr.astype(jnp.int32) * wts.reshape(wshape),
-                axis=axis + 1).astype(jnp.int32)
-    c = _apply_unit_scans(l, [(1, 1, causal)], axis, n)  # a^C = 1 (C even)
-    zshape = list(c.shape)
-    zshape[axis] = 1
-    z = jnp.zeros(zshape, jnp.int32)
+        xr = jnp.pad(xr, ((0, 0), (0, n * C - E), (0, 0)))
+    lbl = min(_blk(_VMEM_BUDGET // (C * 4 * 3), 128, -(-W // 128) * 128),
+              -(-W // 128) * 128)
+    roll = _roll_mode(interpret)
+    grid = (P, n, -(-W // lbl))
+    y, cs = pl.pallas_call(
+        partial(_seg_sub_kernel, C=C, unit=unit, roll_mode=roll),
+        out_shape=(jax.ShapeDtypeStruct((P, n * C, W), jnp.int32),
+                   jax.ShapeDtypeStruct((P, n * 8, W), jnp.int32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((None, C, lbl), lambda p, j, l: (p, j, l),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((None, C, lbl), lambda p, j, l: (p, j, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, lbl), lambda p, j, l: (p, j, l),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(xr)
+    l = cs.reshape(P, n, 8, W)[:, :, 0]                # tiny (P, n, W)
+    c = _apply_unit_scans(l, [(1, 1, causal)], 1, n)   # a^C = 1 (C even)
+    z = jnp.zeros((P, 1, W), jnp.int32)
     if causal:
-        incoming = jnp.concatenate(
-            [z, jax.lax.slice_in_dim(c, 0, n - 1, axis=axis)], axis=axis)
+        incoming = jnp.concatenate([z, c[:, :n - 1]], axis=1)
     else:
-        incoming = jnp.concatenate(
-            [jax.lax.slice_in_dim(c, 1, n, axis=axis), z], axis=axis)
-    incoming = jnp.expand_dims(incoming, axis + 1)
-    if sgn > 0:
-        corr = incoming
-    else:
-        # a = −1: a^(i+1) forward / a^(C−i) backward; C even makes the
-        # backward exponent parity (−1)^i
-        i = np.arange(C)
-        pat = ((-1) ** (i + 1) if causal else (-1) ** i).astype(np.int32)
-        pshape = [1] * (nd + 1)
-        pshape[axis + 1] = C
-        corr = incoming * pat.reshape(pshape)
-    y = (y.astype(jnp.int32) + corr).astype(x.dtype).reshape(xs.shape)
+        incoming = jnp.concatenate([c[:, 1:], z], axis=1)
+    inc = jnp.pad(incoming[:, :, None, :],
+                  ((0, 0), (0, 0), (0, 7), (0, 0))).reshape(P, n * 8, W)
+    out = pl.pallas_call(
+        partial(_seg_sub_fix_kernel, C=C, sgn=sgn, causal=causal),
+        out_shape=jax.ShapeDtypeStruct((P, n * C, W), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, C, lbl), lambda p, j, l: (p, j, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, lbl), lambda p, j, l: (p, j, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, C, lbl), lambda p, j, l: (p, j, l),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(y, inc)
     if n * C != E:
-        y = jax.lax.slice_in_dim(y, 0, E, axis=axis)
-    return y
+        out = out[:, :E]
+    return out.reshape(x.shape)
 
 
 def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
