@@ -2136,13 +2136,16 @@ def apply_filter_fused(spec: FilterSpec, x, tile_default: int = 32,
         T = tiles[axis] or tile_default
         final = axis == axes[-1]
         # Non-last-axis scans: the sublane rows-pass kernels beat the
-        # einsum form here at EVERY grade — the "ansb" einsum lowers to
-        # convolutions ~4x off bandwidth (ROADMAP's DoG xplane) — so the
-        # conv pathology itself is the structural justification.
+        # einsum form at the px grades — the split "ansb" einsums lower
+        # to convolutions ~4x off bandwidth (ROADMAP's DoG xplane). NOT
+        # at "default": XLA's single-product conv lowering is fine there
+        # and the kernels lose fusion with surrounding stages (measured
+        # 0.304 vs 0.205 ms per 4K pass, `scripts/rows_default_ab.py` —
+        # the staged-cascade app regression this round caught). So no
+        # structural claim here; px/bf16 grades still route.
         if (_OVERLAP_PX_2D and axis < nd - 1
                 and (epilogue is None or not final)):
-            nprod_r = _kernel_nprod(cdt, matmul_dtype, matmul_precision,
-                                    structural=True)
+            nprod_r = _kernel_nprod(cdt, matmul_dtype, matmul_precision)
             if (cdt == jnp.float32 and nprod_r >= 1) or (
                     cdt == jnp.bfloat16 and nprod_r == 1):
                 from . import overlap2d

@@ -210,18 +210,6 @@ def _sublane_kernel(x_ref, o_ref, *, scans, E, roll_mode):
                                  roll_mode=roll_mode).astype(o_ref.dtype)
 
 
-def _pad_to(x, axis: int, quantum: int):
-    """Pad ``axis`` up to a multiple of ``quantum`` (zeros — linear scans
-    of zero lines stay zero, so the crop after the kernel is exact)."""
-    n = x.shape[axis]
-    rem = n % quantum
-    if rem == 0:
-        return x, n
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, quantum - rem)
-    return jnp.pad(x, pads), n
-
-
 def _blk(budget_lines: int, quantum: int, total: int) -> int:
     """Largest block ≤ budget that divides ``total`` (a multiple of
     ``quantum``), found by doubling from the quantum."""
@@ -269,7 +257,8 @@ def _segmented_unit_scan(x, unit, axis: int, interpret: bool):
         if rows == 0:
             return x
         xr = x.reshape(rows, E)
-        lbr = max(8, min(128, -(-rows // 8) * 8))
+        lbr = max(8, min(128, -(-rows // 8) * 8,
+                         (_VMEM_BUDGET // (C * 4 * 3) // 8) * 8))
         kb = max(1, min(n, 128, _VMEM_BUDGET // (lbr * C * 4 * 3)))
         ngrid = -(-n // kb)
         roll = _roll_mode(interpret)
@@ -340,8 +329,7 @@ def _segmented_unit_scan(x, unit, axis: int, interpret: bool):
     xr = x.reshape(P, E, W)
     if n * C != E:
         xr = jnp.pad(xr, ((0, 0), (0, n * C - E), (0, 0)))
-    lbl = min(_blk(_VMEM_BUDGET // (C * 4 * 3), 128, -(-W // 128) * 128),
-              -(-W // 128) * 128)
+    lbl = _blk(_VMEM_BUDGET // (C * 4 * 3), 128, -(-W // 128) * 128)
     roll = _roll_mode(interpret)
     grid = (P, n, -(-W // lbl))
     y, cs = pl.pallas_call(
@@ -399,13 +387,21 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
     ``x``: any-rank integer array (int8/16/32 — computed in int32, emitted
     in ``x.dtype``); ``scans``: ``[(f, ±1, causal), ...]`` applied in
     order. Extents beyond the full-extent VMEM gate run the segmented
-    3-phase variant per scan. Returns None only when no variant fits
-    (caller falls back to the limb executor).
+    3-phase variant per scan. Returns None only for the awkward
+    small-extent VMEM corner (caller falls back to the limb executor).
     """
     nd = x.ndim
     E = x.shape[axis]
     if E < 2:
-        return x
+        # extent-1 scans reduce to the feed-forward taps: y = (Π f)·x
+        prod = 1
+        for f, _, _ in scans:
+            prod = (prod * f) & 0xFFFFFFFF
+        prod = prod - (1 << 32) if prod >= (1 << 31) else prod
+        if prod == 1:
+            return x
+        return (jnp.asarray(x).astype(jnp.int32)
+                * jnp.int32(prod)).astype(x.dtype)
     itemsize = 4  # compute type
     budget_lines = _VMEM_BUDGET // (E * itemsize * 3)
     if E > 65536 or budget_lines < 8 or (
@@ -414,8 +410,6 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
             return None
         for unit in scans:
             x = _segmented_unit_scan(x, unit, axis, interpret)
-            if x is None:
-                return None
         return x
     # Non-dividing row/lane counts ride RAGGED grids (ceil-count, Mosaic
     # masks the overhanging block) — NO pre-pad/crop copies: the pad+crop
@@ -449,10 +443,8 @@ def int_unit_dim_pass(x, scans, axis: int, interpret: bool):
     W = int(np.prod(x.shape[axis + 1:], dtype=np.int64))
     if P == 0 or W == 0:
         return x
-    if budget_lines < 128:
-        return None
     xr = x.reshape(P, E, W)
-    lb = min(_blk(budget_lines, 128, -(-W // 128) * 128), -(-W // 128) * 128)
+    lb = _blk(budget_lines, 128, -(-W // 128) * 128)
     y = pl.pallas_call(
         partial(_sublane_kernel, scans=tuple(scans), E=E,
                 roll_mode=_roll_mode(interpret)),

@@ -1078,3 +1078,35 @@ def test_hierarchical_gates_fall_back():
     y = dimfuse.hierarchical_dim_pass(
         jnp.ones(200000, jnp.float32), 0, [s], BorderMode.ZERO, "default")
     assert y is not None
+
+
+def test_rows_route_gated_off_at_default_precision():
+    """Round-4 app-sweep catch: non-last-axis single-dim filters at
+    "default" precision must take the einsum/conv form, NOT the rows-pass
+    kernels (measured 0.304 vs 0.205 ms per 4K pass on chip — the kernels
+    lose XLA fusion at one plain product; the px grades keep the rows
+    route, where the split einsums lower to slow convolutions)."""
+    from recfilter_tpu import overlap2d
+
+    spec = FilterSpec(
+        "RG", (Dim("y", 256), Dim("x", 256)),
+        (Scan(0, True, 0.8, (0.4,)), Scan(0, False, 0.8, (0.4,))),
+        tile_widths=(128, 128),
+    )
+    x = np.random.default_rng(5).standard_normal(
+        (256, 256)).astype(np.float32)
+    calls = []
+    orig = overlap2d.fused_rows_px
+
+    def spy(*a, **k):
+        calls.append(True)
+        return orig(*a, **k)
+
+    overlap2d.fused_rows_px = spy
+    try:
+        dimfuse.apply_filter_fused(spec, x, matmul_precision="default")
+        assert not calls, "default precision must not take the rows route"
+        dimfuse.apply_filter_fused(spec, x, matmul_precision="px6")
+        assert calls, "px6 must keep the rows route"
+    finally:
+        overlap2d.fused_rows_px = orig

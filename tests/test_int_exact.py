@@ -398,3 +398,39 @@ def test_segmented_large_extent_exact():
     finally:
         int_scan._segmented_unit_scan = orig
     assert seen == [1]
+
+
+def test_streaming_integer_exact():
+    """Out-of-core (chunked) execution stays bit-exact for integer specs
+    — cross-chunk carries are exact integers, so any chunking equals the
+    in-core result."""
+    from recfilter_tpu import streaming
+
+    spec = FilterSpec(
+        "StInt", (Dim("y", 96), Dim("x", 96)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (1,))),
+        dtype="int32", tile_widths=(16, 16),
+    )
+    img = _rng(16).integers(-2**24, 2**24, (96, 96)).astype(np.int32)
+    got = np.asarray(
+        streaming.apply_filter_streamed(spec, img, chunk_axis=0, chunk=40))
+    want = scan_core.oracle_apply(spec, img)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extent_one_axis_applies_tap():
+    """A degenerate extent-1 scan axis still applies the feed-forward
+    taps: y = (Π f)·x (round-4 review catch)."""
+    from recfilter_tpu.kernels import int_scan
+
+    x = np.array([[3], [4]], np.int32)
+    got = int_scan.int_unit_dim_pass(x, [(2, 1, True), (3, -1, False)],
+                                     1, True)
+    np.testing.assert_array_equal(np.asarray(got), [[18], [24]])
+
+    spec = FilterSpec(
+        "E1", (Dim("y", 4), Dim("x", 1)),
+        (Scan(1, True, 5, (1,)),), dtype="int32", tile_widths=(2, 1),
+    )
+    img = np.arange(4, dtype=np.int32).reshape(4, 1)
+    _check_exact(spec, img)
