@@ -383,3 +383,34 @@ def test_fused_2d_stencil_on_chip():
             ref = t if ref is None else ref + t
         scale = np.abs(ref).max()
         assert np.abs(np.asarray(got, np.float64) - ref).max() <= 2e-5 * scale
+
+
+def test_int_unit_and_segmented_kernels_on_chip():
+    """Round 4: the wrapping additive integer kernels have Mosaic-only
+    lowering paths (pad/slice doubling adds, ragged grids, 128-lane carry
+    slots) with no CPU equivalent — one small full-extent SAT and one
+    segmented lane case, bit-exact on chip."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse
+    from recfilter_tpu.kernels import int_scan
+    from recfilter_tpu.spec import Dim, FilterSpec, Scan
+
+    rng = np.random.default_rng(77)
+    spec = FilterSpec(
+        "IS", (Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (2, -1))),
+        dtype="int32", tile_widths=(128, 128),
+    )
+    x = rng.integers(-2 ** 20, 2 ** 20, (256, 256)).astype(np.int32)
+    got = np.asarray(dimfuse.apply_filter_fused(spec, jnp.asarray(x)))
+    sat = x.astype(np.int64).cumsum(1)
+    w = sat.cumsum(0).cumsum(0)  # (2,-1) = double integration along y
+    assert np.array_equal(got.astype(np.int64) & 0xFFFFFFFF,
+                          w & 0xFFFFFFFF)
+
+    sig = rng.integers(-1000, 1000, (8, 70_001)).astype(np.int32)
+    got = np.asarray(int_scan.int_unit_dim_pass(
+        jnp.asarray(sig), [(1, 1, True)], 1, False))
+    assert np.array_equal(got.astype(np.int64) & 0xFFFFFFFF,
+                          sig.astype(np.int64).cumsum(1) & 0xFFFFFFFF)
