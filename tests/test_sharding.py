@@ -633,3 +633,38 @@ def test_sharded_kernel_route_gradient(devices):
             spec, Plan(interpret=True), mesh, **kw)
         g = jax.grad(lambda z: (fn(z) ** 2).mean())(img)
         assert float(jnp.abs(g - g_ref).max()) <= 4e-6 * scale, kw
+
+
+def test_integer_data_parallel_unit_kernels(devices):
+    """Data-parallel integer shards take the wrapping additive kernels
+    inside shard_map (the same single-chip unit route), bit-exact."""
+    from recfilter_tpu.kernels import int_scan
+
+    spec = FilterSpec(
+        "IntShip", (Dim("c", 8), Dim("y", 256), Dim("x", 256)),
+        (Scan(1, True, 1, (1,)), Scan(2, True, 1, (2, -1))),
+        dtype="int32", tile_widths=(0, 128, 128),
+    )
+    img = np.random.default_rng(70).integers(
+        -2 ** 20, 2 ** 20, (8, 256, 256)).astype(np.int32)
+    mesh = sharding.make_mesh((4,), ("data",))
+    calls = []
+    orig = int_scan.int_unit_dim_pass
+
+    def spy(x, scans, axis, interpret):
+        calls.append(axis)
+        return orig(x, scans, axis, interpret)
+
+    int_scan.int_unit_dim_pass = spy
+    try:
+        got = np.asarray(
+            sharding.sharded_apply_filter(
+                spec, Plan(interpret=True), mesh, jnp.asarray(img),
+                data_axis=0,
+            )
+        )
+    finally:
+        int_scan.int_unit_dim_pass = orig
+    assert calls and sorted(set(calls)) == [1, 2], calls
+    want = scan_core.oracle_apply(spec, img)
+    np.testing.assert_array_equal(got, np.asarray(want).astype(np.int32))
