@@ -434,3 +434,18 @@ def test_extent_one_axis_applies_tap():
     )
     img = np.arange(4, dtype=np.int32).reshape(4, 1)
     _check_exact(spec, img)
+
+
+@pytest.mark.parametrize("dtype,hi", [("uint8", 200), ("uint16", 2**14),
+                                      ("uint32", 2**30)])
+def test_unsigned_dtypes_exact(dtype, hi):
+    """Unsigned images are exact for free: int32 compute is congruent
+    mod 2^32, and truncating to uint k bits equals the mod-2^k result
+    (the same ring homomorphism as the signed widths)."""
+    spec = FilterSpec(
+        "U", (Dim("y", 96), Dim("x", 128)),
+        (Scan(1, True, 1, (1,)), Scan(0, True, 1, (1,))),
+        dtype=dtype, tile_widths=(32, 64),
+    )
+    img = _rng(17).integers(0, hi, (96, 128)).astype(dtype)
+    _check_exact(spec, img)
