@@ -38,15 +38,27 @@ def unsharp_mask(
         return (1.0 + weight) * image - weight * blur
 
     if fused:
-        # Merging the cascade wins when stage boundaries cost HBM passes —
-        # the px kernel modes (tails chaining spans the merge: 0.90→0.64 ms
-        # at 4K px6). In the plain einsum modes XLA already fuses across
-        # the staged composition and the merged rotation-chained pipeline
-        # measured ~10% slower — keep the staged epilogue there. Gate on
+        # Merging the cascade wins wherever the executor rides the 2-D
+        # overlapped kernels: the px modes (tails chaining spans the merge:
+        # 0.90→0.64 ms at 4K px6) AND throughput mode — the merged D=2
+        # filter is the 3-touch structural win and the combine rides the
+        # final kernel's in-VMEM epilogue, while the staged epilogue's
+        # combine cannot fuse into the last stage's rotation-restoring
+        # transposed-output einsum (the blur materializes and the combine
+        # becomes its own 3-stream pass: 0.66 vs 0.26 ms at 4K default,
+        # `scripts/usm_route_probe.py`; the pointwise op itself is free —
+        # a self-only epilogue measures 0.344 vs the bare cascade's 0.341).
+        # Only the plain einsum grades (high/highest/f32x*) keep the staged
+        # epilogue, where XLA fuses across the staged composition and the
+        # merged rotation-chained pipeline measured ~10% slower. Gate on
         # the built filters' OWN plan (what the executor will actually run).
-        if fc[0].plan.matmul_precision.startswith("px"):
+        mp = fc[0].plan.matmul_precision
+        if mp.startswith("px") or mp == "default":
             fn = fuse_cascade(fc, epilogue=combine)
-            return jax.jit(lambda image: fn(image, image))
+            out = jax.jit(lambda image: fn(image, image))
+            out.usm_route = "merged"
+            return out
+
         fns = [f.as_func() for f in fc[:-1]]
         last = fc[-1].as_func(epilogue=combine)
 
@@ -56,7 +68,9 @@ def unsharp_mask(
                 b = fn(b)
             return last(b, image)
 
-        return jax.jit(pipeline)
+        out = jax.jit(pipeline)
+        out.usm_route = "staged"
+        return out
 
     fns = [f.as_func() for f in fc]
 

@@ -181,6 +181,39 @@ def test_unsharp_mask_fused_equals_naive():
     np.testing.assert_array_equal(a, b)
 
 
+def test_unsharp_mask_route_gate():
+    """USM's fused builder must take the merged fuse_cascade route (in-VMEM
+    kernel epilogue) in every kernel-riding mode — px* AND throughput mode
+    ("default") — and the staged epilogue only in the plain einsum grades.
+    On chip the staged route's combine cannot fuse into the last stage's
+    rotation-restoring transposed-output einsum (0.66 vs 0.26 ms at 4K
+    default, ``scripts/usm_route_probe.py``)."""
+    from recfilter_tpu import planner
+
+    w = 32
+    img = rf.generate_random_image(w, w, lo=0, hi=1, seed=8)
+    fc = gaussian_3x_3y(w, w, 8, 2.0)
+    blur = img.astype(np.float64)
+    for f in fc:
+        blur = scan_core.oracle_apply(f.spec, blur)
+    ref = 2.0 * img - blur
+
+    old = planner._DEFAULT_MATMUL_PRECISION[0]
+    try:
+        for mode, route, tol in [
+            ("px6", "merged", 1e-3),
+            ("default", "merged", 1e-2),
+            ("highest", "staged", 1e-3),
+        ]:
+            planner.set_default_matmul_precision(mode)
+            fn = unsharp_mask(w, w, 8, sigma=2.0, weight=1.0)
+            assert fn.usm_route == route, (mode, fn.usm_route)
+            np.testing.assert_allclose(
+                np.asarray(fn(img)), ref, rtol=tol, atol=tol)
+    finally:
+        planner.set_default_matmul_precision(old)
+
+
 def test_dog_matches_triple_box_oracle_interior():
     """DoG = box³(B1) - box³(B2) in the interior (borders are undefined by
     the apps' zeroed-margin contract, ``box_filter.h:9-11``; the tolerance
