@@ -257,6 +257,30 @@ def _banded_solve_apply(bands, braw_t, S: int):
     return N
 
 
+def _banded_solve_apply_nat(bands, braw, prec):
+    """Banded combined solve on NATURAL-layout tails (..., n, S):
+    N_t = Σ_d B_d[t] · b_{t−d} — the einsum-path twin of
+    :func:`_banded_solve_apply` (which takes the kernels' slot-padded
+    transposed layout). Keeps high-order einsum passes (carry slots past
+    the kernels' ΣK ≤ 8 gate, e.g. the audio order-29 sweep) off the dense
+    (n·S)² solve matrix, which would be 220 MB at n=256/S=29."""
+    N = None
+    for d, blocks in bands:
+        if d == 0:
+            shifted = braw
+        elif d > 0:
+            z = jnp.zeros_like(braw[..., :d, :])
+            shifted = jnp.concatenate([z, braw[..., :-d, :]], axis=-2)
+        else:
+            z = jnp.zeros_like(braw[..., d:, :])
+            shifted = jnp.concatenate([braw[..., -d:, :], z], axis=-2)
+        t = jnp.einsum("nab,...nb->...na", jnp.asarray(blocks, jnp.float32),
+                       shifted, preferred_element_type=jnp.float32,
+                       precision=prec)
+        N = t if N is None else N + t
+    return N
+
+
 @dataclasses.dataclass
 class DimPassMats:
     """Per-dimension fused-pass matrices (numpy, trace-time constants).
@@ -846,11 +870,16 @@ def fused_dim_pass(
                     "ts,asb->atb", CM_np, bl, nsp, acc,
                 ).reshape(lead, n, S, trail)
         elif last:
-            CMfull = jnp.asarray(CM_np, dtype=acc)
-            Ncat = jnp.einsum(
-                "ls,ts->lt", braw.astype(acc).reshape(lead, n * S), CMfull,
-                preferred_element_type=acc, precision=prec,
-            ).reshape(lead, n, S)
+            bands = banded_solve_blocks(CM_np, n, S)
+            if bands is not None:
+                Ncat = _banded_solve_apply_nat(
+                    bands, braw.astype(acc), jax.lax.Precision.HIGHEST)
+            else:
+                CMfull = jnp.asarray(CM_np, dtype=acc)
+                Ncat = jnp.einsum(
+                    "ls,ts->lt", braw.astype(acc).reshape(lead, n * S),
+                    CMfull, preferred_element_type=acc, precision=prec,
+                ).reshape(lead, n, S)
         else:
             CMfull = jnp.asarray(CM_np, dtype=acc)
             bl = braw.astype(acc).reshape(lead, n * S, trail)
@@ -1340,11 +1369,16 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 nsp, acc,
             ).reshape((P,) + tuple(rows) + (n, S))
         else:
-            CMfull = jnp.asarray(CM_np, dtype=acc)
-            Ncat = jnp.einsum(
-                "ls,ts->lt", braw.astype(acc).reshape(PR, n * S), CMfull,
-                preferred_element_type=acc, precision=prec,
-            ).reshape((P,) + tuple(rows) + (n, S))
+            bands = banded_solve_blocks(CM_np, n, S)
+            if bands is not None:
+                Ncat = _banded_solve_apply_nat(
+                    bands, braw.astype(acc), jax.lax.Precision.HIGHEST)
+            else:
+                CMfull = jnp.asarray(CM_np, dtype=acc)
+                Ncat = jnp.einsum(
+                    "ls,ts->lt", braw.astype(acc).reshape(PR, n * S), CMfull,
+                    preferred_element_type=acc, precision=prec,
+                ).reshape((P,) + tuple(rows) + (n, S))
     else:
         # associative fallback per scan (audio-scale) — reuse the 4-axis
         # solver by treating the row axes as the batch axis
@@ -1622,6 +1656,50 @@ def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
 # ---------------------------------------------------------------------------
 
 
+def _chain_prefix_axis(b, scan: Scan, seg: int, D: int, prec):
+    """In-chip Kogge–Stone carry-chain solve over a supertile ARRAY axis:
+    ``parallel.sharding._ks_chain`` with zero-filled jnp shifts along axis
+    -2 of ``b`` (..., D, k) in place of ``ppermute`` (the zero fill IS the
+    zero-state boundary condition). log₂(D) einsum steps against k×k
+    transfer powers — no (D·k)² matrix at any point. Returns the natural
+    incoming vectors N (..., D, k) consumed by the Rcat correction."""
+    k = scan.order
+    W = coeffs.tail_weight_matrix(scan.feedback, seg)
+    Jk = np.asarray(coeffs.antidiagonal(k))
+
+    def mat(M):
+        return jnp.asarray(np.asarray(M), jnp.float32)
+
+    def shift(a, s):
+        # causal: recv_d = a_{d-s}; anticausal: recv_d = a_{d+s}
+        z = jnp.zeros_like(a[..., :s, :])
+        if scan.causal:
+            return jnp.concatenate([z, a[..., : D - s, :]], axis=-2)
+        return jnp.concatenate([a[..., s:, :], z], axis=-2)
+
+    if scan.causal:
+        # u_d = Jk b_d; inclusive s_d = Σ_{i≤d} W^{d-i} u_i; N_d = Jk s_{d-1}
+        u = jnp.einsum("ij,...j->...i", mat(Jk), b, precision=prec,
+                       preferred_element_type=jnp.float32)
+    else:
+        # natural order IS W-order; inclusive from the right; N_d = s_{d+1}
+        u = b
+    s_ = u
+    sh = 1
+    Wp = np.asarray(W, np.float64).copy()
+    while sh < D:
+        s_ = s_ + jnp.einsum("ij,...j->...i", mat(Wp), shift(s_, sh),
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+        sh *= 2
+        Wp = Wp @ Wp
+    s_prev = shift(s_, 1)
+    if scan.causal:
+        return jnp.einsum("ij,...j->...i", mat(Jk), s_prev, precision=prec,
+                          preferred_element_type=jnp.float32)
+    return s_prev
+
+
 def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
                           matmul_precision: str):
     """Audio-scale dimension pass via a TWO-LEVEL chain so n ~ 10^4 tile
@@ -1647,7 +1725,15 @@ def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
     """
     S = int(sum(s.order for s in scans))
     kmax = max(s.order for s in scans)
-    if S > 8:
+    # ΣK ≤ 8: one 8-sublane carry slot — dense (n_sup·ΣK)² combined solve
+    # (measured route). Past 8, the dense matrix grows quadratically in
+    # n_sup·ΣK (315 MB at 10M samples / order 29), so level 2 switches to
+    # per-scan Kogge–Stone transfer chains over the supertile axis — the
+    # in-chip analog of parallel.sharding._ks_chain — and level-1 locals
+    # ride the banded einsum solve. Covers the reference's full audio
+    # sweep (orders 1..29, biquads 1..30 → overlapped order ≤ 60:
+    # apps/audio/audio_filter_high_order.cpp:38-93).
+    if S > 64:
         return None
     # px modes ride the completion kernels inside the supertile locals;
     # throughput mode ("default") rides the same structure through plain
@@ -1696,14 +1782,34 @@ def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
     ccat = jnp.concatenate(cs, axis=-1)  # (..., n_sup, S)
 
     orders, H, CMs, Rcats = _sh._segment_exchange_mats(
-        scans, seg, n_sup, clamp, pad)
-    CMfull = _sh._combined_solve(orders, H, CMs, n_sup)  # (n_sup·S)²
+        scans, seg, n_sup, clamp, pad, build_cm=S <= 8)
     hi = jax.lax.Precision.HIGHEST
-    N = jnp.einsum(
-        "ts,...s->...t", jnp.asarray(CMfull, jnp.float32),
-        ccat.reshape(lead + (n_sup * S,)),
-        preferred_element_type=jnp.float32, precision=hi,
-    ).reshape(lead + (n_sup, S))
+    if S <= 8:
+        CMfull = _sh._combined_solve(orders, H, CMs, n_sup)  # (n_sup·S)²
+        N = jnp.einsum(
+            "ts,...s->...t", jnp.asarray(CMfull, jnp.float32),
+            ccat.reshape(lead + (n_sup * S,)),
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(lead + (n_sup, S))
+    else:
+        # Per-scan Kogge–Stone chains over the supertile ARRAY axis: only
+        # k×k transfer powers as constants (vs the (n_sup·S)² dense
+        # matrix); cross-scan H couplings injected scan by scan, exactly
+        # as the device-level ring route does (_seq_solve_ring).
+        offs2 = np.cumsum([0] + orders)
+        Ns = []
+        for i, s in enumerate(scans):
+            b = ccat[..., offs2[i]:offs2[i + 1]]
+            for j in range(i):
+                Hs = np.asarray(H[i][j])  # (1|n_sup, k_i, k_j)
+                eq = ("ok,...nk->...no" if Hs.shape[0] == 1
+                      else "nok,...nk->...no")
+                Hm = Hs[0] if Hs.shape[0] == 1 else Hs
+                b = b + jnp.einsum(eq, jnp.asarray(Hm, jnp.float32), Ns[j],
+                                   preferred_element_type=jnp.float32,
+                                   precision=hi)
+            Ns.append(_chain_prefix_axis(b, s, seg, n_sup, hi))
+        N = jnp.concatenate(Ns, axis=-1)
 
     # Rank-S correction: interior columns on every supertile, plus edge
     # deltas on the globally-first/last supertiles under clamp/pad.

@@ -142,7 +142,7 @@ def _evolve_cols(M: np.ndarray, scan, clamp_edge: bool, eff: int):
 
 
 def _segment_exchange_mats(scans, seg: int, D: int, clamp: bool = False,
-                           pad: int = 0):
+                           pad: int = 0, build_cm: bool = True):
     """Device-level matrices for the carry exchange — the dimfuse algebra
     with "tile" = "device segment", built column-wise (never a seg×seg
     matrix): per-scan natural correction columns Rhat (seg, k_i) evolved
@@ -198,7 +198,12 @@ def _segment_exchange_mats(scans, seg: int, D: int, clamp: bool = False,
         Rcat = np.concatenate(cols, axis=1)  # (seg, ΣK)
         return H, Rcat
 
-    CMs = [dimfuse._chain_matrix(s, seg, D) for s in scans]
+    # The per-scan (D·k)² chain matrices feed the dense combined solve
+    # only; the Kogge–Stone routes (ring, and the in-chip hierarchical
+    # chain past ΣK=8) solve via k×k transfer matrices instead and skip
+    # this quadratic-in-D host build.
+    CMs = ([dimfuse._chain_matrix(s, seg, D) for s in scans]
+           if build_cm else None)
 
     if not clamp and not pad:
         H1, Rcat = build(None)
@@ -411,7 +416,8 @@ def _seq_solve_ring(y, axis, spec, scan_ids, tile_width, D, name,
     scans = [spec.scans[i] for i in scan_ids]
     seg = y.shape[axis]
     clamp = spec.border == BorderMode.CLAMP
-    orders, H, CMs, Rcats = _segment_exchange_mats(scans, seg, D, clamp, pad)
+    orders, H, CMs, Rcats = _segment_exchange_mats(scans, seg, D, clamp, pad,
+                                                   build_cm=False)
     offs = np.cumsum([0] + orders)
 
     y, ccat = _seq_local_cascade(y, axis, spec, scan_ids, tile_width, D,

@@ -1059,13 +1059,19 @@ def test_hierarchical_two_level_chain_rides_kernels():
 
 def test_hierarchical_gates_fall_back():
     """Beyond the provable range the associative path keeps serving:
-    ΣK > 8 and > 512 supertiles return None."""
+    ΣK > 64 and > 512 supertiles return None; ΣK in 9..64 rides the
+    Kogge–Stone level-2 chain (round-5: the reference's order-29 audio
+    sweep is a first-class fast-path workload)."""
     import jax.numpy as jnp
 
-    big = Scan(0, True, 1.0, tuple([0.01] * 9))  # order 9 > 8 slots
+    huge = Scan(0, True, 1.0, tuple([0.001] * 65))  # order 65 > 64 gate
+    assert dimfuse.hierarchical_dim_pass(
+        jnp.ones(200000, jnp.float32), 0, [huge], BorderMode.ZERO,
+        "px6") is None
+    big = Scan(0, True, 1.0, tuple([0.01] * 9))  # order 9: multi-slot route
     assert dimfuse.hierarchical_dim_pass(
         jnp.ones(200000, jnp.float32), 0, [big], BorderMode.ZERO,
-        "px6") is None
+        "px6") is not None
     s = Scan(0, True, 1.0, (0.5,))
     assert dimfuse.hierarchical_dim_pass(
         jnp.ones(1000, jnp.float32), 0, [s], BorderMode.ZERO,
@@ -1078,6 +1084,51 @@ def test_hierarchical_gates_fall_back():
     y = dimfuse.hierarchical_dim_pass(
         jnp.ones(200000, jnp.float32), 0, [s], BorderMode.ZERO, "default")
     assert y is not None
+
+
+def test_hierarchical_high_order_chain_oracle():
+    """Round-5 (VERDICT r4 #2): ΣK > 8 rides the hierarchical chain with a
+    per-scan Kogge–Stone level-2 solve (no (n_sup·ΣK)² dense matrix) and
+    banded level-1 solves — oracle-exact at f32 grade for high orders,
+    clamp, anticausal, non-dividing extents, and mixed multi-scan
+    cascades. Reference sweep: apps/audio/audio_filter_high_order.cpp
+    orders 1..29, audio_filter_biquads.cpp counts 1..30."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (500000, BorderMode.ZERO, True, 9),
+        (500001, BorderMode.CLAMP, True, 16),
+        (400003, BorderMode.CLAMP, False, 12),
+    ]
+    for w, border, causal, order in cases:
+        x = (rng.standard_normal(w) * 0.1).astype(np.float32)
+        fb = tuple(0.01 for _ in range(order))
+        s = Scan(0, causal, 1.0, fb)
+        y = dimfuse.hierarchical_dim_pass(
+            jnp.asarray(x), 0, [s], border, "px6")
+        assert y is not None, (w, order)
+        want = scan_core.oracle_apply_scan(
+            x.astype(np.float64), 0, causal, 1.0, list(fb), border)
+        scale = np.abs(want).max()
+        assert np.abs(np.asarray(y) - want).max() <= 2e-6 * scale, (
+            w, border, order)
+    # Mixed-causality cascade past the slot gate (S = 11, clamp + pad):
+    # exercises the H couplings between Kogge–Stone chains.
+    w = 300005
+    x = (rng.standard_normal(w) * 0.1).astype(np.float32)
+    scans = [Scan(0, True, 0.9, (0.2, -0.05, 0.01, 0.004)),
+             Scan(0, False, 0.8, (0.3, 0.02, -0.01, 0.002)),
+             Scan(0, True, 1.1, (0.15, 0.05, -0.02))]
+    y = dimfuse.hierarchical_dim_pass(
+        jnp.asarray(x), 0, scans, BorderMode.CLAMP, "px6")
+    assert y is not None
+    want = x.astype(np.float64)
+    for s in scans:
+        want = scan_core.oracle_apply_scan(
+            want, 0, s.causal, s.feedfwd, list(s.feedback), BorderMode.CLAMP)
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(y) - want).max() <= 5e-6 * scale
 
 
 def test_rows_route_gated_off_at_default_precision():
