@@ -16,10 +16,25 @@ optimized — the cascade stages AND the pointwise combine fuse into one
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 from ..api import fuse_cascade
 from .gaussian import gaussian_3x_3y
+
+
+def _tag_route(fn, route: str):
+    """Attach the route tag via a thin wrapper instead of mutating the
+    ``jax.jit`` object: attribute assignment on the C++ PjitFunction has
+    differed across jaxlib versions (advisor r4). The wrapper stays
+    jittable and delegates to the already-jitted callable."""
+    @functools.wraps(fn)
+    def wrapper(image):
+        return fn(image)
+
+    wrapper.usm_route = route
+    return wrapper
 
 
 def unsharp_mask(
@@ -55,9 +70,8 @@ def unsharp_mask(
         mp = fc[0].plan.matmul_precision
         if mp.startswith("px") or mp == "default":
             fn = fuse_cascade(fc, epilogue=combine)
-            out = jax.jit(lambda image: fn(image, image))
-            out.usm_route = "merged"
-            return out
+            return _tag_route(jax.jit(lambda image: fn(image, image)),
+                              "merged")
 
         fns = [f.as_func() for f in fc[:-1]]
         last = fc[-1].as_func(epilogue=combine)
@@ -68,9 +82,7 @@ def unsharp_mask(
                 b = fn(b)
             return last(b, image)
 
-        out = jax.jit(pipeline)
-        out.usm_route = "staged"
-        return out
+        return _tag_route(jax.jit(pipeline), "staged")
 
     fns = [f.as_func() for f in fc]
 
