@@ -158,6 +158,12 @@ def combined_solve_matrix(mats: "DimPassMats", n: int) -> np.ndarray:
     small ops on this stack)."""
     m = len(mats.orders)
     S = sum(mats.orders)
+    if m == 1:
+        # Single scan: the embedding E is the identity and CMfull is the
+        # scan's own chain matrix — skip the O((n·k)³) matmul (high-order
+        # audio builds n=256/k=29 here: 0.4 TFLOP of float64 saved per
+        # trace).
+        return np.asarray(mats.CM[0])
     offs = np.cumsum([0] + mats.orders)
     rows: list = [None] * m  # rows[i]: (n*k_i, n*S) mapping braw_cat → N_i
 
@@ -1148,6 +1154,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
 
         interp = _interp()
         if _completion.completion_ok(T, PR, n, S, interp):
+            sl = _completion.slots_for(S)
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
             xq = X.reshape(PR, n, T)
             # In-kernel shifted-tap stencil consumer: the tails read also
@@ -1168,7 +1175,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                     xq, Gcat, nprod=nprod_k, interpret=interp,
                     extra_rows=st_extra,
                 )  # (n, 8(+halo rows), PR) slot-padded transposed tails
-            braw8 = braw_t[:, :8] if st_extra is not None else braw_t
+            braw8 = braw_t[:, :sl] if st_extra is not None else braw_t
             CMfull = combined_solve_matrix(mats, n)
             bands = banded_solve_blocks(CMfull, n, S)
             if bands is not None:
@@ -1181,10 +1188,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                     _completion.pad_solve_matrix(CMfull, n, S), dtype=acc,
                 )
                 Nt8 = jnp.einsum(
-                    "ts,sl->tl", CMp, braw8.reshape(n * 8, PR),
+                    "ts,sl->tl", CMp, braw8.reshape(n * sl, PR),
                     preferred_element_type=acc,
                     precision=jax.lax.Precision.HIGHEST,
-                ).reshape(n, 8, PR)
+                ).reshape(n, sl, PR)
             st_k = None
             if st_extra is not None:
                 prev_h, nxt_h = _stencil_halo(mats, braw_t, Nt8, st_taps,
@@ -1265,6 +1272,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
         interp = _interp()
         R = PR // P
         if _completion.completion_ok(T, R, n, S, interp):
+            sl = _completion.slots_for(S)
             Rcat = np.concatenate([np.asarray(r) for r in mats.Rhat], axis=2)
             CMfull = combined_solve_matrix(mats, n)
             bands = banded_solve_blocks(CMfull, n, S)
@@ -1280,7 +1288,7 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 Xs = X.reshape(P, R, n, T)
                 if tails_in is not None:
                     braw_t = jnp.moveaxis(
-                        tails_in.reshape(tails_in.shape[0], 8, P, R), 2, 0)
+                        tails_in.reshape(tails_in.shape[0], sl, P, R), 2, 0)
                 else:
                     braw_t = jax.vmap(lambda xq: _completion.tails_pass(
                         xq, Gcat, nprod=nprod_k, interpret=interp))(Xs)
@@ -1289,10 +1297,10 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                         lambda b: _banded_solve_apply(bands, b, S))(braw_t)
                 else:
                     Nt8 = jnp.einsum(
-                        "ts,psl->ptl", CMp, braw_t.reshape(P, n * 8, R),
+                        "ts,psl->ptl", CMp, braw_t.reshape(P, n * sl, R),
                         preferred_element_type=acc,
                         precision=jax.lax.Precision.HIGHEST,
-                    ).reshape(P, n, 8, R)
+                    ).reshape(P, n, sl, R)
                 Yk = jax.vmap(lambda xq, nt: _completion.completion_pass(
                     xq, Btot_np, Rcat, nt, rot=True, nprod=nprod_k,
                     interpret=interp, carries_transposed=True,
@@ -1327,15 +1335,15 @@ def _last_axis_pass_t(x, scans, plan, clamp, cdt, mmd, rot_axes,
                 braw_t = _completion.tails_pass(
                     xq, Gcat, nprod=nprod_k, interpret=interp,
                     extra_rows=st_extra_p)
-                braw8 = braw_t[:, :8] if st_extra_p is not None else braw_t
+                braw8 = braw_t[:, :sl] if st_extra_p is not None else braw_t
                 if bands is not None:
                     Nt8 = _banded_solve_apply(bands, braw8, S)
                 else:
                     Nt8 = jnp.einsum(
-                        "ts,sl->tl", CMp, braw8.reshape(n * 8, R),
+                        "ts,sl->tl", CMp, braw8.reshape(n * sl, R),
                         preferred_element_type=acc,
                         precision=jax.lax.Precision.HIGHEST,
-                    ).reshape(n, 8, R)
+                    ).reshape(n, sl, R)
                 st_k = None
                 if st_extra_p is not None:
                     prev_h, nxt_h = _stencil_halo(mats, braw_t, Nt8,

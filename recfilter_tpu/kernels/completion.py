@@ -41,7 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 6 * 1024 * 1024
-_SLOTS = 8  # carry slots per tile (sublane quantum); max ΣK supported
+_SLOTS = 8  # sublane quantum: carries ride 8-row slots
+_MAX_S = 56  # max ΣK: ⌈S/8⌉ sublane slots per tile (round-5 — the
+# reference's audio sweep runs single scans to order 29 and overlapped
+# biquads to order 60's neighborhood; multi-slot carries keep those on
+# the kernel path instead of the chunk-materializing split einsums)
+
+
+def slots_for(S: int) -> int:
+    """Slot-padded carry rows for ΣK = S (multiple of the sublane quantum)."""
+    return -(-int(S) // _SLOTS) * _SLOTS
 # Chained-tails extraction strategy: False = explicit acc re-split + chunk
 # concats (the px product pairs); True = one f32 HIGHEST dot per sub-tile
 # (Mosaic's own compensated lowering). Measured on chip (gaussian3 4K px6,
@@ -348,7 +357,9 @@ def _tails_gate(rot: bool, q: int, qp: int, Lb: int, next_tails):
     (volumes)."""
     kt = ka = 0
     if next_tails is not None:
-        _, n2, T2 = next_tails
+        Gcat2, n2, T2 = next_tails
+        if np.asarray(Gcat2).shape[1] > _SLOTS:
+            return kt, ka  # multi-slot next pass: no chaining
         q2 = n2 * T2
         if rot and qp == q and Lb % T2 == 0:
             if q == q2:
@@ -484,7 +495,8 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     """
     q, n, T = x.shape
     S = np.asarray(Rcat).shape[-1]
-    assert S <= _SLOTS, "carry slots exceed the kernel's sublane quantum"
+    assert S <= _MAX_S, "carry slots exceed the kernel's multi-slot quantum"
+    sl = slots_for(S)
     assert epilogue is None or next_tails is None, (
         "epilogue and next_tails are mutually exclusive (chained tails are "
         "pre-epilogue filter state)"
@@ -495,9 +507,9 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     pairs = _prods(nprod)
     Bs = _split_const(Btot, nc)
     # Stacked contraction: B chunks tiled along one nprod*T axis (and R
-    # chunks along nprod*8), matching the kernel's in-VMEM x/carry concat.
+    # chunks along nprod*sl), matching the kernel's in-VMEM x/carry concat.
     Bcat_k = np.concatenate([Bs[i] for i, _ in pairs], axis=-1)
-    Rp = np.zeros((max(nv, n), T, _SLOTS), np.float64)
+    Rp = np.zeros((max(nv, n), T, sl), np.float64)
     Rp[:, :, :S] = np.asarray(Rcat, np.float64)[
         np.minimum(np.arange(n), nv - 1)
     ]
@@ -505,7 +517,10 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
     Rcat_k = np.concatenate([Rs[i] for i, _ in pairs], axis=-1)
 
     Lb, qp = _block_geom(q, T, nprod, len(eaux))
-    kt, ka = _tails_gate(rot, q, qp, Lb, next_tails)
+    # Cross-pass tails chaining assumes the single-slot carry layout on
+    # both sides (image pipelines, ΣK ≤ 8); multi-slot passes skip it.
+    kt, ka = (_tails_gate(rot, q, qp, Lb, next_tails) if sl == _SLOTS
+              else (0, 0))
     if next_tails is not None:
         Gcat2, n2, T2 = next_tails
 
@@ -545,10 +560,10 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
             Nc = Ncat
             if qp != q:
                 Nc = jnp.pad(Nc, ((0, qp - q), (0, 0), (0, 0)))
-            # Carries transposed to (n, 8, qp): slot-padded sublane layout.
+            # Carries transposed to (n, sl, qp): slot-padded sublane layout.
             Nt = jnp.transpose(Nc.astype(jnp.float32), (1, 2, 0))
-            if S < _SLOTS:
-                Nt = jnp.pad(Nt, ((0, 0), (0, _SLOTS - S), (0, 0)))
+            if S < sl:
+                Nt = jnp.pad(Nt, ((0, 0), (0, sl - S), (0, 0)))
         bidx = (lambda t, l: (t, 0, 0)) if nv > 1 else (lambda t, l: (0, 0, 0))
         kern = partial(_completion_kernel, nprod=nprod, rot=rot, kt=kt,
                        t2=(T2 if kt else 0), ka=ka, naux=len(eaux),
@@ -570,9 +585,9 @@ def completion_pass(x, Btot, Rcat, Ncat, *, rot: bool, nprod: int = 4,
         in_specs = [
             pl.BlockSpec((1, T, nprod * T), bidx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, nprod * _SLOTS), lambda t, l: (t, 0, 0),
+            pl.BlockSpec((1, T, nprod * sl), lambda t, l: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SLOTS, Lb), lambda t, l: (t, 0, l),
+            pl.BlockSpec((1, sl, Lb), lambda t, l: (t, 0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lb, T), lambda t, l: (l, t),
                          memory_space=pltpu.VMEM),
@@ -742,22 +757,23 @@ def tails_pass(x, Gcat, *, nprod: int = 4, interpret: bool = False,
     input consume directly — one read of X, no HIGHEST einsum copies.
 
     ``extra_rows``: optional (nv2, He, T) per-tile row stack appended BELOW
-    the 8 tail slots — the same read then also emits ``E·x`` per tile
+    the ⌈S/8⌉·8 tail slots — the same read then also emits ``E·x`` per tile
     (stencil-halo base rows, see ``completion_pass``'s stencil). Output
-    grows to (n, 8 + ceil8(He), q); rows [8, 8+He) carry E·x.
+    grows to (n, sl + ceil8(He), q); rows [sl, sl+He) carry E·x.
     """
     q, n, T = x.shape
     nv, S, _ = np.asarray(Gcat).shape
-    assert S <= _SLOTS and nv in (1, n)
+    assert S <= _MAX_S and nv in (1, n)
+    sl = slots_for(S)
     He = 0 if extra_rows is None else int(np.asarray(extra_rows).shape[1])
     He8 = -(-He // _SLOTS) * _SLOTS
-    rows = _SLOTS + He8
+    rows = sl + He8
     nc = _nchunks(nprod)
     Gp = np.zeros((max(nv, n), rows, T), np.float64)
     Gp[:, :S] = np.asarray(Gcat, np.float64)[np.minimum(np.arange(n), nv - 1)]
     if He:
         E = np.asarray(extra_rows, np.float64)
-        Gp[:, _SLOTS:_SLOTS + He] = E[np.minimum(np.arange(n), E.shape[0] - 1)]
+        Gp[:, sl:sl + He] = E[np.minimum(np.arange(n), E.shape[0] - 1)]
     Gs = _split_const_np(Gp, nc)
     lgs = _level_groups(nprod)
     nlev = len(lgs)
@@ -933,15 +949,16 @@ def completion_pass_traced(x, Btot, Rcat, Nt8, *, nprod: int = 6,
 
 
 def pad_solve_matrix(CMfull, n: int, S: int) -> np.ndarray:
-    """Embed the (n·S, n·S) combined-solve matrix into the 8-slot padded
-    layout: (n·8, n·8), zero rows/cols on the pad slots — so the solve can
-    run directly on :func:`tails_pass` output and feed
-    :func:`completion_pass` without any slot repacking."""
+    """Embed the (n·S, n·S) combined-solve matrix into the slot-padded
+    layout: (n·sl, n·sl) with sl = ⌈S/8⌉·8, zero rows/cols on the pad
+    slots — so the solve can run directly on :func:`tails_pass` output and
+    feed :func:`completion_pass` without any slot repacking."""
     CM = np.asarray(CMfull)
-    out = np.zeros((n * _SLOTS, n * _SLOTS), CM.dtype)
+    sl = slots_for(S)
+    out = np.zeros((n * sl, n * sl), CM.dtype)
     for t in range(n):
         for u in range(n):
-            out[t * _SLOTS:t * _SLOTS + S, u * _SLOTS:u * _SLOTS + S] = (
+            out[t * sl:t * sl + S, u * sl:u * sl + S] = (
                 CM[t * S:(t + 1) * S, u * S:(u + 1) * S]
             )
     return out
@@ -949,7 +966,8 @@ def pad_solve_matrix(CMfull, n: int, S: int) -> np.ndarray:
 
 def completion_ok(T: int, q: int, n: int, S: int, interpret: bool) -> bool:
     """Static applicability gate: the Mosaic path needs the 128-lane tile,
-    carries fitting the sublane quantum, and a bounded tile count (the
-    audio-scale n ~ 10^4 chain keeps the einsum path). Interpret mode
-    accepts the same shapes so CPU tests cover the kernel structure."""
-    return T == 128 and S <= _SLOTS and n <= 512 and q >= 8
+    carries within the multi-slot quantum (⌈S/8⌉ 8-sublane slots, S ≤ 56),
+    and a bounded tile count (the audio-scale n ~ 10^4 chain keeps the
+    einsum path). Interpret mode accepts the same shapes so CPU tests
+    cover the kernel structure."""
+    return T == 128 and S <= _MAX_S and n <= 512 and q >= 8
