@@ -499,6 +499,8 @@ def _seq_fused2d(y, spec, groups, shard_of, tiles, exchange, interpret,
     extents keep the cascade path whose pad projector is exact)."""
     from .. import dimfuse
 
+    import os as _os
+
     if spec.border != BorderMode.ZERO or y.dtype != jnp.float32:
         return None
     if len(groups) != 2:
@@ -507,8 +509,14 @@ def _seq_fused2d(y, spec, groups, shard_of, tiles, exchange, interpret,
     nd = y.ndim
     if sorted(axes) != [nd - 2, nd - 1]:
         return None
+    # RECFILTER_SEQ1_PROBE: measurement hook — treat a 1-device seq axis
+    # as sharded so the full seq route (Gdev einsum, exchange at D=1,
+    # deferred injection) is timeable on a single chip
+    # (scripts/sharded_headline.py; this environment exposes one device).
+    probe1 = bool(_os.environ.get("RECFILTER_SEQ1_PROBE"))
     sharded = [(gi, ax) for gi, (ax, _) in enumerate(groups)
-               if shard_of.get(ax, (None, 1))[1] > 1]
+               if shard_of.get(ax, (None, 1))[1] > 1
+               or (probe1 and ax in shard_of)]
     if len(sharded) != 1:
         return None
     gi_sh, ax_sh = sharded[0]
@@ -714,9 +722,12 @@ def sharded_apply_filter(
             out = out[tuple(slice(0, n) for n in orig_shape)]
         return out
 
+    import os as _os
+
     seq_sharded = any(
         shard_of.get(ax, (None, 1))[1] > 1 for ax in scanned
-    )
+    ) or (bool(_os.environ.get("RECFILTER_SEQ1_PROBE"))
+          and any(ax in shard_of for ax in scanned))
 
     if not seq_sharded and backend == "einsum":
         # No scanned axis crosses devices: every device runs the COMPLETE

@@ -28,6 +28,12 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seq", type=int, default=1,
                    help="sequence-parallel factor over the scan dim")
+    p.add_argument("--mode", default="data",
+                   choices=["data", "seq", "seq2d", "int"],
+                   help="which route to sweep: data-parallel (default), "
+                        "pure sequence sharding of the x scan dim, 2-D "
+                        "sequence sharding (both scan dims), or the "
+                        "integer unit-kernel route (data-parallel)")
     ns = p.parse_args()
 
     import jax
@@ -42,32 +48,51 @@ def main():
     ndev = len(jax.devices())
     w = ns.width
     wts = iir.gaussian_weights(3.0, 3)
-    spec = FilterSpec(
-        "Scale",
-        (Dim("b", ns.batch), Dim("y", w), Dim("x", w)),
-        (
-            Scan(2, True, wts[0], tuple(wts[1:])),
-            Scan(2, False, wts[0], tuple(wts[1:])),
-            Scan(1, True, wts[0], tuple(wts[1:])),
-            Scan(1, False, wts[0], tuple(wts[1:])),
-        ),
-        tile_widths=(0, 32, 32),
-    )
-    img = jnp.asarray(
-        np.random.default_rng(0).standard_normal((ns.batch, w, w)) * 0.01,
-        dtype=jnp.float32,
-    )
+    if ns.mode == "int":
+        spec = FilterSpec(
+            "ScaleInt",
+            (Dim("b", ns.batch), Dim("y", w), Dim("x", w)),
+            (Scan(2, True, 1, (1,)), Scan(1, True, 1, (1,))),
+            dtype="int32",
+            tile_widths=(0, 32, 32),
+        )
+        img = jnp.asarray(np.random.default_rng(0).integers(
+            -2 ** 16, 2 ** 16, (ns.batch, w, w)), jnp.int32)
+    else:
+        spec = FilterSpec(
+            "Scale",
+            (Dim("b", ns.batch), Dim("y", w), Dim("x", w)),
+            (
+                Scan(2, True, wts[0], tuple(wts[1:])),
+                Scan(2, False, wts[0], tuple(wts[1:])),
+                Scan(1, True, wts[0], tuple(wts[1:])),
+                Scan(1, False, wts[0], tuple(wts[1:])),
+            ),
+            tile_widths=(0, 32, 32),
+        )
+        img = jnp.asarray(
+            np.random.default_rng(0).standard_normal((ns.batch, w, w)) * 0.01,
+            dtype=jnp.float32,
+        )
     plan = Plan(interpret=jax.default_backend() != "tpu")
 
-    def rate_for(d_data):
-        mesh = sharding.make_mesh(
-            (d_data, ns.seq) if ns.seq > 1 else (d_data,),
-            ("data", "seq") if ns.seq > 1 else ("data",),
-        )
-        fn = sharding.make_sharded_filter(
-            spec, plan, mesh, data_axis=0,
-            seq_axis=2 if ns.seq > 1 else None,
-        )
+    def rate_for(d):
+        if ns.mode == "seq":
+            mesh = sharding.make_mesh((d,), ("seq",))
+            kw = dict(seq_axis=2)
+        elif ns.mode == "seq2d":
+            dy = 2 if d >= 4 else 1
+            dx = d // dy
+            mesh = sharding.make_mesh((dy, dx), ("seq", "seq2"))
+            kw = dict(seq_axis=1, seq2_axis=2)
+        else:  # data / int
+            mesh = sharding.make_mesh(
+                (d, ns.seq) if ns.seq > 1 else (d,),
+                ("data", "seq") if ns.seq > 1 else ("data",),
+            )
+            kw = dict(data_axis=0,
+                      seq_axis=2 if ns.seq > 1 else None)
+        fn = sharding.make_sharded_filter(spec, plan, mesh, **kw)
 
         @jax.jit
         def loop(x, n):
@@ -86,8 +111,11 @@ def main():
         per = max((ts[1] - ts[0]) / 10, 1e-9)
         return ns.batch / (per / 1000.0)  # samples (images) per second
 
-    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d * max(ns.seq, 1) <= ndev
-             and ns.batch % d == 0]
+    if ns.mode in ("seq", "seq2d"):
+        sizes = [d for d in (1, 2, 4, 8) if d <= ndev and w % d == 0]
+    else:
+        sizes = [d for d in (1, 2, 4, 8, 16, 32)
+                 if d * max(ns.seq, 1) <= ndev and ns.batch % d == 0]
     base = None
     cpu = jax.default_backend() == "cpu"
     print(f"devices available: {ndev}  (platform {jax.default_backend()})")

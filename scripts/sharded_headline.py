@@ -37,8 +37,20 @@ def main():
     fn_shard = sharding.make_sharded_filter(
         F.spec, Plan(), mesh, data_axis=0
     )
+    # Round-5 (VERDICT r4 #3): the SEQ-sharded route on the same 1-device
+    # mesh — RECFILTER_SEQ1_PROBE forces the full seq machinery (Gdev
+    # einsum, D=1 exchange, deferred injection) so its real overhead vs
+    # the plain executor is on the clock.
+    import os
 
-    for name, fn in [("unsharded", fn_plain), ("sharded-1dev", fn_shard)]:
+    os.environ["RECFILTER_SEQ1_PROBE"] = "1"
+    mesh_s = sharding.make_mesh((1,), ("seq",))
+    fn_seq = sharding.make_sharded_filter(
+        F.spec, Plan(), mesh_s, seq_axis=1
+    )
+
+    for name, fn in [("unsharded", fn_plain), ("sharded-1dev", fn_shard),
+                     ("seq-sharded-1dev", fn_seq)]:
         t0 = time.time()
         ms = slope_ms_per_iter(fn, img, per_body=8)
         print(f"{name}: {ms:.3f} ms  {h * w / ms / 1e3:.0f} Mpix/s  "

@@ -605,3 +605,65 @@ def test_compute_at_preserves_consumer_dtype_and_outer_bank():
     a = np.asarray(f_fused(jnp.asarray(img))[0])
     b = np.asarray(f_outer(jnp.asarray(img))[0])
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_tuple_epilogue_linear_folds_and_staged():
+    """Round-5 (VERDICT r4 #6): Tuple filters take epilogues. A LINEAR
+    scalar combine (the DoG-style dual-component subtraction,
+    ``apps/DoG/diff_gauss.cpp:84-110``) commutes with the filter and folds
+    into the INPUT — one single-channel pass on the shipping executor, no
+    separate combine stream; a nonlinear combine runs staged. Both match
+    the component-wise oracle."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu import Dim, RecFilter, planner
+    from recfilter_tpu.kernels import final2d
+
+    rng = np.random.default_rng(12)
+    w = 256
+    a = (rng.standard_normal((w, w)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal((w, w)) * 0.1).astype(np.float32)
+    x, y = Dim("x", w), Dim("y", w)
+    F = RecFilter("TupDoG")
+    F[y, x] = (a, b)
+    F.add_filter(+x, [0.8, 0.4])
+    F.add_filter(+y, [0.8, 0.4])
+    F.split(x, 128, y, 128)
+
+    plain = F.as_func()((a, b))
+    want = 2.0 * np.asarray(plain[0]) - 3.0 * np.asarray(plain[1])
+    scale = np.abs(want).max()
+
+    kcalls = []
+    orig_k = final2d.final2d_px
+
+    def spy_k(*aa, **kk):
+        kcalls.append(1)
+        return orig_k(*aa, **kk)
+
+    final2d.final2d_px = spy_k
+    old = planner._DEFAULT_MATMUL_PRECISION[0]
+    try:
+        planner.set_default_matmul_precision("px6")
+        F2 = RecFilter("TupDoG2")
+        F2[y, x] = (a, b)
+        F2.add_filter(+x, [0.8, 0.4])
+        F2.add_filter(+y, [0.8, 0.4])
+        F2.split(x, 128, y, 128)
+        fn = F2.as_func(epilogue=lambda u, v: 2.0 * u - 3.0 * v)
+        assert fn.tuple_route == "linear-folded"
+        got = np.asarray(fn((a, b)))
+    finally:
+        final2d.final2d_px = orig_k
+        planner.set_default_matmul_precision(old)
+    assert kcalls, "folded Tuple combine must ride the 3-touch executor"
+    assert got.shape == (w, w)
+    assert np.abs(got - want).max() <= 5e-6 * scale
+
+    # nonlinear combine: staged route, still correct
+    fn_nl = F.as_func(epilogue=lambda u, v: u * v)
+    assert fn_nl.tuple_route == "staged"
+    got_nl = np.asarray(fn_nl((a, b)))
+    want_nl = np.asarray(plain[0]) * np.asarray(plain[1])
+    assert np.abs(got_nl - want_nl).max() <= 1e-5 * (
+        np.abs(want_nl).max() + 1e-9)
