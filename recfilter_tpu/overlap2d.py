@@ -180,7 +180,8 @@ def _fused_2d_kernel_path(X4, nb, Tb, ma, mb, scans_a, scans_b, cdt,
 def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
                 axis_b: int, scans_b: Sequence[Scan],
                 border: str, nprod: int, interpret: bool,
-                epilogue=None, eaux=(), stencil2d=None):
+                epilogue=None, eaux=(), stencil2d=None,
+                seq_hook=None, seq_dim=None):
     """Split-bf16 (px) 3-touch 2-D executor — the shipping twin of the
     ``use_kernels`` path: ``moments2d_px`` (one read → both dims' raw
     tails) → HIGHEST carry solves → ``final2d_px`` (one read → Y, dim-A
@@ -192,6 +193,17 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     (tiny extents, clamp with non-dividing width, huge tile counts,
     carries past the 8-slot sublane quantum) — callers fall back to the
     rotation-chained dimfuse pipeline.
+
+    ``seq_hook``/``seq_dim``: sequence-sharding integration (round-5,
+    VERDICT r4 #3). ``seq_dim`` names the device-sharded dim ("a" = axis
+    -2, "b" = axis -1); the executor derives the device's OUTGOING
+    natural tails from its own raw-tails pass at carry scale
+    (``dimfuse.seq_seed_maps``'s Out map — no extra image read), calls
+    ``seq_hook(c_dev) -> N_dev`` (the caller runs the collective carry
+    exchange there), and SEEDS its solved carries with ``K·N_dev`` so the
+    completion emits the exact global result — sequence sharding at zero
+    extra image streams. Zero border and no pad on the sharded dim
+    (callers gate).
 
     ``stencil2d``: per-channel 2-D shifted-tap banks
     ``[[(dy, dx, coeff), ...], ...]`` fused into the final kernel's emit
@@ -232,6 +244,10 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     pad_a, pad_b = na * Ta - wa, nb * T - wb
     if clamp and (pad_a or pad_b):
         return None
+    if seq_hook is not None:
+        assert epilogue is None and stencil2d is None and not clamp
+        if (seq_dim == "a" and pad_a) or (seq_dim == "b" and pad_b):
+            return None
     if na > dimfuse._CHAIN_MATMUL_MAX_TILES or \
             nb > dimfuse._CHAIN_MATMUL_MAX_TILES:
         return None
@@ -295,6 +311,24 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
             preferred_element_type=jnp.float32, precision=hi,
         ).reshape(p, na, _SLOTS, W)
 
+    if seq_hook is not None and seq_dim == "a":
+        # Device-sharded dim A: outgoing tails from the raw-tails pass
+        # (carry scale), exchange via the hook, seed the solved carries.
+        OutA, KA = dimfuse.seq_seed_maps(scans_a, Ta, na)
+        OutP = np.zeros((Ka, na * _SLOTS))
+        for t in range(na):
+            OutP[:, t * _SLOTS:t * _SLOTS + Ka] = OutA[:, t * Ka:(t + 1) * Ka]
+        c_dev = jnp.einsum(
+            "sz,pzw->psw", jnp.asarray(OutP, jnp.float32),
+            bA_t.reshape(p, na * _SLOTS, W),
+            preferred_element_type=jnp.float32, precision=hi)  # (p, Ka, W)
+        N_dev = seq_hook(c_dev)
+        KP = np.zeros((na, _SLOTS, Ka))
+        KP[:, :Ka] = KA
+        NA_t = NA_t + jnp.einsum(
+            "tsu,puw->ptsw", jnp.asarray(KP, jnp.float32), N_dev,
+            preferred_element_type=jnp.float32, precision=hi)
+
     # ---- dim-B raw tails from carry-sized data only ----------------------
     # Gb ∘_B Z = Btot_A ∘_A (Gb ∘_B x) + Ra_cat ∘_A (Gb ∘_B N_A)
     Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
@@ -332,6 +366,27 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
             bB.reshape(p * na, nb * _SLOTS, Ta),
             preferred_element_type=jnp.float32, precision=hi,
         ).reshape(p, na, nb * _SLOTS, Ta)
+
+    if seq_hook is not None and seq_dim == "b":
+        # Device-sharded dim B: the raw B-tails bB live on the
+        # A-COMPLETED array, and the exchange/solve commute with the
+        # A-completion (disjoint axes), so exchanging THESE tails already
+        # carries the deferral — no dim-A processing of N needed.
+        OutB, KB = dimfuse.seq_seed_maps(scans_b, T, nb)
+        OutP = np.zeros((Kb, nb * _SLOTS))
+        for t in range(nb):
+            OutP[:, t * _SLOTS:t * _SLOTS + Kb] = OutB[:, t * Kb:(t + 1) * Kb]
+        c_dev = jnp.einsum(
+            "sz,pazl->pasl", jnp.asarray(OutP, jnp.float32),
+            bB.reshape(p, na, nb * _SLOTS, Ta),
+            preferred_element_type=jnp.float32, precision=hi)
+        N_dev = seq_hook(c_dev)  # (p, na, Kb, Ta)
+        KPb = np.zeros((nb, _SLOTS, Kb))
+        KPb[:, :Kb] = KB
+        dNB = jnp.einsum(
+            "tsu,paul->patsl", jnp.asarray(KPb, jnp.float32), N_dev,
+            preferred_element_type=jnp.float32, precision=hi)
+        NB_t = NB_t + dNB.reshape(p, na, nb * _SLOTS, Ta)
 
     # ---- row-halo strips for a fused 2-D stencil consumer ----------------
     # The stencil's row taps read the completed output of the NEIGHBOR

@@ -530,44 +530,71 @@ def _seq_fused2d(y, spec, groups, shard_of, tiles, exchange, interpret,
         return None
     (ax_loc, ids_loc), = [g for g in groups if g[0] != ax_sh]
 
-    # Raw device carries straight from the input (one skinny einsum).
-    orders, H, CMs, Rcats = _segment_exchange_mats(
-        scans_sh, seg, D, clamp=False, pad=0,
-        build_cm=(exchange != "ring" and not (exchange == "auto" and D > 8)))
-    Gdev = _seq_gdev(scans_sh, seg)
-    S = Gdev.shape[0]
-    ym = jnp.moveaxis(y, ax_sh, -1)
-    hi = jax.lax.Precision.HIGHEST
-    Gp = dimfuse.pad_rows8(Gdev[None])[0]
-    ccat = jnp.einsum("st,...t->...s", jnp.asarray(Gp, jnp.float32), ym,
-                      preferred_element_type=jnp.float32,
-                      precision=hi)[..., :S]
-
-    d = jax.lax.axis_index(name)
     use_ring = exchange == "ring" or (exchange == "auto" and D > 8)
-    if use_ring:
-        offs = np.cumsum([0] + orders)
-        Ns = []
-        for i, s in enumerate(scans_sh):
-            b = ccat[..., offs[i]:offs[i + 1]]
-            for j in range(i):
-                Hs = jnp.asarray(H[i][j], jnp.float32)
-                b = b + jnp.einsum("ok,...k->...o", Hs[0], Ns[j],
-                                   precision=hi)
-            Ns.append(_ks_chain(b, s, seg, D, name, hi))
-        N = jnp.concatenate(Ns, axis=-1)
-    else:
+    orders, H, CMs, Rcats = _segment_exchange_mats(
+        scans_sh, seg, D, clamp=False, pad=0, build_cm=not use_ring)
+    S = int(sum(orders))
+    hi = jax.lax.Precision.HIGHEST
+    d = jax.lax.axis_index(name)
+
+    def solve_ccat(ccat):
+        """Device-level carry exchange: natural tails (..., S) → this
+        device's incoming natural vectors (..., S)."""
+        if use_ring:
+            offs = np.cumsum([0] + orders)
+            Ns = []
+            for i, s in enumerate(scans_sh):
+                b = ccat[..., offs[i]:offs[i + 1]]
+                for j in range(i):
+                    Hs = jnp.asarray(H[i][j], jnp.float32)
+                    b = b + jnp.einsum("ok,...k->...o", Hs[0], Ns[j],
+                                       precision=hi)
+                Ns.append(_ks_chain(b, s, seg, D, name, hi))
+            return jnp.concatenate(Ns, axis=-1)
         CMfull = _combined_solve(orders, H, CMs, D)
         allc = jax.lax.all_gather(ccat, name, axis=0)  # (D, ..., S)
         CM = jnp.asarray(CMfull, jnp.float32)
         rows_blk = jax.lax.dynamic_slice_in_dim(CM, d * S, S, axis=0)
         flat = jnp.moveaxis(allc, 0, -2)
         flat = flat.reshape(flat.shape[:-2] + (D * S,))
-        N = jnp.einsum("sz,...z->...s", rows_blk, flat, precision=hi)
+        return jnp.einsum("sz,...z->...s", rows_blk, flat, precision=hi)
 
-    # Full shipping executor on the shard (zero-state along the sharded
-    # dim IS the plain zero border); the collective above is already in
-    # flight — XLA's scheduler overlaps it with the executor's compute.
+    # Fully-fused route: the 3-touch executor derives the device's
+    # outgoing tails from its OWN raw-tails pass (carry scale, no extra
+    # image read), the hook runs the exchange, and the solved carries are
+    # seeded in place (dimfuse.seq_seed_maps) — sequence sharding at ZERO
+    # extra image streams and identical kernels to the single-chip path.
+    nprod = dimfuse._kernel_nprod(jnp.float32, None, mp, structural=True)
+    if nprod >= 1:
+        from .. import overlap2d
+
+        def hook(c_dev):
+            cm = jnp.moveaxis(c_dev, -2, -1)  # carries last
+            return jnp.moveaxis(solve_ccat(cm), -1, -2)
+
+        nd2 = y.ndim
+        ids_by_ax = dict(groups)
+        yk = overlap2d.fused_2d_px(
+            y, nd2 - 2, [spec.scans[i] for i in ids_by_ax[nd2 - 2]],
+            nd2 - 1, [spec.scans[i] for i in ids_by_ax[nd2 - 1]],
+            spec.border, nprod, interpret,
+            seq_hook=hook, seq_dim=("a" if ax_sh == nd2 - 2 else "b"))
+        if yk is not None:
+            return yk
+
+    # Fallback (executor gates failed): raw device carries straight from
+    # the input (one skinny einsum), full shipping executor zero-state,
+    # deferred injection.
+    Gdev = _seq_gdev(scans_sh, seg)
+    ym = jnp.moveaxis(y, ax_sh, -1)
+    Gp = dimfuse.pad_rows8(Gdev[None])[0]
+    ccat = jnp.einsum("st,...t->...s", jnp.asarray(Gp, jnp.float32), ym,
+                      preferred_element_type=jnp.float32,
+                      precision=hi)[..., :S]
+    N = solve_ccat(ccat)
+
+    # (the collective above is already in flight — XLA's scheduler
+    # overlaps it with the executor's compute)
     y_loc = dimfuse.apply_filter_fused(spec, y, matmul_precision=mp)
 
     # Deferral: the carry-sized N runs the unsharded dim's local pass

@@ -37,10 +37,22 @@ def main():
     fn_shard = sharding.make_sharded_filter(
         F.spec, Plan(), mesh, data_axis=0
     )
+
+    def row(name, fn):
+        t0 = time.time()
+        ms = slope_ms_per_iter(fn, img, per_body=8)
+        print(f"{name}: {ms:.3f} ms  {h * w / ms / 1e3:.0f} Mpix/s  "
+              f"(compile+measure {time.time() - t0:.0f}s)", flush=True)
+
+    row("unsharded", fn_plain)
+    row("sharded-1dev", fn_shard)
+
     # Round-5 (VERDICT r4 #3): the SEQ-sharded route on the same 1-device
-    # mesh — RECFILTER_SEQ1_PROBE forces the full seq machinery (Gdev
-    # einsum, D=1 exchange, deferred injection) so its real overhead vs
-    # the plain executor is on the clock.
+    # mesh — RECFILTER_SEQ1_PROBE forces the full seq machinery (the
+    # hook-seeded 3-touch executor with a D=1 exchange) so its real
+    # overhead vs the plain executor is on the clock. The env is set ONLY
+    # after the rows above are measured: tracing happens at first call,
+    # and the probe flag would otherwise reroute the data row too.
     import os
 
     os.environ["RECFILTER_SEQ1_PROBE"] = "1"
@@ -48,13 +60,7 @@ def main():
     fn_seq = sharding.make_sharded_filter(
         F.spec, Plan(), mesh_s, seq_axis=1
     )
-
-    for name, fn in [("unsharded", fn_plain), ("sharded-1dev", fn_shard),
-                     ("seq-sharded-1dev", fn_seq)]:
-        t0 = time.time()
-        ms = slope_ms_per_iter(fn, img, per_body=8)
-        print(f"{name}: {ms:.3f} ms  {h * w / ms / 1e3:.0f} Mpix/s  "
-              f"(compile+measure {time.time() - t0:.0f}s)", flush=True)
+    row("seq-sharded-1dev", fn_seq)
 
 
 if __name__ == "__main__":

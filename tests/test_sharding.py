@@ -469,12 +469,22 @@ def test_seq_sharded_px6_route_and_grade(devices):
 
     seen = []
     orig = sharding._local_apply_dim
+    nprods = []
+    from recfilter_tpu import overlap2d as _o2d
+
+    orig_f = _o2d.fused_2d_px
 
     def spy(*a, **k):
         seen.append(k.get("matmul_precision", "highest"))
         return orig(*a, **k)
 
+    def spy_f(*a, **k):
+        if k.get("seq_hook") is not None:
+            nprods.append(a[6])  # nprod positional
+        return orig_f(*a, **k)
+
     sharding._local_apply_dim = spy
+    _o2d.fused_2d_px = spy_f
     try:
         got = np.asarray(
             sharding.sharded_apply_filter(
@@ -483,7 +493,13 @@ def test_seq_sharded_px6_route_and_grade(devices):
         )
     finally:
         sharding._local_apply_dim = orig
-    assert seen and all(p == "px6" for p in seen), seen
+        _o2d.fused_2d_px = orig_f
+    # Round-5: the fully-fused seq route runs the whole local inside
+    # fused_2d_px at the Plan's px6 product count (no _local_apply_dim
+    # calls at all); if its gates had failed, the cascade path must
+    # thread px6 into every local pass.
+    assert (nprods and all(np_ == 6 for np_ in nprods)) or (
+        seen and all(p == "px6" for p in seen)), (nprods, seen)
     want = scan_core.oracle_apply(spec, img.astype(np.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() <= 4e-6 * scale  # px6 grade + exchange
