@@ -610,7 +610,7 @@ def test_volume_rows_route_chain_fallback():
     pass still applies and the remaining two axes finish via the chain."""
     import jax.numpy as jnp
 
-    Z, Y, W = 128, 96, 256  # y < 128: fused_2d_px declines
+    Z, Y, W = 128, 40, 128  # y < 128: fused_2d_px declines
     x = _img(Z, Y, W, seed=51) * 0.1
     spec = FilterSpec(
         "V3F", (Dim("z", Z), Dim("y", Y), Dim("x", W)),
