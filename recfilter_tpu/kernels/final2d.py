@@ -236,8 +236,11 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
     if not cap:
         # Measured on chip (4K px6 fused dual-completion): 0.512 ms at
         # 2048 vs 0.525 at 1024 vs 0.572 at 512 — bigger blocks amortize
-        # the per-step dependent A-dot → split → B-dots chain.
-        cap = int(os.environ.get("RECFILTER_PX2D_LB", "2048"))
+        # the per-step dependent A-dot → split → B-dots chain. Round-5
+        # re-sweep (scripts/px2d_glue_probe.py): 4096 wins again at 4K —
+        # 0.457 vs 0.474 ms pipeline (half the grid steps, half the
+        # constant refetches) — and is the new default.
+        cap = int(os.environ.get("RECFILTER_PX2D_LB", "4096"))
     nb = W // Tb
     best = 1
     for d in range(1, nb + 1):

@@ -333,22 +333,45 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     # Gb ∘_B Z = Btot_A ∘_A (Gb ∘_B x) + Ra_cat ∘_A (Gb ∘_B N_A)
     Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
     Gbn = _expand_stack(Gb_cat, nb)                       # (nb, Kb, Tb)
-    if used_t1:
-        # the moments kernel already emitted term1 = Btot_a·U
-        term1 = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
-    else:
-        Ban = _expand_stack(ma.Btot, na)                  # (na, Ta, Ta)
-        U = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
-        term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
+    if os.environ.get("RECFILTER_PX2D_GLUE", "0") == "1" and not h8:
+        # Glue-lean carry chain (round-5 A/B, default OFF — measured a
+        # wash on chip: 0.476 vs 0.474 ms; XLA's binarization of the
+        # three-operand einsum reproduces the same fusions): Gbn
+        # pre-padded to the full slot count so bB needs no later pad op,
+        # and the GN/term2 contractions handed to XLA as ONE
+        # three-operand einsum (no GN materialization between).
+        Gb8 = np.zeros((Gbn.shape[0], _SLOTS, Gbn.shape[2]), np.float32)
+        Gb8[:, :Kb] = Gbn
+        if used_t1:
+            term1 = U_t.reshape(p, na, nb, _SLOTS, Ta)
+        else:
+            Ban = _expand_stack(ma.Btot, na)
+            U = U_t.reshape(p, na, nb, _SLOTS, Ta)
+            term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
+                               preferred_element_type=jnp.float32)
+        NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
+        term2 = jnp.einsum("aoj,bkt,pajbt->pabko", Ran, Gb8, NAr,
+                           precision=hi,
                            preferred_element_type=jnp.float32)
-    NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
-    GN = jnp.einsum("bkt,pajbt->pabkj", Gbn, NAr, precision=hi,
-                    preferred_element_type=jnp.float32)
-    term2 = jnp.einsum("aoj,pabkj->pabko", Ran, GN, precision=hi,
-                       preferred_element_type=jnp.float32)
-    bB = term1 + term2                                    # (p,na,nb,Kb,Ta)
-    if Kb < _SLOTS:
-        bB = jnp.pad(bB, ((0, 0), (0, 0), (0, 0), (0, _SLOTS - Kb), (0, 0)))
+        bB = term1 + term2                                # (p,na,nb,8,Ta)
+    else:
+        if used_t1:
+            # the moments kernel already emitted term1 = Btot_a·U
+            term1 = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
+        else:
+            Ban = _expand_stack(ma.Btot, na)              # (na, Ta, Ta)
+            U = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
+            term1 = jnp.einsum("aos,pabks->pabko", Ban, U, precision=hi,
+                               preferred_element_type=jnp.float32)
+        NAr = NA_t[:, :, :Ka].reshape(p, na, Ka, nb, T)
+        GN = jnp.einsum("bkt,pajbt->pabkj", Gbn, NAr, precision=hi,
+                        preferred_element_type=jnp.float32)
+        term2 = jnp.einsum("aoj,pabkj->pabko", Ran, GN, precision=hi,
+                           preferred_element_type=jnp.float32)
+        bB = term1 + term2                                # (p,na,nb,Kb,Ta)
+        if Kb < _SLOTS:
+            bB = jnp.pad(
+                bB, ((0, 0), (0, 0), (0, 0), (0, _SLOTS - Kb), (0, 0)))
 
     # ---- dim-B chain solve ----------------------------------------------
     CMb = dimfuse.combined_solve_matrix(mb, nb)
