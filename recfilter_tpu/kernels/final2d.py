@@ -810,7 +810,13 @@ def final2d_px(x, Btot_a, Rhat_a_cat, Btot_b, Rhat_b_cat, NA_t, NB_t, *,
     Rav = _cat_split(_variants3(_pad_slots(Rhat_a_cat)), pairs, nc)
     Bbv = _cat_split(_variants3(Bb0), pairs, nc)
     Rbv = _cat_split(_variants3(_pad_slots(Rhat_b_cat)), pairs, nc)
-    Lb = _lb_px(W, Tb)
+    # The stencil variant holds the block TWICE (center + neighbor
+    # sub-tiles + halo strips + C output buffers) — the plain kernel's
+    # 4096 cap blows the 16 MB scoped-VMEM limit there (measured 25.1 MB
+    # at Lb=4096) — and epilogue aux streams add a full (Ta, Lb) block
+    # each; both keep the former 2048 cap.
+    Lb = _lb_px(W, Tb,
+                cap=2048 if (stencil2d is not None or eaux) else 0)
     kb = Lb // Tb
     import os
 
