@@ -1304,3 +1304,107 @@ def moments2d(x, G_a_cat, G_b_cat, interpret: bool):
     f.defvjp(lambda x: (_run(x), x),
              lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
     return f(x)
+
+
+def _bsolve_kernel(gbd_ref, rant_ref, cmb_ref, na_ref, t1_ref, o_ref, *,
+                   na: int):
+    """One (8, W) solved dim-A carry block + (nb·8, Ta) term1 block →
+    (nb·8, Ta) solved dim-B carries, entirely in VMEM: the GN contraction
+    (against a block-diagonal per-b G operand — ONE dot instead of nb
+    issues), the Ran coupling, the term1 add, and the dim-B combined
+    solve. Replaces four XLA fusions plus their relayout copies and the
+    bB HBM round trip (round-5 glue budget: ~41µs → ~23µs at 4K)."""
+    hi = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    a = pl.program_id(1)
+    rant = _sel_variant(rant_ref, a, na)              # (8, Ta)
+    # GN[(b,k), j] = Σ_t Gb[b][k,t] · NA[j, b·Tb+t]
+    GN = jax.lax.dot_general(gbd_ref[:], na_ref[:],
+                             (((1,), (1,)), ((), ())),
+                             precision=hi, preferred_element_type=f32)
+    # term2[(b,k), o] = Σ_j Ran[o, j] · GN[(b,k), j]
+    term2 = jax.lax.dot_general(GN, rant, (((1,), (0,)), ((), ())),
+                                precision=hi, preferred_element_type=f32)
+    bB = t1_ref[:] + term2
+    o_ref[:] = jax.lax.dot_general(cmb_ref[:], bB,
+                                   (((1,), (0,)), ((), ())),
+                                   precision=hi, preferred_element_type=f32)
+
+
+def bsolve_pass(NA_t, term1, Gb_cat, Ra_cat, CMb_p, *, interpret: bool):
+    """bB assembly + dim-B combined solve in ONE VMEM-resident kernel.
+
+    ``NA_t``: (p, na, 8, W) solved dim-A carries (slot layout; pad slots
+    zero). ``term1``: (p, na, nb·8, Ta) — the moments kernel's
+    ``Btot_a·U`` fold, full slot rows (junk rows ≥ Kb are killed by the
+    solve matrix's zero pad columns, as on the XLA route). ``Gb_cat``:
+    (nv, Kb, Tb) per-scan dim-B tail rows; ``Ra_cat``: (nv, Ta, Ka)
+    dim-A correction columns (per-tile clamp variants supported);
+    ``CMb_p``: the slot-padded (nb·8)² dim-B solve matrix
+    (``completion.pad_solve_matrix``). Returns NB_t (p, na, nb·8, Ta).
+
+    Reference: the carry-solve/assembly glue of ``lib/split.cpp``'s
+    cross-scan coupling, executed carry-sized in VMEM."""
+    p, na, sl, W = NA_t.shape
+    nbS, Ta = int(term1.shape[2]), int(term1.shape[3])
+    Gb = np.asarray(Gb_cat, np.float64)
+    nv, Kb, Tb = Gb.shape
+    nb = W // Tb
+    assert nbS == nb * _SLOTS
+    Gbd = np.zeros((nb * _SLOTS, W), np.float32)
+    for b in range(nb):
+        Gbd[b * _SLOTS:b * _SLOTS + Kb, b * Tb:(b + 1) * Tb] = (
+            Gb[min(b, nv - 1)])
+    RanT3 = _variants3(
+        np.transpose(_pad_slots(np.asarray(Ra_cat)), (0, 2, 1))
+    ).astype(np.float32)                               # (1|3, 8, Ta)
+    CMb = np.asarray(CMb_p, np.float32)
+
+    def _run(NA_t, term1):
+        return pl.pallas_call(
+            partial(_bsolve_kernel, na=na),
+            out_shape=jax.ShapeDtypeStruct((p, na, nb * _SLOTS, Ta),
+                                           jnp.float32),
+            grid=(p, na),
+            in_specs=[
+                pl.BlockSpec(Gbd.shape, lambda i, a: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(RanT3.shape, lambda i, a: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(CMb.shape, lambda i, a: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, sl, W),
+                             lambda i, a: (i, a, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, nb * _SLOTS, Ta),
+                             lambda i, a: (i, a, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, None, nb * _SLOTS, Ta),
+                                   lambda i, a: (i, a, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(Gbd, RanT3, CMb, NA_t, term1)
+
+    # VJP via the einsum twin (linear in NA_t and term1); constants stay
+    # numpy in the bwd closure (completion._expand_stack's note).
+    RanTn = _pad_slots(np.asarray(Ra_cat)).transpose(0, 2, 1)
+    RanTn = np.asarray(
+        RanTn[np.minimum(np.arange(na), RanTn.shape[0] - 1)], np.float32)
+
+    def _ref(NA_t, t1):
+        hi = jax.lax.Precision.HIGHEST
+        GN = jnp.einsum("zw,pajw->pazj", Gbd, NA_t.astype(jnp.float32),
+                        preferred_element_type=jnp.float32, precision=hi)
+        term2 = jnp.einsum("ajo,pazj->pazo", RanTn, GN,
+                           preferred_element_type=jnp.float32, precision=hi)
+        return jnp.einsum("ts,pasl->patl", CMb, t1 + term2,
+                          preferred_element_type=jnp.float32, precision=hi)
+
+    f = jax.custom_vjp(_run)
+    f.defvjp(lambda x, t: (_run(x, t), (x, t)),
+             lambda res, ct: jax.vjp(_ref, *res)[1](ct))
+    return f(NA_t, term1)

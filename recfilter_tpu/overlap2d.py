@@ -331,15 +331,34 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
 
     # ---- dim-B raw tails from carry-sized data only ----------------------
     # Gb ∘_B Z = Btot_A ∘_A (Gb ∘_B x) + Ra_cat ∘_A (Gb ∘_B N_A)
-    Ran = _expand_stack(Ra_cat, na)                       # (na, Ta, Ka)
-    Gbn = _expand_stack(Gb_cat, nb)                       # (nb, Kb, Tb)
-    if os.environ.get("RECFILTER_PX2D_GLUE", "0") == "1" and not h8:
+    CMb = dimfuse.combined_solve_matrix(mb, nb)
+    bands_b = dimfuse.banded_solve_blocks(CMb, nb, Kb)
+    # Fused carry-glue kernel (round-5 A/B, default OFF — MEASURED LOSS
+    # on chip: the kernel costs 0.295 ms at 4K vs the ~0.04 ms XLA glue
+    # it replaces, xplane /tmp/tr4k_r5c). The GN contraction is
+    # structurally hostile to an in-kernel Mosaic dot: per-b it is 32
+    # independent (8×128)×(128×8) products, which as ONE dot needs either
+    # a block-diagonal operand (32× dense-zero MACs at HIGHEST) or a
+    # K=4096/N=8 shape at 1/16 MXU lane utilization ×6 HIGHEST passes;
+    # XLA's batched-dot lowering of the same einsum runs it in 8µs. The
+    # kernel stays as the measured dead end + escape hatch.
+    use_bk = (used_t1 and not h8 and bands_b is None
+              and not (seq_hook is not None and seq_dim == "b")
+              and nb * _SLOTS * W * 4 <= 6 * 1024 * 1024
+              and os.environ.get("RECFILTER_PX2D_BK", "0") == "1")
+    if use_bk:
+        NB_t = k2d.bsolve_pass(
+            NA_t, U_t.reshape(p, na, nb * _SLOTS, Ta), Gb_cat, Ra_cat,
+            pad_solve_matrix(CMb, nb, Kb), interpret=interpret)
+    elif os.environ.get("RECFILTER_PX2D_GLUE", "0") == "1" and not h8:
         # Glue-lean carry chain (round-5 A/B, default OFF — measured a
         # wash on chip: 0.476 vs 0.474 ms; XLA's binarization of the
         # three-operand einsum reproduces the same fusions): Gbn
         # pre-padded to the full slot count so bB needs no later pad op,
         # and the GN/term2 contractions handed to XLA as ONE
         # three-operand einsum (no GN materialization between).
+        Ran = _expand_stack(Ra_cat, na)                   # (na, Ta, Ka)
+        Gbn = _expand_stack(Gb_cat, nb)                   # (nb, Kb, Tb)
         Gb8 = np.zeros((Gbn.shape[0], _SLOTS, Gbn.shape[2]), np.float32)
         Gb8[:, :Kb] = Gbn
         if used_t1:
@@ -355,6 +374,8 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
                            preferred_element_type=jnp.float32)
         bB = term1 + term2                                # (p,na,nb,8,Ta)
     else:
+        Ran = _expand_stack(Ra_cat, na)                   # (na, Ta, Ka)
+        Gbn = _expand_stack(Gb_cat, nb)                   # (nb, Kb, Tb)
         if used_t1:
             # the moments kernel already emitted term1 = Btot_a·U
             term1 = U_t.reshape(p, na, nb, _SLOTS, Ta)[:, :, :, :Kb]
@@ -373,22 +394,21 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
             bB = jnp.pad(
                 bB, ((0, 0), (0, 0), (0, 0), (0, _SLOTS - Kb), (0, 0)))
 
-    # ---- dim-B chain solve ----------------------------------------------
-    CMb = dimfuse.combined_solve_matrix(mb, nb)
-    bands_b = dimfuse.banded_solve_blocks(CMb, nb, Kb)
-    if bands_b is not None:
-        bBl = jnp.moveaxis(bB, 2, 0).reshape(nb, _SLOTS, -1)
-        NBl = dimfuse._banded_solve_apply(bands_b, bBl, Kb)
-        NB_t = jnp.moveaxis(
-            NBl.reshape(nb, _SLOTS, p, na, Ta), 0, 2
-        ).reshape(p, na, nb * _SLOTS, Ta)
-    else:
-        CMb_p = jnp.asarray(pad_solve_matrix(CMb, nb, Kb), jnp.float32)
-        NB_t = jnp.einsum(
-            "ts,qsl->qtl", CMb_p,
-            bB.reshape(p * na, nb * _SLOTS, Ta),
-            preferred_element_type=jnp.float32, precision=hi,
-        ).reshape(p, na, nb * _SLOTS, Ta)
+    # ---- dim-B chain solve (the fused kernel above already solved) -------
+    if not use_bk:
+        if bands_b is not None:
+            bBl = jnp.moveaxis(bB, 2, 0).reshape(nb, _SLOTS, -1)
+            NBl = dimfuse._banded_solve_apply(bands_b, bBl, Kb)
+            NB_t = jnp.moveaxis(
+                NBl.reshape(nb, _SLOTS, p, na, Ta), 0, 2
+            ).reshape(p, na, nb * _SLOTS, Ta)
+        else:
+            CMb_p = jnp.asarray(pad_solve_matrix(CMb, nb, Kb), jnp.float32)
+            NB_t = jnp.einsum(
+                "ts,qsl->qtl", CMb_p,
+                bB.reshape(p * na, nb * _SLOTS, Ta),
+                preferred_element_type=jnp.float32, precision=hi,
+            ).reshape(p, na, nb * _SLOTS, Ta)
 
     if seq_hook is not None and seq_dim == "b":
         # Device-sharded dim B: the raw B-tails bB live on the
