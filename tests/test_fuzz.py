@@ -269,3 +269,77 @@ def test_fuzz_integer_unit_class(seed):
     got = np.asarray(dimfuse.apply_filter_fused(spec, x))
     want = scan_core.oracle_apply(spec, x)
     np.testing.assert_array_equal(got, want, err_msg=f"spec={spec}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_multislot_high_order(seed):
+    """Round 5: carries past the 8-slot quantum — multi-slot kernel
+    carries on 128-lane geometry, the natural-layout banded einsum
+    solves, and the hierarchical Kogge–Stone chain — on random stable
+    high-order specs vs the oracle at px6 grade."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7000 + seed)
+    # (a) kernel-geometry 2-D: one dim carries an order-9..19 scan
+    w = int(rng.choice([256, 384, 512]))
+    order = int(rng.integers(9, 20))
+    a = rng.uniform(-1.0, 1.0, order)
+    a = a / (1.3 * np.abs(a).sum())
+    ax = int(rng.integers(0, 2))
+    scans = [Scan(ax, bool(rng.integers(0, 2)),
+                  float(rng.uniform(0.5, 1.2)), tuple(map(float, a)))]
+    if rng.random() < 0.5:
+        scans.append(Scan(1 - ax, True, 1.0, (0.4,)))
+    border = BorderMode.CLAMP if rng.integers(0, 2) else BorderMode.ZERO
+    spec = FilterSpec("Hz", (Dim("y", 256), Dim("x", w)), tuple(scans),
+                      border=border, tile_widths=(128, 128))
+    x = (rng.standard_normal((256, w)) * 0.1).astype(np.float32)
+    got = dimfuse.apply_filter_fused(spec, x, matmul_precision="px6")
+    _check(spec, x, got, 4e-6, ctx=f"multislot2d order={order}")
+    # (b) the hierarchical chain at audio-ish scale (level-2 KS solve)
+    n = int(rng.integers(120_000, 300_000))
+    xb = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    s1 = Scan(0, bool(rng.integers(0, 2)), 1.0, tuple(map(float, a)))
+    y = dimfuse.hierarchical_dim_pass(jnp.asarray(xb), 0, [s1], border,
+                                      "px6")
+    if y is not None:  # gates (tiny last segment etc.) may decline
+        spec1 = FilterSpec("Hz1", (Dim("x", n),), (s1,), border=border)
+        _check(spec1, xb, np.asarray(y), 4e-6,
+               ctx=f"hier1d n={n} order={order}")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_seq_seeded_sharding(seed):
+    """Round 5: the carry-seeded 3-touch sequence-sharded route (and its
+    Gdev fallback where gates decline) on random 2-D specs over 2-/4-way
+    seq meshes, both exchanges, vs the oracle."""
+    import jax.numpy as jnp
+
+    from recfilter_tpu.parallel import sharding
+    from recfilter_tpu.planner import Plan
+
+    rng = np.random.default_rng(8000 + seed)
+    D = int(rng.choice([2, 4]))
+    seq_axis = int(rng.integers(0, 2))
+    if seq_axis == 1:
+        ext = [256, int(rng.choice([128, 256])) * D]
+    else:
+        ext = [128 * D, int(rng.choice([256, 384]))]
+    scans = []
+    for axx in (0, 1):
+        for _ in range(int(rng.integers(1, 3))):
+            k = int(rng.integers(1, 4))
+            a = rng.uniform(-0.9, 0.9, k)
+            a = a / max(1.0, 1.3 * np.abs(a).sum())
+            scans.append(Scan(axx, bool(rng.integers(0, 2)),
+                              float(rng.uniform(0.5, 1.2)),
+                              tuple(map(float, a))))
+    spec = FilterSpec("SqF", (Dim("y", ext[0]), Dim("x", ext[1])),
+                      tuple(scans), tile_widths=(128, 128))
+    x = (rng.standard_normal(tuple(ext)) * 0.1).astype(np.float32)
+    mesh = sharding.make_mesh((D,), ("seq",))
+    exchange = ["gather", "ring"][int(rng.integers(0, 2))]
+    got = np.asarray(sharding.sharded_apply_filter(
+        spec, Plan(interpret=True, matmul_precision="px6"), mesh,
+        jnp.asarray(x), seq_axis=seq_axis, exchange=exchange))
+    _check(spec, x, got, 4e-6, ctx=f"seq D={D} ax={seq_axis} {exchange}")
