@@ -317,19 +317,24 @@ def banded_solve_blocks(CMfull: np.ndarray, n: int, S: int,
 def _banded_solve_apply(bands, braw_t, S: int):
     """Apply a banded solve to slot-padded transposed tails (n, 8, q):
     N_t = Σ_d B_d[t] · b_{t−d} — one tiny (n,S,S)×(n,S,q) einsum per
-    offset instead of the dense (n·8)² matmul."""
+    offset instead of the dense (n·8)² matmul.
+
+    The shifted operands come from ONE padded copy of b sliced per offset
+    (XLA fuses a leading-dim slice into the consumer einsum) instead of a
+    per-offset zero-concat: each concat materialized a full carry-array
+    stream — ~16 MB per offset at 8K, the bulk of the "large-grid glue"
+    residual (round-5 xplane)."""
     n, slots, q = braw_t.shape
     b = braw_t[:, :S, :]
+    dmax = max(max(d for d, _ in bands), 0)
+    dmin = min(min(d for d, _ in bands), 0)
+    bpad = (jnp.pad(b, ((dmax, -dmin), (0, 0), (0, 0)))
+            if dmax or dmin else b)
     N = None
     for d, blocks in bands:
-        if d == 0:
-            shifted = b
-        elif d > 0:
-            shifted = jnp.concatenate(
-                [jnp.zeros_like(b[:d]), b[:-d]], axis=0)
-        else:
-            shifted = jnp.concatenate(
-                [b[-d:], jnp.zeros_like(b[:(-d)])], axis=0)
+        shifted = (bpad if (dmax - d == 0 and bpad.shape[0] == n)
+                   else jax.lax.slice_in_dim(bpad, dmax - d, dmax - d + n,
+                                             axis=0))
         t = jnp.einsum("nab,nbq->naq", jnp.asarray(blocks, jnp.float32),
                        shifted, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -346,16 +351,17 @@ def _banded_solve_apply_nat(bands, braw, prec):
     transposed layout). Keeps high-order einsum passes (carry slots past
     the kernels' ΣK ≤ 8 gate, e.g. the audio order-29 sweep) off the dense
     (n·S)² solve matrix, which would be 220 MB at n=256/S=29."""
+    n = braw.shape[-2]
+    dmax = max(max(d for d, _ in bands), 0)
+    dmin = min(min(d for d, _ in bands), 0)
+    pads = [(0, 0)] * braw.ndim
+    pads[-2] = (dmax, -dmin)
+    bpad = jnp.pad(braw, pads) if dmax or dmin else braw
     N = None
     for d, blocks in bands:
-        if d == 0:
-            shifted = braw
-        elif d > 0:
-            z = jnp.zeros_like(braw[..., :d, :])
-            shifted = jnp.concatenate([z, braw[..., :-d, :]], axis=-2)
-        else:
-            z = jnp.zeros_like(braw[..., d:, :])
-            shifted = jnp.concatenate([braw[..., -d:, :], z], axis=-2)
+        shifted = (bpad if (dmax - d == 0 and bpad.shape[-2] == n)
+                   else jax.lax.slice_in_dim(bpad, dmax - d, dmax - d + n,
+                                             axis=-2))
         t = jnp.einsum("nab,...nb->...na", jnp.asarray(blocks, jnp.float32),
                        shifted, preferred_element_type=jnp.float32,
                        precision=prec)
