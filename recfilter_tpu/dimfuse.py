@@ -287,6 +287,10 @@ def banded_solve_blocks(CMfull: np.ndarray, n: int, S: int,
     Integrators (poles on the unit circle: SAT, boxes) decay nowhere —
     their band exceeds ``max_band`` and the caller keeps the dense matmul.
     """
+    import os as _os
+
+    if _os.environ.get("RECFILTER_NO_BANDED"):
+        return None  # A/B hatch: force the dense solve everywhere
     CM = np.asarray(CMfull).reshape(n, S, n, S)
     norms = np.abs(CM).max(axis=(1, 3))  # (n_to, n_from)
     scale = float(norms.max())
