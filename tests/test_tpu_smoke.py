@@ -414,3 +414,51 @@ def test_int_unit_and_segmented_kernels_on_chip():
         jnp.asarray(sig), [(1, 1, True)], 1, False))
     assert np.array_equal(got.astype(np.int64) & 0xFFFFFFFF,
                           sig.astype(np.int64).cumsum(1) & 0xFFFFFFFF)
+
+
+def test_multislot_and_seq_seeded_on_chip():
+    """Round 5 on real Mosaic: (a) multi-slot kernel carries (ΣK=12 → 2
+    sublane slots through tails/pad_solve/completion) vs the oracle at
+    f32 grade; (b) the carry-seeded seq route at D=1
+    (RECFILTER_SEQ1_PROBE) — the seq_seed_maps Out/K dots and the hook
+    path compile and hold the px6 bound on hardware."""
+    _require_tpu()
+    import os
+
+    import jax.numpy as jnp
+
+    from recfilter_tpu import dimfuse, scan_core
+    from recfilter_tpu.parallel import sharding
+    from recfilter_tpu.planner import Plan
+    from recfilter_tpu.spec import BorderMode, Dim, FilterSpec, Scan
+
+    rng = np.random.default_rng(31)
+    # (a) order-12 scan on 128-lane geometry: 2 carry slots
+    fb = tuple(float(v) for v in rng.uniform(-0.05, 0.05, 12))
+    s = Scan(1, True, 1.1, fb)
+    x = (rng.standard_normal((16, 512)) * 0.1).astype(np.float32)
+    got = np.asarray(dimfuse.fused_dim_pass(
+        jnp.asarray(x), 1, [s], 128, BorderMode.ZERO,
+        matmul_precision="px6"))
+    want = scan_core.oracle_apply_scan(
+        x.astype(np.float64), 1, True, 1.1, list(fb), BorderMode.ZERO)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 2e-6 * scale
+
+    # (b) seq-seeded executor at D=1 on the real chip
+    spec = FilterSpec(
+        "SeqChip", (Dim("y", 256), Dim("x", 256)),
+        (Scan(0, True, 1.0, (0.5, 0.2)), Scan(1, True, 0.8, (0.4,))),
+        tile_widths=(128, 128))
+    x2 = (rng.standard_normal((256, 256)) * 0.1).astype(np.float32)
+    os.environ["RECFILTER_SEQ1_PROBE"] = "1"
+    try:
+        mesh = sharding.make_mesh((1,), ("seq",))
+        got2 = np.asarray(sharding.sharded_apply_filter(
+            spec, Plan(matmul_precision="px6"), mesh, jnp.asarray(x2),
+            seq_axis=1))
+    finally:
+        os.environ.pop("RECFILTER_SEQ1_PROBE", None)
+    want2 = scan_core.oracle_apply(spec, x2.astype(np.float64))
+    scale2 = np.abs(want2).max()
+    assert np.abs(got2 - want2).max() <= 4e-6 * scale2
