@@ -18,7 +18,9 @@ apply_platform_env()
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", "-w", type=int, default=4096)
-    p.add_argument("--tile", "-t", type=int, default=32)
+    # 0 = auto (128 on TPU). A literal 32 here once gated every px kernel
+    # off and produced a 4x-slow dog_sat "regression" that wasn't one.
+    p.add_argument("--tile", "-t", type=int, default=0)
     p.add_argument("--trace-dir", default="/tmp/recfilter_trace")
     p.add_argument("--app", default="", help="time_app registry name "
                    "(default: the bench headline filter)")
