@@ -1812,7 +1812,8 @@ def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
 
     The internal tile width is 128 regardless of the caller's (the blocked
     algebra's result is tile-invariant). Returns None when a gate fails
-    (ΣK > 8 carry slots, > 512 supertiles ≈ 16.7M samples, tiny effective
+    (ΣK > 64, > 512 supertiles ≈ 16.7M samples at ΣK ≤ 8 — the S>8
+    Kogge–Stone route runs to 4096 ≈ 134M — tiny effective
     last segment, non-px precision) — callers keep the associative-scan
     path. Reference headline workload:
     ``apps/audio/audio_filter_high_order.cpp:38-93``.
@@ -1840,7 +1841,11 @@ def hierarchical_dim_pass(x, axis: int, scans: Sequence[Scan], border: str,
     T = 128
     seg = _CHAIN_MATMUL_MAX_TILES * T  # 256 tiles: the kernel-eligible max
     n_sup = -(-w // seg)
-    if n_sup < 2 or n_sup > 512:
+    # The dense (n_sup·S)² level-2 solve caps at 512 supertiles (~16.7M
+    # samples); the S>8 Kogge–Stone route has no quadratic term and runs
+    # to 4096 supertiles (~134M samples) — log₂ shift/einsum steps on
+    # carry-sized arrays only.
+    if n_sup < 2 or n_sup > (512 if S <= 8 else 4096):
         return None
     pad = n_sup * seg - w
     if seg - pad <= kmax + 1:

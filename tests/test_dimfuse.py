@@ -1059,7 +1059,8 @@ def test_hierarchical_two_level_chain_rides_kernels():
 
 def test_hierarchical_gates_fall_back():
     """Beyond the provable range the associative path keeps serving:
-    ΣK > 64 and > 512 supertiles return None; ΣK in 9..64 rides the
+    ΣK > 64 and > 512 supertiles (at ΣK ≤ 8; 4096 on the S>8 KS route,
+    oracle-checked at 20M samples) return None; ΣK in 9..64 rides the
     Kogge–Stone level-2 chain (round-5: the reference's order-29 audio
     sweep is a first-class fast-path workload)."""
     import jax.numpy as jnp
