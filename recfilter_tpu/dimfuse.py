@@ -1687,8 +1687,8 @@ def _moments_tails_2d(x, sc1, plan1, sc2, plan2, clamp, interp, nprod=0):
     if nprod:
         # Split-bf16 moments kernel: same accuracy grade as the px
         # completion kernels, no HIGHEST operand-conversion copies.
-        bA_t, U_t, _ = k2d.moments2d_px(X4, Gy, Gx, nprod=nprod,
-                                        interpret=interp)
+        bA_t, U_t = k2d.moments2d_px(X4, Gy, Gx, nprod=nprod,
+                                     interpret=interp)[:2]
         bA = bA_t[:, :, :Ky]                       # (1, n2, Ky, w)
         # U_t (1, n2, n1*8, T2) → pass-1 lines layout (n1, 8, h)
         braw_x = jnp.transpose(

@@ -251,7 +251,7 @@ def _lb_px(W: int, Tb: int, cap: int = 0) -> int:
 
 def _moments_px_kernel(Ga_ref, Gb_ref, *rest,
                        nprod, kb, Tb, na, nb, h8: int = 0, mode: int = 0,
-                       t1: bool = False):
+                       t1: bool = False, naf: bool = False):
     """One (Ta, Lb) x-block → (8, Lb) dim-A tails + kb×(8, Ta) dim-B
     moments, all from one VMEM split of the block.
 
@@ -282,18 +282,39 @@ def _moments_px_kernel(Ga_ref, Gb_ref, *rest,
     (kb·8, Ta) moments (U is consumed ONLY by that einsum downstream, so
     the HBM round trip of U and the HIGHEST operand copies disappear).
     An extra ``Ba1_ref`` const precedes ``x_ref`` in that case."""
-    if t1:
-        Ba1_ref, x_ref, o1_ref, o2_ref, *o_edge = rest
+    if naf:
+        # NA-solve fold (``solve_mats``): grid is (p, l, a) with ``a``
+        # sequential-innermost; the per-a tails accumulate into a VMEM
+        # scratch and the LAST a-step emits the SOLVED carries
+        # NA = CMa_p · scratch for this lane block — bA never touches HBM.
+        rest2 = list(rest)
+        Ba1_ref = rest2.pop(0) if t1 else None
+        cma_ref, x_ref, o1_ref, o2_ref, scr_ref = rest2
+        o_edge = ()
+        a = pl.program_id(2)
+        l = pl.program_id(1)
     else:
-        x_ref, o1_ref, o2_ref, *o_edge = rest
-    a = pl.program_id(1)
-    l = pl.program_id(2)
+        if t1:
+            Ba1_ref, x_ref, o1_ref, o2_ref, *o_edge = rest
+        else:
+            x_ref, o1_ref, o2_ref, *o_edge = rest
+        a = pl.program_id(1)
+        l = pl.program_id(2)
     nc = _nchunks(nprod)
     Ta = x_ref.shape[0]
     Ga = _sel_variant(Ga_ref, a, na)
 
     def _store1(acc1):
-        if h8:
+        if naf:
+            scr_ref[pl.ds(a * _SLOTS, _SLOTS), :] = acc1
+
+            @pl.when(a == na - 1)
+            def _solve():
+                o1_ref[:] = jax.lax.dot_general(
+                    cma_ref[:], scr_ref[:], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        elif h8:
             o1_ref[:] = acc1[:_SLOTS]
             o_edge[0][:] = acc1[_SLOTS:_SLOTS + h8]
             o_edge[1][:] = acc1[_SLOTS + h8:]
@@ -386,7 +407,7 @@ def _moments_px_kernel(Ga_ref, Gb_ref, *rest,
 
 
 def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
-                 edge_mats=None, term1_mats=None):
+                 edge_mats=None, term1_mats=None, solve_mats=None):
     """Pass 1 (px): both dimensions' raw tails from ONE read of x.
 
     x       : (p, na, Ta, W) f32, W = nb·Tb
@@ -430,6 +451,15 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
     mode = int(os.environ.get("RECFILTER_PXM_KMODE", "2"))
     use_t1 = (term1_mats is not None and mode == 2 and nc > 1
               and os.environ.get("RECFILTER_PXM_T1", "1") == "1")
+    # NA-solve fold (``solve_mats`` = the slot-padded (na·8)² dim-A
+    # combined-solve matrix): emit SOLVED carries instead of raw tails.
+    # MEASURED LOSS on chip (round-5 A/B, 4K px6 same-process: 0.4607 vs
+    # 0.4576 ms) — the serialized last-step HIGHEST solve + the
+    # arbitrary (sequential) a-axis cost more than bA's saved 8 MB HBM
+    # round trip; the XLA solve fusion sits at its floor. Default OFF;
+    # RECFILTER_PXM_NAF=1 is the A/B hatch.
+    use_naf = (solve_mats is not None and mode == 2 and h8 == 0
+               and os.environ.get("RECFILTER_PXM_NAF", "0") == "1")
     if mode == 2 and nc > 1:
         # M-stacked level constants: one dot streams the scratch once.
         Gav = _cat_split_mstack(_variants3(Ga_rows), pairs, nc)
@@ -446,7 +476,8 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
     Lb = _lb_px(W, Tb, cap=int(os.environ.get("RECFILTER_PXM_LB", "4096")))
     kb = Lb // Tb
     kern = partial(_moments_px_kernel, nprod=nprod, kb=kb, Tb=Tb,
-                   na=na, nb=nb, h8=h8, mode=mode, t1=use_t1)
+                   na=na, nb=nb, h8=h8, mode=mode, t1=use_t1, naf=use_naf)
+    CMa_np = (np.asarray(solve_mats, np.float32) if use_naf else None)
 
     def _run(x):
         edge_shape = tuple(
@@ -457,6 +488,46 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
                          memory_space=pltpu.VMEM)
             for _ in range(2)) if h8 else ()
         t1_ops = (Ba1v,) if use_t1 else ()
+        if use_naf:
+            t1_specs = ([pl.BlockSpec(Ba1v.shape, lambda i, l, a: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+                        if use_t1 else [])
+            return pl.pallas_call(
+                kern,
+                out_shape=(
+                    jax.ShapeDtypeStruct((p, na * _SLOTS, W), jnp.float32),
+                    jax.ShapeDtypeStruct((p, na, nb * _SLOTS, Ta),
+                                         jnp.float32),
+                ),
+                grid=(p, W // Lb, na),
+                in_specs=[
+                    pl.BlockSpec(Gav.shape, lambda i, l, a: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(Gbv.shape, lambda i, l, a: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + t1_specs + [
+                    pl.BlockSpec(CMa_np.shape, lambda i, l, a: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, None, Ta, Lb),
+                                 lambda i, l, a: (i, a, 0, l),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((None, na * _SLOTS, Lb),
+                                 lambda i, l, a: (i, 0, l),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, None, kb * _SLOTS, Ta),
+                                 lambda i, l, a: (i, a, l, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((na * _SLOTS, Lb), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel",
+                                         "arbitrary")
+                ),
+                interpret=interpret,
+            )(Gav, Gbv, *t1_ops, CMa_np, x)
         t1_specs = ([pl.BlockSpec(Ba1v.shape, lambda i, a, l: (0, 0, 0),
                                   memory_space=pltpu.VMEM)]
                     if use_t1 else [])
@@ -512,10 +583,17 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
         Ba1n = np.asarray(
             Ba1n[np.minimum(np.arange(na), Ba1n.shape[0] - 1)], np.float32)
 
+    CMa_tw = (np.asarray(solve_mats, np.float32) if use_naf else None)
+
     def _ref(x):
         xf = x.astype(jnp.float32)
         bA = jnp.einsum("aks,pasw->pakw", Gan, xf, precision=hi,
                         preferred_element_type=jnp.float32)
+        if use_naf:
+            bA = jnp.einsum(
+                "ts,psw->ptw", CMa_tw,
+                bA.reshape(p, na * _SLOTS, W), precision=hi,
+                preferred_element_type=jnp.float32)
         xr = xf.reshape(p, na, Ta, nb, Tb)
         U = jnp.einsum("bkt,pasbt->pabks", Gbn, xr, precision=hi,
                        preferred_element_type=jnp.float32)
@@ -535,7 +613,7 @@ def moments2d_px(x, G_a_cat, G_b_cat, *, nprod: int, interpret: bool,
     f = jax.custom_vjp(_run)
     f.defvjp(lambda x: (_run(x), x),
              lambda x0, ct: jax.vjp(_ref, x0)[1](ct))
-    return f(x) + (use_t1,)
+    return f(x) + (use_t1, use_naf)
 
 
 def _final_px_kernel(*refs, nprod, kb, Tb, na, nb, naux, epilogue,

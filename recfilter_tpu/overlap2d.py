@@ -285,20 +285,28 @@ def fused_2d_px(x, axis_a: int, scans_a: Sequence[Scan],
     # ---- pass 1 (one read of x): dim-A raw tails + dim-B moments ---------
     # (term1_mats: the kernel emits Btot_a·U directly where its gates
     # hold — the bB assembly's biggest glue einsum and U's HBM round trip
-    # disappear; used_t1 reports whether the fold engaged)
-    moments = k2d.moments2d_px(
-        X4, Ga_cat, Gb_cat, nprod=nprod, interpret=interpret,
-        edge_mats=(ma.Btot, h8) if h8 else None, term1_mats=ma.Btot)
-    used_t1 = moments[-1]
-    if h8:
-        bA_t, U_t, ht_m, hb_m = moments[:-1]
-    else:
-        bA_t, U_t = moments[:-1]
-
-    # ---- dim-A chain solve (slot-padded transposed layout) ---------------
+    # disappear; used_t1 reports whether the fold engaged. solve_mats:
+    # the kernel can ALSO emit the SOLVED dim-A carries — bA never
+    # touches HBM; gated off for banded solves and the dim-A seq hook,
+    # which consumes the raw tails.)
     CMa = dimfuse.combined_solve_matrix(ma, na)
     bands_a = dimfuse.banded_solve_blocks(CMa, na, Ka)
-    if bands_a is not None:
+    naf_ok = (bands_a is None and h8 == 0
+              and not (seq_hook is not None and seq_dim == "a"))
+    moments = k2d.moments2d_px(
+        X4, Ga_cat, Gb_cat, nprod=nprod, interpret=interpret,
+        edge_mats=(ma.Btot, h8) if h8 else None, term1_mats=ma.Btot,
+        solve_mats=(pad_solve_matrix(CMa, na, Ka) if naf_ok else None))
+    used_t1, used_naf = moments[-2], moments[-1]
+    if h8:
+        bA_t, U_t, ht_m, hb_m = moments[:-2]
+    else:
+        bA_t, U_t = moments[:-2]
+
+    # ---- dim-A chain solve (slot-padded transposed layout) ---------------
+    if used_naf:
+        NA_t = bA_t.reshape(p, na, _SLOTS, W)  # already solved in-kernel
+    elif bands_a is not None:
         NA_t = jax.vmap(
             lambda b: dimfuse._banded_solve_apply(bands_a, b, Ka))(bA_t)
     else:

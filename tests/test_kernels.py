@@ -227,7 +227,8 @@ def test_moments_px_kernel_modes_equal():
     try:
         for m in ("0", "1", "2"):
             os.environ["RECFILTER_PXM_KMODE"] = m
-            bA, U, _ = k2d.moments2d_px(x, Ga, Gb, nprod=6, interpret=True)
+            bA, U = k2d.moments2d_px(x, Ga, Gb, nprod=6,
+                                     interpret=True)[:2]
             outs[m] = (np.asarray(bA), np.asarray(U))
     finally:
         if old is None:
